@@ -1,0 +1,107 @@
+"""Alert extraction: thresholds, priority rules, top-k ordering
+(reference warning_system.py:18-27, 273-274, 287-311)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_collide import SystemConfig, make_step
+from tpu_collide.core.config import (WorldConfig, GridConfig,
+                                     DetectionConfig, AlertConfig)
+from tpu_collide.core.state import state_from_numpy
+from tpu_collide.engine import make_detect
+from tpu_collide.alerts.extract import extract_alerts, compute_priority
+from tests.oracle import oracle_priority
+
+
+def test_priority_rules_match_oracle():
+    cfg = SystemConfig()
+    risks = jnp.asarray(np.linspace(0, 1, 21), jnp.float32)
+    ttcs = jnp.asarray([0.0, 1.0, 2.9, 3.0, 4.9, 5.0, 7.0, 10.0], jnp.float32)
+    r, t = jnp.meshgrid(risks, ttcs)
+    got = np.asarray(compute_priority(r.ravel(), t.ravel(), cfg))
+    want = [oracle_priority(float(a), float(b))
+            for a, b in zip(np.asarray(r).ravel(), np.asarray(t).ravel())]
+    assert got.tolist() == want
+
+
+def _converging_fleet(n_pairs):
+    """n_pairs head-on pairs, spaced far apart, with varied closing speeds
+    so risks differ."""
+    n = 2 * n_pairs
+    pos = np.zeros((n, 3), np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    heading = np.zeros(n, np.float32)
+    for p in range(n_pairs):
+        y = 200.0 + 500.0 * p
+        speed = 5.0 + 2.0 * p
+        pos[2 * p] = [100.0, y, 0.0]
+        pos[2 * p + 1] = [180.0, y, 0.0]
+        vel[2 * p] = [speed, 0, 0]
+        vel[2 * p + 1] = [-speed, 0, 0]
+        heading[2 * p + 1] = np.pi
+    size = np.full(n, 2.0, np.float32)
+    otype = np.zeros(n, np.int32)
+    acc = np.zeros((n, 3), np.float32)
+    return pos, vel, acc, heading, size, otype
+
+
+def test_alert_extraction_end_to_end():
+    n_pairs = 6
+    pos, vel, acc, heading, size, otype = _converging_fleet(n_pairs)
+    n = len(pos)
+    world = 4000.0
+    cfg = SystemConfig(
+        num_objects=n,
+        world=WorldConfig(hi=(world, world, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=16),
+        alerts=AlertConfig(max_scene_alerts=32),
+    )
+    state = state_from_numpy(pos, vel, acc, heading, size, otype)
+    pairs = make_detect(cfg)(state)
+    alerts = jax.jit(lambda s, p: extract_alerts(s, p, cfg))(state, pairs)
+
+    count = int(alerts.count)
+    valid = np.asarray(alerts.valid)
+    assert count == valid.sum()
+    risks = np.asarray(alerts.risk)[:count]
+    prios = np.asarray(alerts.priority)[:count]
+    ttcs = np.asarray(alerts.ttc)[:count]
+
+    # every alert >= low threshold
+    assert (risks >= cfg.alerts.risk_low - 1e-6).all()
+    # sorted by (priority, risk) descending
+    keys = prios * 2.0 + risks
+    assert (np.diff(keys) <= 1e-6).all()
+    # priorities consistent with the rules
+    for r, t, p in zip(risks, ttcs, prios):
+        assert p == oracle_priority(float(r), float(t))
+    # pair-deduplicated: each unordered pair appears once
+    seen = set()
+    vo = np.asarray(alerts.vehicle_oid)[:count]
+    oo = np.asarray(alerts.other_oid)[:count]
+    for a, b in zip(vo, oo):
+        assert a < b
+        assert (a, b) not in seen
+        seen.add((a, b))
+    # the fast closers must alert
+    assert count >= 1
+
+
+def test_scene_topk_truncates_lowest():
+    n_pairs = 6
+    pos, vel, acc, heading, size, otype = _converging_fleet(n_pairs)
+    n = len(pos)
+    cfg_big = SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(4000.0, 4000.0, 0.0)),
+        alerts=AlertConfig(max_scene_alerts=32))
+    cfg_small = cfg_big.replace(alerts=AlertConfig(max_scene_alerts=2))
+    state = state_from_numpy(pos, vel, acc, heading, size, otype)
+    pa = make_detect(cfg_big)(state)
+    big = jax.jit(lambda s, p: extract_alerts(s, p, cfg_big))(state, pa)
+    small = jax.jit(lambda s, p: extract_alerts(s, p, cfg_small))(state, pa)
+    nb, ns = int(big.count), int(small.count)
+    if nb >= 2:
+        assert ns == 2
+        np.testing.assert_allclose(np.asarray(small.risk)[:2],
+                                   np.asarray(big.risk)[:2], rtol=1e-6)

@@ -1,0 +1,211 @@
+"""Canonical 4-stage collision-detection pipeline, vectorized over all
+objects x candidates in one XLA program.
+
+Semantics match the reference's canonical detector
+(collision_detection.py:110-389 — the pipeline SURVEY.md §0.4 designates for
+alert parity), restated array-wise:
+
+  stage 1  spatial filter: grid-stencil candidates, exact radius, no self
+           (collision_detection.py:208-227)
+  stage 2  temporal filter: rel-speed floor, closest-approach time
+           t* = -dot(rel_pos, rel_vel)/|rel_vel|^2, window clip, closest
+           distance vs pair safe distance (collision_detection.py:229-294)
+  stage 3  precise detection: sample t = 0, dt, ..., window-dt under
+           constant-acceleration kinematics, first sample with
+           dist <= safe is the collision (collision_detection.py:296-342);
+           'fast' mode replaces the sweep with the closed-form
+           constant-velocity first crossing (quadratic root)
+  stage 4  weighted risk scoring (collision_detection.py:344-389)
+
+The reference ran this per vehicle in Python at ~ms each (50 ms SLO,
+collision_detection.py:187-189); here the whole fleet is one fused program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.core.state import ObjectState
+from tpu_collide.index.grid import GridIndex, gather_candidates
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["other", "valid", "risk", "ttc", "distance",
+                      "rel_speed", "col_pos"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class PairRisks:
+    """Per-object candidate risk table, fixed shape [N, K].
+
+    valid=True rows carry a detected collision risk; everything else is
+    padding (risk=0, ttc=inf)."""
+    other: jax.Array      # [N, K] int32 other-object index
+    valid: jax.Array      # [N, K] bool
+    risk: jax.Array       # [N, K] f32 in [0, 1]
+    ttc: jax.Array        # [N, K] f32 seconds (inf when invalid)
+    distance: jax.Array   # [N, K] f32 distance at collision time
+    rel_speed: jax.Array  # [N, K] f32
+    col_pos: jax.Array    # [N, K, 3] f32 midpoint at collision time
+
+
+def _pair_safe_distance(size_i, size_j, det):
+    # reference collision_detection.py:484-496
+    return (size_i + size_j) * 0.5 + det.safe_distance_base
+
+
+def _dist_at_time(rel_pos, rel_vel, rel_acc, t):
+    """|rel_pos + rel_vel t + 0.5 rel_acc t^2| (constant-accel kinematics,
+    reference collision_detection.py:433-466)."""
+    d = rel_pos + rel_vel * t[..., None] + 0.5 * rel_acc * jnp.square(t)[..., None]
+    return jnp.linalg.norm(d, axis=-1)
+
+
+def _precise_sweep(rel_pos, rel_vel, rel_acc, safe, det):
+    """Stage-3 sampled sweep. Returns (hit, t_hit, dist_hit).
+
+    Scans t = 0, dt, ..., (T-1) dt and keeps the FIRST sample with
+    dist <= safe, like the reference's early-return loop
+    (collision_detection.py:317-341)."""
+    T = det.num_time_steps
+    dt = det.time_step
+
+    def body(k, carry):
+        hit, t_hit, d_hit = carry
+        t = jnp.float32(k) * dt
+        d = _dist_at_time(rel_pos, rel_vel, rel_acc,
+                          jnp.full(rel_pos.shape[:-1], t, jnp.float32))
+        new_hit = (~hit) & (d <= safe)
+        t_hit = jnp.where(new_hit, t, t_hit)
+        d_hit = jnp.where(new_hit, d, d_hit)
+        return (hit | new_hit, t_hit, d_hit)
+
+    hit0 = jnp.zeros(rel_pos.shape[:-1], bool)
+    inf = jnp.full(rel_pos.shape[:-1], jnp.inf, jnp.float32)
+    return jax.lax.fori_loop(0, T, body, (hit0, inf, inf))
+
+
+def _fast_first_crossing(rel_pos, rel_vel, safe, det):
+    """Closed-form constant-velocity first time with dist <= safe:
+    solve |p + v t|^2 = safe^2. Quantized to the stage-3 sampling lattice
+    (ceil to a multiple of dt, so 'fast' and 'precise' agree for
+    zero-acceleration fleets)."""
+    a = jnp.sum(rel_vel * rel_vel, axis=-1)
+    b = 2.0 * jnp.sum(rel_pos * rel_vel, axis=-1)
+    c = jnp.sum(rel_pos * rel_pos, axis=-1) - safe * safe
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a > 1e-12, a, 1.0)
+    t_enter = (-b - sq) / (2.0 * a_safe)
+    t_exit = (-b + sq) / (2.0 * a_safe)
+    already_inside = c <= 0.0
+    t_first = jnp.where(already_inside, 0.0, jnp.maximum(t_enter, 0.0))
+    # snap up to the sampling lattice (first SAMPLE inside, as stage 3 sees it)
+    dt = det.time_step
+    t_snap = jnp.ceil(t_first / dt - 1e-6) * dt
+    # the snapped sample must still be inside the crossing interval
+    inside_at_snap = already_inside | ((t_snap >= t_enter - 1e-6) &
+                                       (t_snap <= t_exit + 1e-6))
+    hit = ((disc >= 0.0) | already_inside) & (a > 1e-12) & inside_at_snap & \
+          (t_snap <= det.time_window - dt + 1e-6)
+    hit = hit | (already_inside & (a <= 1e-12))
+    t_hit = jnp.where(already_inside, 0.0, t_snap)
+    zero_acc = jnp.zeros_like(rel_pos)
+    d_hit = _dist_at_time(rel_pos, rel_vel, zero_acc, t_hit)
+    return hit, jnp.where(hit, t_hit, jnp.inf), jnp.where(hit, d_hit, jnp.inf)
+
+
+def _risk_score(dist_hit, t_hit, rel_speed, heading_i, heading_j,
+                type_i, type_j, safe, det):
+    """Stage-4 weighted risk (collision_detection.py:344-389, 498-513)."""
+    distance_factor = 1.0 - dist_hit / safe
+    time_factor = 1.0 - jnp.minimum(1.0, t_hit / det.max_warning_time)
+    speed_factor = jnp.minimum(1.0, rel_speed / det.max_relative_speed)
+    angle_factor = jnp.sin(jnp.abs(heading_i - heading_j))
+    type_factor = jnp.where(type_i == type_j, det.same_type_factor,
+                            det.diff_type_factor)
+    risk = (det.weight_distance * distance_factor
+            + det.weight_time * time_factor
+            + det.weight_speed * speed_factor
+            + det.weight_angle * angle_factor
+            + det.weight_type * type_factor)
+    return jnp.clip(risk, 0.0, 1.0)
+
+
+def detect_pairs(state: ObjectState, index: GridIndex,
+                 cfg: SystemConfig) -> PairRisks:
+    """Run stages 1-4 for every alive object against its grid candidates."""
+    det = cfg.detect
+    n = state.n
+
+    # ---- stage 1: spatial filtering ----
+    cand, cand_ok = gather_candidates(index, index.cell3, cfg)   # [N, K]
+    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cand_ok &= (cand != self_idx)
+    cand_ok &= state.alive[cand] & state.alive[:, None]
+
+    pos_i = state.pos[:, None, :]          # [N, 1, 3]
+    pos_j = state.pos[cand]                # [N, K, 3]
+    cur_dist = jnp.linalg.norm(pos_j - pos_i, axis=-1)
+    cand_ok &= cur_dist <= det.search_radius
+
+    # ---- stage 2: temporal filtering ----
+    vel_i = state.vel[:, None, :]
+    vel_j = state.vel[cand]
+    acc_i = state.acc[:, None, :]
+    acc_j = state.acc[cand]
+    rel_vel = vel_i - vel_j                # vehicle minus other (ref :252-257)
+    rel_pos = pos_j - pos_i                # other minus vehicle (ref :259-264)
+    rel_speed = jnp.linalg.norm(rel_vel, axis=-1)
+
+    safe = _pair_safe_distance(state.size[:, None], state.size[cand], det)
+
+    # Closest-approach time of the separation s(t) = rel_pos + (v_j - v_i) t.
+    # 'physical': t* = -dot(rel_pos, v_j - v_i)/|rel|^2 (correct).
+    # 'reference': t* = -dot(rel_pos, v_i - v_j)/|rel|^2 — the reference's
+    # sign bug (collision_detection.py:271-277), kept for parity testing.
+    sep_vel_2 = vel_j - vel_i
+    conv = 1.0 if det.convention == "physical" else -1.0
+    dot = conv * jnp.sum(rel_pos * sep_vel_2, axis=-1)
+    rs2 = jnp.where(rel_speed > 0, rel_speed * rel_speed, 1.0)
+    t_star = -dot / rs2
+    closest_dist = _dist_at_time(rel_pos, sep_vel_2, acc_j - acc_i, t_star)
+    pass2 = (cand_ok
+             & (rel_speed >= det.min_relative_speed)
+             & (t_star >= 0.0)
+             & (t_star <= det.time_window)
+             & (closest_dist <= safe))
+
+    # ---- stage 3: precise detection ----
+    sep_pos = rel_pos                       # p_j - p_i
+    sep_vel = sep_vel_2
+    sep_acc = acc_j - acc_i
+    if det.mode == "fast":
+        hit, t_hit, d_hit = _fast_first_crossing(sep_pos, sep_vel, safe, det)
+    else:
+        hit, t_hit, d_hit = _precise_sweep(sep_pos, sep_vel, sep_acc, safe, det)
+    hit &= pass2
+
+    # collision position = midpoint of the two predicted positions (ref :331)
+    t_h = jnp.where(hit, t_hit, 0.0)[..., None]
+    fut_i = pos_i + vel_i * t_h + 0.5 * acc_i * t_h * t_h
+    fut_j = pos_j + vel_j * t_h + 0.5 * acc_j * t_h * t_h
+    col_pos = 0.5 * (fut_i + fut_j)
+
+    # ---- stage 4: risk assessment ----
+    risk = _risk_score(jnp.where(hit, d_hit, 0.0), jnp.where(hit, t_hit, 0.0),
+                       rel_speed, state.heading[:, None], state.heading[cand],
+                       state.otype[:, None], state.otype[cand], safe, det)
+    risk = jnp.where(hit, risk, 0.0)
+
+    return PairRisks(
+        other=cand, valid=hit, risk=risk,
+        ttc=jnp.where(hit, t_hit, jnp.inf),
+        distance=jnp.where(hit, d_hit, jnp.inf),
+        rel_speed=jnp.where(hit, rel_speed, 0.0),
+        col_pos=col_pos,
+    )

@@ -1,0 +1,2 @@
+from tpu_collide.sim.integrator import integrate
+from tpu_collide.sim.generator import generate_fleet, default_cities
