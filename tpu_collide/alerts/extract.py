@@ -56,16 +56,23 @@ def compute_priority(risk: jax.Array, ttc: jax.Array,
 
 
 def extract_alerts(state: ObjectState, pairs: PairRisks,
-                   cfg: SystemConfig) -> AlertBatch:
+                   cfg: SystemConfig,
+                   query_mask: jax.Array | None = None) -> AlertBatch:
+    """query_mask (optional [N] bool): restrict alert emission to these rows
+    — used by the sharded step to emit only for shard-owned objects (halo
+    rows compute risks but their owner shard emits them)."""
     a = cfg.alerts
     n, k = pairs.risk.shape
 
     keep = pairs.valid & (pairs.risk >= a.risk_low)   # warning_system.py:273
     # Deduplicate unordered pairs: each (i, j) risk is detected from both
-    # ends with identical values (the math is symmetric); keep only i < j so
-    # the scene buffer isn't half duplicates.
-    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    keep &= i_idx < pairs.other
+    # ends with identical values (the math is symmetric); keep only
+    # oid_i < oid_j so the scene buffer isn't half duplicates. Under
+    # sharding this also picks exactly one emitting shard for cross-boundary
+    # pairs (each shard owns one endpoint).
+    keep &= state.oid[:, None] < state.oid[pairs.other]
+    if query_mask is not None:
+        keep &= query_mask[:, None]
 
     prio = compute_priority(pairs.risk, pairs.ttc, cfg)
     # rank key: priority major, risk minor — matches the reference heap

@@ -120,11 +120,23 @@ class SimConfig:
 @dataclasses.dataclass(frozen=True)
 class ShardConfig:
     """Spatial sharding over a device mesh (replaces data_sharding.py +
-    messaging.py — SURVEY.md §2.10/§2.11). Tiles split the world along x
-    into `num_shards` equal slabs; halo width must cover search_radius."""
+    messaging.py — SURVEY.md §2.10/§2.11). The world splits along x into
+    `num_shards` equal slabs, one per device. Cross-boundary visibility (the
+    halo problem the reference left unsolved, compute_node.py:343-368) is
+    handled by ppermute'ing a boundary band of width `halo_width` (must
+    cover the detection search radius) to slab neighbors each step; objects
+    crossing a slab boundary migrate the same way.
+
+    halo_capacity / migrate_capacity are static buffer sizes (objects per
+    step per direction); overflow drops the farthest objects and is counted
+    in step stats. slot_headroom scales per-shard slot count above the even
+    split so density skew (80/20 cities) doesn't overflow shard storage."""
     num_shards: int = 1
     axis_name: str = "shard"
     halo_width: float = 100.0
+    halo_capacity: int = 256
+    migrate_capacity: int = 64
+    slot_headroom: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,8 +84,10 @@ def _precise_sweep(rel_pos, rel_vel, rel_acc, safe, det):
         d_hit = jnp.where(new_hit, d, d_hit)
         return (hit | new_hit, t_hit, d_hit)
 
-    hit0 = jnp.zeros(rel_pos.shape[:-1], bool)
-    inf = jnp.full(rel_pos.shape[:-1], jnp.inf, jnp.float32)
+    # derive the init carry from `safe` so it inherits shard_map's varying
+    # manual axes (a plain jnp.zeros const would fail the VMA check)
+    hit0 = safe < 0.0
+    inf = jnp.where(safe < 0.0, 0.0, jnp.inf)
     return jax.lax.fori_loop(0, T, body, (hit0, inf, inf))
 
 

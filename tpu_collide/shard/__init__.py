@@ -1,0 +1,4 @@
+from tpu_collide.shard.step import (make_mesh, make_sharded_step,
+                                    distribute_state, collect_state,
+                                    shard_slots)
+from tpu_collide.shard.halo import migrate, halo_exchange, slab_bounds

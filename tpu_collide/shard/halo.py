@@ -1,0 +1,154 @@
+"""Halo exchange + object migration over ICI — the communication backend.
+
+What the reference does with an asyncio message broker, shard-management
+topics and node reassignment callbacks (messaging.py:70-182,
+data_sharding.py:231-371 — SURVEY.md §2.11) becomes two `ppermute`s between
+slab neighbors inside the jitted step:
+
+  * migration — objects whose x crossed the slab boundary move wholesale to
+    the neighbor shard (the ShardManager.get_shard_for_vehicle analog,
+    data_sharding.py:172-201, without stickiness: ownership IS position);
+  * halo — a boundary band of width >= search_radius is mirrored to the
+    neighbor so cross-boundary pairs are detected (the problem the
+    reference never solved: per-node spatial indexes only saw local
+    vehicles, compute_node.py:343-368).
+
+All buffers are static-size; overflow drops the objects farthest from the
+boundary and is reported in step stats.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.core.state import ObjectState
+
+# fields exchanged between shards (everything narrow-phase needs)
+_XCHG_FIELDS = ("pos", "vel", "acc", "heading", "size", "otype", "oid")
+
+
+def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[lo_x, hi_x) of this shard's slab."""
+    lo = cfg.world.lo[0]
+    width = (cfg.world.hi[0] - cfg.world.lo[0]) / cfg.shard.num_shards
+    slab_lo = lo + width * shard_idx.astype(jnp.float32)
+    return slab_lo, slab_lo + width
+
+
+def pack(state: ObjectState, mask: jax.Array, capacity: int,
+         boundary_x: jax.Array):
+    """Compact up to `capacity` masked objects into a send buffer.
+
+    When more than `capacity` objects match, those CLOSEST to the boundary
+    win (they matter most for detection). Returns (buffer dict, valid [cap],
+    dropped count)."""
+    # rank: masked objects first, nearest the boundary first
+    d = jnp.abs(state.pos[:, 0] - boundary_x)
+    key = jnp.where(mask, d, jnp.inf)
+    idx = jnp.argsort(key)[:capacity]
+    valid = mask[idx]
+    buf = {f: getattr(state, f)[idx] for f in _XCHG_FIELDS}
+    dropped = jnp.sum(mask, dtype=jnp.int32) - jnp.sum(valid, dtype=jnp.int32)
+    return buf, valid, dropped
+
+
+def _ppermute(tree, axis_name: str, perm):
+    return jax.tree.map(lambda x: jax.lax.ppermute(x, axis_name, perm), tree)
+
+
+def exchange_neighbors(buf_l, valid_l, buf_r, valid_r, cfg: SystemConfig):
+    """Send (buf_l, valid_l) to the left slab neighbor and (buf_r, valid_r)
+    to the right; returns what arrived ((from_right), (from_left)).
+    Edge shards receive zeros (valid=False)."""
+    d = cfg.shard.num_shards
+    ax = cfg.shard.axis_name
+    to_left = [(i, i - 1) for i in range(1, d)]
+    to_right = [(i, i + 1) for i in range(d - 1)]
+    in_from_right = _ppermute((buf_l, valid_l), ax, to_left)
+    in_from_left = _ppermute((buf_r, valid_r), ax, to_right)
+    return in_from_right, in_from_left
+
+
+def kill(state: ObjectState, mask: jax.Array) -> ObjectState:
+    return state.replace(alive=state.alive & ~mask)
+
+
+def place(state: ObjectState, buf, valid: jax.Array) -> Tuple[ObjectState, jax.Array]:
+    """Scatter arriving objects into dead slots. Returns (state, dropped
+    count for arrivals that found no free slot)."""
+    cap = valid.shape[0]
+    # free slots first (stable argsort of alive: False < True)
+    slots = jnp.argsort(state.alive)[:cap]
+    can = (~state.alive[slots]) & valid
+    upd = {}
+    for f in _XCHG_FIELDS:
+        cur = getattr(state, f)[slots]
+        mask = can.reshape((cap,) + (1,) * (buf[f].ndim - 1))
+        upd[f] = getattr(state, f).at[slots].set(jnp.where(mask, buf[f], cur))
+    alive = state.alive.at[slots].set(state.alive[slots] | can)
+    dropped = jnp.sum(valid, dtype=jnp.int32) - jnp.sum(can, dtype=jnp.int32)
+    return state.replace(alive=alive, **upd), dropped
+
+
+def migrate(state: ObjectState, cfg: SystemConfig,
+            shard_idx: jax.Array) -> Tuple[ObjectState, jax.Array]:
+    """Move objects whose x left the local slab to the neighbor shard.
+    Objects can only cross one slab per step when
+    max_speed * dt < slab_width (checked statically at mesh build)."""
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx)
+    d = cfg.shard.num_shards
+    m = cfg.shard.migrate_capacity
+
+    go_l = state.alive & (state.pos[:, 0] < slab_lo) & (shard_idx > 0)
+    go_r = state.alive & (state.pos[:, 0] >= slab_hi) & (shard_idx < d - 1)
+
+    buf_l, val_l, drop_l = pack(state, go_l, m, slab_lo)
+    buf_r, val_r, drop_r = pack(state, go_r, m, slab_hi)
+    # emigrants leave regardless; a dropped emigrant is lost (counted)
+    state = kill(state, go_l | go_r)
+
+    (in_r, inval_r), (in_l, inval_l) = exchange_neighbors(
+        buf_l, val_l, buf_r, val_r, cfg)
+    state, drop_pl = place(state, in_l, inval_l)
+    state, drop_pr = place(state, in_r, inval_r)
+    dropped = drop_l + drop_r + drop_pl + drop_pr
+    return state, dropped
+
+
+def halo_exchange(state: ObjectState, cfg: SystemConfig,
+                  shard_idx: jax.Array):
+    """Mirror boundary bands to slab neighbors.
+
+    Returns (halo_buf, halo_valid, dropped): the 2*halo_capacity foreign
+    objects visible to this shard this step."""
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx)
+    d = cfg.shard.num_shards
+    h = cfg.shard.halo_capacity
+    w = cfg.shard.halo_width
+
+    near_l = state.alive & (state.pos[:, 0] < slab_lo + w) & (shard_idx > 0)
+    near_r = state.alive & (state.pos[:, 0] >= slab_hi - w) & (shard_idx < d - 1)
+
+    buf_l, val_l, drop_l = pack(state, near_l, h, slab_lo)
+    buf_r, val_r, drop_r = pack(state, near_r, h, slab_hi)
+    (in_r, inval_r), (in_l, inval_l) = exchange_neighbors(
+        buf_l, val_l, buf_r, val_r, cfg)
+
+    halo_buf = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), in_l, in_r)
+    halo_valid = jnp.concatenate([inval_l, inval_r])
+    return halo_buf, halo_valid, drop_l + drop_r
+
+
+def extend_with_halo(state: ObjectState, halo_buf, halo_valid) -> ObjectState:
+    """Concatenate owned slots with halo mirrors into one detection-ready
+    state. Halo rows are alive (so they appear as candidates) but callers
+    must not emit alerts for them (use query_mask)."""
+    n_h = halo_valid.shape[0]
+    ext = {}
+    for f in _XCHG_FIELDS:
+        ext[f] = jnp.concatenate([getattr(state, f), halo_buf[f]])
+    alive = jnp.concatenate([state.alive, halo_valid])
+    return ObjectState(alive=alive, **ext)

@@ -1,0 +1,162 @@
+"""The sharded step: `shard_map` over a 1D spatial device mesh.
+
+This is the TPU-native realization of the reference's entire distributed
+platform (SURVEY.md §2.10/§2.11): geographic sharding (data_sharding.py),
+the message broker (messaging.py), compute nodes (compute_node.py) and the
+scheduler (scheduler.py) collapse into one SPMD program — each device owns a
+world slab, exchanges halos/migrants with slab neighbors over ICI via
+ppermute, detects locally, and contributes per-shard alert top-k. Global
+stats ride a psum.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.core.state import ObjectState, empty_state
+from tpu_collide.index.grid import build_grid
+from tpu_collide.detect.pipeline import detect_pairs
+from tpu_collide.alerts.extract import extract_alerts, AlertBatch
+from tpu_collide.sim.integrator import integrate
+from tpu_collide.shard.halo import (migrate, halo_exchange, extend_with_halo,
+                                    slab_bounds)
+from tpu_collide.engine import StepOutput
+
+
+def shard_slots(cfg: SystemConfig) -> int:
+    """Per-shard slot capacity: even split x headroom, padded to 8."""
+    d = cfg.shard.num_shards
+    base = -(-cfg.num_objects // d)
+    slots = int(base * cfg.shard.slot_headroom)
+    return -(-slots // 8) * 8
+
+
+def make_mesh(cfg: SystemConfig, devices=None) -> Mesh:
+    d = cfg.shard.num_shards
+    if devices is None:
+        devices = jax.devices()[:d]
+    assert len(devices) == d, f"need {d} devices, have {len(devices)}"
+    slab_w = (cfg.world.hi[0] - cfg.world.lo[0]) / d
+    assert cfg.sim.max_speed * cfg.sim.dt < slab_w, \
+        "objects could cross more than one slab per step"
+    assert cfg.shard.halo_width >= cfg.detect.search_radius, \
+        "halo must cover the detection search radius"
+    import numpy as np
+    return Mesh(np.asarray(devices), (cfg.shard.axis_name,))
+
+
+def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
+                ) -> Tuple[ObjectState, StepOutput, jax.Array]:
+    """Per-shard body. state/key are the LOCAL shard ([slots] arrays)."""
+    ax = cfg.shard.axis_name
+    s = jax.lax.axis_index(ax)
+    key = jax.random.fold_in(key, s)
+
+    # physics on owned objects
+    state = integrate(state, key, cfg)
+
+    # migration: ownership follows position
+    state, mig_dropped = migrate(state, cfg, s)
+
+    # halo: mirror boundary bands from slab neighbors
+    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s)
+    ext = extend_with_halo(state, halo_buf, halo_valid)
+
+    # detection over owned + halo rows; alerts emitted only for owned rows
+    index = build_grid(ext.pos, ext.alive, cfg)
+    pairs = detect_pairs(ext, index, cfg)
+    n_own = state.n
+    own_mask = jnp.arange(ext.n) < n_own
+    alerts = extract_alerts(ext, pairs, cfg, query_mask=own_mask)
+
+    own_valid = pairs.valid & own_mask[:, None]
+    # per-shard alert count becomes a [1] vector so shard_map can
+    # concatenate it to a global [D] vector
+    alerts = dataclasses.replace(alerts, count=alerts.count.reshape(1))
+    out = StepOutput(
+        alerts=alerts,
+        num_pairs_checked=jax.lax.psum(
+            jnp.asarray(pairs.risk.size, jnp.int32), ax),
+        num_risks=jax.lax.psum(
+            jnp.sum(own_valid, dtype=jnp.int32), ax),
+        max_risk=jax.lax.pmax(jnp.max(pairs.risk), ax),
+        num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
+    )
+    return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
+
+
+def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True):
+    """Compile the SPMD step. State layout: every array's leading dim is
+    num_shards * shard_slots(cfg), sharded along the mesh axis; each shard
+    owns the slots of its slab."""
+    ax = cfg.shard.axis_name
+    spec_state = ObjectState(
+        pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
+        otype=P(ax), alive=P(ax), oid=P(ax))
+    spec_alerts = AlertBatch(
+        vehicle_oid=P(ax), other_oid=P(ax), risk=P(ax), ttc=P(ax),
+        distance=P(ax), rel_speed=P(ax), priority=P(ax), col_pos=P(ax),
+        valid=P(ax), count=P(ax))
+    # psum/pmax-reduced scalars are replicated across the mesh -> P()
+    spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
+                          num_risks=P(), max_risk=P(), num_alive=P())
+
+    f = jax.shard_map(
+        partial(_local_step, cfg=cfg), mesh=mesh,
+        in_specs=(spec_state, P()),          # key replicated, folded per shard
+        out_specs=(spec_state, spec_out, P(ax)),
+    )
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def distribute_state(state_global: ObjectState, cfg: SystemConfig,
+                     mesh: Mesh) -> ObjectState:
+    """Host-side: scatter a globally-generated fleet into per-shard slots by
+    slab. Returns the mesh-sharded state ([D * slots] leading dim).
+
+    (This is ingest/bootstrap, not the hot path — plain numpy.)"""
+    import numpy as np
+    d = cfg.shard.num_shards
+    slots = shard_slots(cfg)
+    lo = cfg.world.lo[0]
+    w = (cfg.world.hi[0] - cfg.world.lo[0]) / d
+
+    pos = np.asarray(state_global.pos)
+    alive = np.asarray(state_global.alive)
+    shard_of = np.clip(((pos[:, 0] - lo) // w).astype(int), 0, d - 1)
+
+    fields = {f: np.asarray(getattr(state_global, f))
+              for f in ("pos", "vel", "acc", "heading", "size", "otype",
+                        "alive", "oid")}
+    out = {f: np.zeros((d * slots,) + v.shape[1:], v.dtype)
+           for f, v in fields.items()}
+    out["oid"][:] = -1
+    for sh in range(d):
+        idx = np.flatnonzero((shard_of == sh) & alive)
+        if len(idx) > slots:
+            raise ValueError(
+                f"shard {sh} overflow: {len(idx)} objects > {slots} slots; "
+                f"raise ShardConfig.slot_headroom")
+        dst = sh * slots + np.arange(len(idx))
+        for f in fields:
+            out[f][dst] = fields[f][idx]
+        out["alive"][sh * slots:(sh + 1) * slots][len(idx):] = False
+
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, P(cfg.shard.axis_name))
+    arrs = {f: jax.device_put(jnp.asarray(v), sharding)
+            for f, v in out.items()}
+    arrs["alive"] = arrs["alive"].astype(bool)
+    return ObjectState(**arrs)
+
+
+def collect_state(state_sharded: ObjectState) -> ObjectState:
+    """Host-side: gather the sharded state to one addressable array set."""
+    return jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)),
+                        state_sharded)
