@@ -1,0 +1,212 @@
+"""Scene API + REST surface + system integration (reference api.py surface,
+collision_system.py integration — SURVEY.md §2.8/§2.9)."""
+import asyncio
+
+import numpy as np
+import pytest
+
+import tpu_collide as tc
+from tpu_collide.core.config import WorldConfig
+from tpu_collide.core.types import LocationData, Position, Vector
+from tpu_collide.api import Scene
+
+
+def small_scene(tmp_path=None, n=64):
+    cfg = tc.SystemConfig(num_objects=n,
+                          world=WorldConfig(hi=(500.0, 500.0, 0.0)))
+    return Scene(cfg, checkpoint_dir=str(tmp_path) if tmp_path else None)
+
+
+def converging(scene):
+    scene.ingest(LocationData("carA", Position(100, 100, 0), Vector(10, 0, 0)))
+    scene.ingest(LocationData("carB", Position(180, 100, 0), Vector(-10, 0, 0),
+                              heading=np.pi))
+
+
+def test_scene_ingest_detect_alerts(tmp_path):
+    sc = small_scene(tmp_path)
+    converging(sc)
+    sc.detect()
+    alerts = sc.alerts()
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert {a.vehicle_id, a.other_vehicle_id} == {"carA", "carB"}
+    assert abs(a.time_to_collision - 3.7) < 1e-3      # (80-7)/20 -> 3.7 lattice
+    assert a.priority == 2                             # ttc < 5 -> HIGH
+    assert "carB" in a.message or "carA" in a.message
+
+
+def test_scene_update_not_duplicate(tmp_path):
+    """Re-ingesting the same vehicle updates its slot, not a new object."""
+    sc = small_scene(tmp_path)
+    converging(sc)
+    sc.detect()
+    sc.ingest(LocationData("carA", Position(110, 100, 0), Vector(10, 0, 0)))
+    sc.flush()
+    assert sc.stats()["num_alive"] == 2
+    # alert got updated, not duplicated
+    sc.detect()
+    assert len(sc.alerts()) == 1
+    assert sc.alerts()[0].time_to_collision < 3.7
+
+
+def test_scene_query_and_history(tmp_path):
+    sc = small_scene(tmp_path)
+    converging(sc)
+    sc.flush()
+    ids = sc.query_radius((100, 100, 0), 100.0)
+    assert set(ids) == {"carA", "carB"}
+    assert sc.get_location("carA").position.x == 100
+    sc.ingest(LocationData("carA", Position(105, 100, 0), Vector(10, 0, 0)))
+    assert len(sc.get_history("carA")) == 2
+
+
+def test_scene_checkpoint_resume(tmp_path):
+    sc = small_scene(tmp_path)
+    converging(sc)
+    sc.flush()
+    sc.save_checkpoint()
+    sc.step(5)
+    pos_after = np.asarray(sc.state.pos).copy()
+    sc.restore_checkpoint()
+    assert sc.step_count == 0
+    assert sc.stats()["num_alive"] == 2
+    assert not np.allclose(np.asarray(sc.state.pos), pos_after)
+    assert sc._id_to_slot == {"carA": 0, "carB": 1}   # identity restored
+
+
+def test_scene_capacity_guard():
+    sc = small_scene(n=2)
+    converging(sc)
+    sc.flush()
+    with pytest.raises(ValueError, match="capacity"):
+        sc.ingest(LocationData("carC", Position(1, 1, 0), Vector()))
+        sc.flush()
+
+
+def test_rest_endpoints():
+    """Drive the FastAPI app in-process via TestClient."""
+    fastapi = pytest.importorskip("fastapi")
+    from fastapi.testclient import TestClient
+    from tpu_collide.api.rest import create_app
+
+    sc = small_scene()
+    app = create_app(sc)
+    client = TestClient(app)
+
+    assert client.get("/health").json()["success"]
+
+    loc = {"vehicle_id": "carA", "position": {"x": 100, "y": 100, "z": 0},
+           "velocity": {"x": 10, "y": 0, "z": 0}}
+    loc2 = {"vehicle_id": "carB", "position": {"x": 180, "y": 100, "z": 0},
+            "velocity": {"x": -10, "y": 0, "z": 0}, "heading": 3.14159}
+    assert client.post("/vehicles/location", json=loc).json()["success"]
+    assert client.post("/vehicles/location", json=loc2).json()["success"]
+
+    assert client.post("/detect", json={}).json()["data"]["num_alerts"] == 1
+    alerts = client.get("/alerts").json()["data"]
+    assert len(alerts) == 1
+    aid = alerts[0]["id"]
+    assert client.post(f"/alerts/{aid}/acknowledge").json()["success"]
+
+    r = client.get("/vehicles/carA/location").json()
+    assert r["success"] and r["data"]["position"]["x"] == 100.0
+    assert client.get("/vehicles/carA/history").json()["success"]
+    assert client.get("/vehicles/nope/location").json()["success"] is False
+
+    # grid query: carA at (100,100) -> cell 1_1 for 100 m cells
+    r = client.get("/grids/1_1/vehicles").json()
+    assert "carA" in r["data"]
+    assert client.get("/grids/zzz/vehicles").json()["success"] is False
+
+    s = client.get("/stats").json()["data"]
+    assert s["num_alive"] == 2
+
+    r = client.post("/api/admin/inject-failure",
+                    json={"type": "drop_objects", "fraction": 0.5}).json()
+    assert r["data"]["killed"] == 1
+    assert client.get("/stats").json()["data"]["num_alive"] == 1
+
+
+def test_stdlib_http_server():
+    """Drive the dependency-free HTTP server over a real socket."""
+    import json
+    import urllib.request
+    from tpu_collide.api.stdlib_server import SceneHTTPServer
+
+    sc = small_scene()
+    srv = SceneHTTPServer(sc, port=0)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(base + path, data=data, method=method,
+                                     headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        code, r = call("GET", "/health")
+        assert code == 200 and r["success"]
+        call("POST", "/vehicles/location",
+             {"vehicle_id": "carA", "position": {"x": 100, "y": 100},
+              "velocity": {"x": 10}})
+        call("POST", "/vehicles/location",
+             {"vehicle_id": "carB", "position": {"x": 180, "y": 100},
+              "velocity": {"x": -10}, "heading": 3.14159})
+        code, r = call("POST", "/detect", {})
+        assert r["data"]["num_alerts"] == 1
+        code, r = call("GET", "/alerts")
+        assert len(r["data"]) == 1
+        aid = r["data"][0]["id"]
+        code, r = call("POST", f"/alerts/{aid}/acknowledge", {})
+        assert r["success"]
+        code, r = call("GET", "/vehicles/carA/location")
+        assert r["data"]["position"]["x"] == 100.0
+        code, r = call("GET", "/vehicles/nope/location")
+        assert code == 404 and not r["success"]
+        code, r = call("POST", "/vehicles/location", {"bogus": True})
+        assert code == 400
+        code, r = call("GET", "/stats")
+        assert r["data"]["num_alive"] == 2
+    finally:
+        srv.stop()
+
+
+def test_collision_system_integration(tmp_path):
+    """Boot the full system, ingest, let the loops run, read stats, stop.
+    (The reference's equivalent module could not even import — SURVEY.md
+    §2.9.)"""
+    from tpu_collide.system import CollisionSystem
+
+    async def go():
+        sys_ = CollisionSystem(
+            tc.SystemConfig(num_objects=32,
+                            world=WorldConfig(hi=(500.0, 500.0, 0.0))),
+            node_id="it-node",
+            checkpoint_dir=str(tmp_path),
+            detection_hz=20.0)
+        await sys_.start()
+        sys_.scene.ingest(LocationData("carA", Position(100, 100, 0),
+                                       Vector(10, 0, 0)))
+        sys_.scene.ingest(LocationData("carB", Position(180, 100, 0),
+                                       Vector(-10, 0, 0), heading=np.pi))
+        # first sweep includes jit compile — poll instead of a fixed sleep
+        for _ in range(600):
+            if sys_.scene.alert_manager.stats["created"] > 0:
+                break
+            await asyncio.sleep(0.1)
+        stats = sys_.get_stats()
+        alerts = sys_.scene.alerts()
+        await sys_.stop()
+        return stats, alerts
+
+    stats, alerts = asyncio.new_event_loop().run_until_complete(go())
+    assert stats["scene"]["num_alive"] == 2
+    assert stats["is_leader"]                      # single-node -> leader
+    assert len(alerts) == 1
+    assert stats["broker"]["published"] > 0        # alert egress flowed

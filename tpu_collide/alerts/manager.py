@@ -1,0 +1,214 @@
+"""Host-side alert lifecycle — the AlertManager / EarlyWarningSystem analog
+(reference warning_system.py:48-727).
+
+The device step emits a deduplicated, priority-sorted AlertBatch each step
+(alerts/extract.py). This manager consumes those batches on the host and
+provides the reference's stateful alert semantics: create-or-update per
+(vehicle, other) pair (:120-197, 259-285), human-readable messages by
+severity (:313-329), acknowledge (:347-369), expiry after 30 s or on ack
+(:490-517), unacked re-send with a 0.5 s backoff (:403-435), per-vehicle
+callback registry (:235-257, 463-488), and stats by priority (:519-549).
+Messages are English rather than the reference's Chinese templates, same
+fields interpolated.
+"""
+from __future__ import annotations
+
+import asyncio
+import heapq
+import time
+import uuid
+from typing import Any, Awaitable, Callable, Dict, List, Optional
+
+import numpy as np
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.core.types import Alert
+from tpu_collide.core.utils import get_logger
+
+logger = get_logger(__name__)
+
+AlertCallback = Callable[[Alert], Any]
+
+
+def _message_for(risk: float, ttc: float, other: str, dist: float,
+                 cfg: SystemConfig) -> str:
+    """Severity-templated message (reference warning_system.py:313-329)."""
+    if risk >= cfg.alerts.risk_high:
+        return (f"EMERGENCY: possible collision with vehicle {other} in "
+                f"{ttc:.1f} s (distance {dist:.1f} m) — take evasive "
+                f"action immediately!")
+    if risk >= cfg.alerts.risk_medium:
+        return (f"WARNING: possible collision with vehicle {other} in "
+                f"{ttc:.1f} s (distance {dist:.1f} m) — please yield.")
+    return (f"NOTICE: vehicle {other} is close ({dist:.1f} m) — keep a "
+            f"safe distance.")
+
+
+class AlertManager:
+    """Stateful alert registry fed by device AlertBatches."""
+
+    def __init__(self, cfg: SystemConfig, broker=None):
+        self.cfg = cfg
+        self.broker = broker                      # optional egress
+        self.alerts: Dict[str, Alert] = {}        # alert_id -> Alert
+        self.pair_alerts: Dict[tuple, str] = {}   # (veh, other) -> alert_id
+        self._queue: List[Alert] = []             # heapq by (priority, recency)
+        self._callbacks: Dict[str, List[AlertCallback]] = {}
+        self._global_callbacks: List[AlertCallback] = []
+        self.stats = {"created": 0, "updated": 0, "acknowledged": 0,
+                      "expired": 0, "sent": 0, "dropped_low_risk": 0}
+
+    # ---- ingestion from the device ----
+
+    def process_batch(self, batch, resolver=None) -> List[Alert]:
+        """Consume one device AlertBatch (already thresholded, deduped,
+        priority-sorted). Returns the alerts created or updated.
+        resolver: optional oid -> external vehicle-id mapping (Scene passes
+        its registry)."""
+        resolver = resolver or (lambda oid: str(int(oid)))
+        valid = np.asarray(batch.valid).ravel()
+        idx = np.flatnonzero(valid)
+        vo = np.asarray(batch.vehicle_oid).ravel()
+        oo = np.asarray(batch.other_oid).ravel()
+        risk = np.asarray(batch.risk).ravel()
+        ttc = np.asarray(batch.ttc).ravel()
+        dist = np.asarray(batch.distance).ravel()
+        prio = np.asarray(batch.priority).ravel()
+        touched = []
+        for i in idx:
+            touched.append(self._upsert(
+                resolver(vo[i]), resolver(oo[i]), float(risk[i]),
+                float(ttc[i]), float(dist[i]), int(prio[i])))
+        return touched
+
+    def process_collision_risks(self, risks) -> List[Alert]:
+        """Reference-named entry point (warning_system.py:259-285) for host
+        CollisionRisk objects (e.g. from the prediction path)."""
+        out = []
+        for r in risks:
+            if r.risk_level < self.cfg.alerts.risk_low:    # :273-274
+                self.stats["dropped_low_risk"] += 1
+                continue
+            from tpu_collide.alerts.extract import compute_priority
+            import jax.numpy as jnp
+            p = int(compute_priority(jnp.float32(r.risk_level),
+                                     jnp.float32(r.time_to_collision),
+                                     self.cfg))
+            out.append(self._upsert(r.vehicle_id, r.other_vehicle_id,
+                                    r.risk_level, r.time_to_collision,
+                                    r.distance, p))
+        return out
+
+    def _upsert(self, veh: str, other: str, risk: float, ttc: float,
+                dist: float, priority: int) -> Alert:
+        msg = _message_for(risk, ttc, other, dist, self.cfg)
+        key = (veh, other)
+        aid = self.pair_alerts.get(key)
+        if aid and aid in self.alerts:                 # update (:161-197)
+            a = self.alerts[aid]
+            old_priority = a.priority
+            a.risk_level, a.time_to_collision = risk, ttc
+            a.priority, a.message = priority, msg
+            a.timestamp = time.time()
+            if a.priority != old_priority:             # re-queue (:188-193)
+                self._queue = [q for q in self._queue if q.id != aid]
+                heapq.heapify(self._queue)
+                heapq.heappush(self._queue, a)
+            self.stats["updated"] += 1
+            return a
+        a = Alert(id=f"alert-{uuid.uuid4()}", vehicle_id=veh,
+                  other_vehicle_id=other, risk_level=risk,
+                  time_to_collision=ttc, message=msg, priority=priority)
+        self.alerts[a.id] = a
+        self.pair_alerts[key] = a.id
+        heapq.heappush(self._queue, a)
+        self.stats["created"] += 1
+        return a
+
+    # ---- lifecycle ----
+
+    def acknowledge_alert(self, alert_id: str) -> bool:
+        a = self.alerts.get(alert_id)
+        if a is None:
+            return False
+        a.acknowledged = True
+        self.stats["acknowledged"] += 1
+        return True
+
+    def cleanup_expired(self, now: Optional[float] = None) -> int:
+        """Drop acked or stale alerts (reference :490-517)."""
+        now = now if now is not None else time.time()
+        expiry = self.cfg.alerts.alert_expiry_s
+        stale = [aid for aid, a in self.alerts.items()
+                 if a.acknowledged or now - a.timestamp > expiry]
+        for aid in stale:
+            a = self.alerts.pop(aid)
+            self.pair_alerts.pop((a.vehicle_id, a.other_vehicle_id), None)
+            self.stats["expired"] += 1
+        if stale:
+            alive = set(self.alerts)
+            self._queue = [a for a in self._queue if a.id in alive]
+            heapq.heapify(self._queue)
+        return len(stale)
+
+    async def pump(self, now: Optional[float] = None) -> List[Alert]:
+        """One processing-loop tick (reference :403-435): deliver every
+        queued unacked alert not sent within resend_interval_s, re-queue."""
+        now = now if now is not None else time.time()
+        resend = self.cfg.alerts.resend_interval_s
+        sent, keep = [], []
+        while self._queue:
+            a = heapq.heappop(self._queue)
+            if not a.acknowledged and now - a.last_sent >= resend:
+                await self._send(a)
+                a.last_sent = now
+                sent.append(a)
+            if not a.acknowledged:
+                keep.append(a)
+        for a in keep:
+            heapq.heappush(self._queue, a)
+        self.cleanup_expired(now)
+        return sent
+
+    async def _send(self, a: Alert) -> None:
+        self.stats["sent"] += 1
+        if self.broker is not None:
+            from tpu_collide.runtime.messaging import Message, TOPIC_ALERTS
+            await self.broker.publish(Message(
+                topic=TOPIC_ALERTS, key=a.vehicle_id, value={
+                    "id": a.id, "vehicle_id": a.vehicle_id,
+                    "other_vehicle_id": a.other_vehicle_id,
+                    "risk_level": a.risk_level,
+                    "time_to_collision": a.time_to_collision,
+                    "message": a.message, "priority": a.priority,
+                    "timestamp": a.timestamp}))
+        for cb in (self._callbacks.get(a.vehicle_id, [])
+                   + self._global_callbacks):
+            try:
+                r = cb(a)
+                if asyncio.iscoroutine(r):
+                    await r
+            except Exception as e:  # noqa: BLE001
+                logger.error("alert callback error: %s", e)
+
+    # ---- queries / callbacks / stats ----
+
+    def register_callback(self, vehicle_id: Optional[str],
+                          cb: AlertCallback) -> None:
+        """vehicle_id=None registers a global callback
+        (reference :235-257)."""
+        if vehicle_id is None:
+            self._global_callbacks.append(cb)
+        else:
+            self._callbacks.setdefault(vehicle_id, []).append(cb)
+
+    def get_vehicle_alerts(self, vehicle_id: str) -> List[Alert]:
+        return [a for a in self.alerts.values()
+                if a.vehicle_id == vehicle_id]
+
+    def get_stats(self) -> Dict[str, Any]:
+        by_priority = {p: 0 for p in range(4)}
+        for a in self.alerts.values():
+            by_priority[a.priority] += 1
+        return {**self.stats, "active": len(self.alerts),
+                "by_priority": by_priority, "queued": len(self._queue)}

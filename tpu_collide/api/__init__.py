@@ -1,0 +1,1 @@
+from tpu_collide.api.scene import Scene

@@ -1,0 +1,277 @@
+"""Scene: the user-facing state API.
+
+Mirrors the reference's REST semantics (api.py:147-380 — ingest a location,
+read locations/history, read risks, spatial queries) as a Python class
+around the device-resident fleet:
+
+    scene.ingest([...])         <- POST /vehicles/location
+    scene.step(n)               <- the EarlyWarningSystem detection loop
+    scene.get_location(id)      <- GET /vehicles/{id}/location
+    scene.get_history(id)       <- GET /vehicles/{id}/history
+    scene.get_vehicle_risks(id) <- GET /vehicles/{id}/risks
+    scene.query_radius(p, r)    <- GET /grids/{id}/vehicles (generalized)
+    scene.alerts(...)           <- the alerts topic / callbacks
+    scene.stats()               <- aggregate get_stats trees
+
+Host <-> device traffic is batched: ingests buffer on the host and apply in
+one scatter per step; queries run as one jitted gather.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_collide.core.config import SystemConfig, VEHICLE_TYPES
+from tpu_collide.core.state import ObjectState, empty_state
+from tpu_collide.core.types import Alert, CollisionRisk, LocationData, Position
+from tpu_collide.core.utils import Timer, get_logger
+from tpu_collide.engine import make_step, make_detect
+from tpu_collide.index.grid import build_grid, query_radius as _query_radius
+from tpu_collide.alerts.manager import AlertManager
+from tpu_collide.ckpt.checkpoint import CheckpointManager
+
+logger = get_logger(__name__)
+
+_TYPE_INDEX = {t: i for i, t in enumerate(VEHICLE_TYPES)}
+
+
+def _pad_len(n: int) -> int:
+    """Bucket ingest batches to powers of two (min 16) to bound recompiles."""
+    p = 16
+    while p < n:
+        p *= 2
+    return p
+
+
+@partial(jax.jit, static_argnums=(), donate_argnums=(0,))
+def _apply_updates(state: ObjectState, slot: jax.Array, pos: jax.Array,
+                   vel: jax.Array, acc: jax.Array, heading: jax.Array,
+                   size: jax.Array, otype: jax.Array,
+                   valid: jax.Array) -> ObjectState:
+    """Scatter a padded batch of updates into fleet slots. Padding rows get
+    an out-of-bounds slot and are dropped by the scatter — masked writes to
+    a shared dummy slot would race with real writes to that slot."""
+    n = state.alive.shape[0]
+    slot = jnp.where(valid, slot, n)
+
+    def upd(arr, new):
+        return arr.at[slot].set(new, mode="drop")
+
+    alive = state.alive.at[slot].set(True, mode="drop")
+    return state.replace(
+        pos=upd(state.pos, pos), vel=upd(state.vel, vel),
+        acc=upd(state.acc, acc), heading=upd(state.heading, heading),
+        size=upd(state.size, size), otype=upd(state.otype, otype),
+        alive=alive)
+
+
+class Scene:
+    """Single-device scene. (For mesh-sharded fleets use shard.make_sharded_step
+    directly; a sharded Scene facade is planned.)"""
+
+    def __init__(self, cfg: SystemConfig,
+                 state: Optional[ObjectState] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 broker=None):
+        self.cfg = cfg
+        self.state = state if state is not None else empty_state(cfg.num_objects)
+        self._step = make_step(cfg, donate=True)
+        self._detect = make_detect(cfg)
+        self.alert_manager = AlertManager(cfg, broker=broker)
+        self.ckpt = (CheckpointManager(checkpoint_dir)
+                     if checkpoint_dir else None)
+        self.step_count = 0
+        self._key = jax.random.key(0)
+        self._id_to_slot: Dict[str, int] = {}
+        self._slot_to_id: Dict[int, str] = {}
+        self._history: Dict[str, List[LocationData]] = {}
+        self._pending: List[LocationData] = []
+        self._pending_meta: List[tuple] = []
+        self.stats_timing = {"steps": 0, "total_ms": 0.0, "max_ms": 0.0}
+
+    # ---- identity ----
+
+    def _slot_for(self, vehicle_id: str) -> int:
+        if vehicle_id in self._id_to_slot:
+            return self._id_to_slot[vehicle_id]
+        slot = len(self._id_to_slot)
+        if slot >= self.state.n:
+            raise ValueError(
+                f"fleet capacity {self.state.n} exhausted; raise "
+                f"SystemConfig.num_objects")
+        self._id_to_slot[vehicle_id] = slot
+        self._slot_to_id[slot] = vehicle_id
+        return slot
+
+    def vehicle_id_of(self, oid: int) -> str:
+        return self._slot_to_id.get(int(oid), str(int(oid)))
+
+    # ---- ingest (POST /vehicles/location analog) ----
+
+    def ingest(self, location: LocationData, size: float = 2.0,
+               vtype: str = "car") -> None:
+        """Buffer one location report; applied on the next step()/flush()."""
+        self._pending.append(location)
+        self._pending_meta.append((size, _TYPE_INDEX.get(vtype, 0)))
+        hist = self._history.setdefault(location.vehicle_id, [])
+        hist.append(location)
+        del hist[:-10]                      # last-10 (storage.py:156-191)
+
+    def flush(self) -> int:
+        """Apply buffered ingests to the device in one scatter."""
+        if not self._pending:
+            return 0
+        n = len(self._pending)
+        p = _pad_len(n)
+        slot = np.zeros(p, np.int32)
+        pos = np.zeros((p, 3), np.float32)
+        vel = np.zeros((p, 3), np.float32)
+        acc = np.zeros((p, 3), np.float32)
+        heading = np.zeros(p, np.float32)
+        size = np.full(p, 2.0, np.float32)
+        otype = np.zeros(p, np.int32)
+        valid = np.zeros(p, bool)
+        for i, (loc, (sz, ot)) in enumerate(
+                zip(self._pending, self._pending_meta)):
+            slot[i] = self._slot_for(loc.vehicle_id)
+            pos[i] = loc.position.to_tuple()
+            vel[i] = (loc.velocity.x, loc.velocity.y, loc.velocity.z)
+            acc[i] = (loc.acceleration.x, loc.acceleration.y,
+                      loc.acceleration.z)
+            heading[i] = loc.heading
+            size[i], otype[i] = sz, ot
+            valid[i] = True
+        self.state = _apply_updates(
+            self.state, jnp.asarray(slot), jnp.asarray(pos),
+            jnp.asarray(vel), jnp.asarray(acc), jnp.asarray(heading),
+            jnp.asarray(size), jnp.asarray(otype), jnp.asarray(valid))
+        self._pending.clear()
+        self._pending_meta.clear()
+        return n
+
+    def adopt_fleet(self, state: ObjectState,
+                    ids: Optional[Sequence[str]] = None) -> None:
+        """Replace the fleet wholesale (e.g. from a generator or restore)."""
+        self.state = state
+        self._id_to_slot.clear()
+        self._slot_to_id.clear()
+        if ids is not None:
+            for slot, vid in enumerate(ids):
+                self._id_to_slot[vid] = slot
+                self._slot_to_id[slot] = vid
+
+    # ---- stepping / detection ----
+
+    def step(self, n: int = 1) -> Any:
+        """Advance physics + detection n steps; feeds the AlertManager."""
+        self.flush()
+        out = None
+        for _ in range(n):
+            self._key, sub = jax.random.split(self._key)
+            with Timer() as t:
+                self.state, out = self._step(self.state, sub)
+                jax.block_until_ready(out.num_risks)
+            self.step_count += 1
+            self.stats_timing["steps"] += 1
+            self.stats_timing["total_ms"] += t.elapsed_ms
+            self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                              t.elapsed_ms)
+        self.alert_manager.process_batch(out.alerts, resolver=self.vehicle_id_of)
+        return out
+
+    def detect(self) -> Any:
+        """Detection only, no physics (externally-driven fleets: ingest ->
+        flush -> detect, the EarlyWarningSystem pattern)."""
+        self.flush()
+        with Timer() as t:
+            pairs = self._detect(self.state)
+            from tpu_collide.alerts.extract import extract_alerts
+            batch = jax.jit(lambda s, p: extract_alerts(s, p, self.cfg))(
+                self.state, pairs)
+            jax.block_until_ready(batch.count)
+        self.stats_timing["steps"] += 1
+        self.stats_timing["total_ms"] += t.elapsed_ms
+        self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                          t.elapsed_ms)
+        self.alert_manager.process_batch(batch, resolver=self.vehicle_id_of)
+        return batch
+
+    # ---- queries ----
+
+    def get_location(self, vehicle_id: str) -> Optional[LocationData]:
+        hist = self._history.get(vehicle_id)
+        return hist[-1] if hist else None
+
+    def get_history(self, vehicle_id: str) -> List[LocationData]:
+        return list(self._history.get(vehicle_id, []))
+
+    def get_vehicle_risks(self, vehicle_id: str) -> List[CollisionRisk]:
+        out = []
+        for a in self.alert_manager.get_vehicle_alerts(vehicle_id):
+            out.append(CollisionRisk(
+                id=a.id, vehicle_id=a.vehicle_id,
+                other_vehicle_id=a.other_vehicle_id,
+                risk_level=a.risk_level,
+                time_to_collision=a.time_to_collision,
+                distance=float("nan"), timestamp=a.timestamp))
+        return out
+
+    def query_radius(self, center, radius: float) -> List[str]:
+        """Vehicle ids within `radius` of `center` (alive only)."""
+        if isinstance(center, Position):
+            center = center.to_tuple()
+        q = jnp.asarray([center], jnp.float32)
+        index = build_grid(self.state.pos, self.state.alive, self.cfg)
+        cand, ok = _query_radius(index, self.state.pos, self.state.alive,
+                                 q, radius, self.cfg)
+        cand, ok = np.asarray(cand[0]), np.asarray(ok[0])
+        oids = np.asarray(self.state.oid)
+        return [self.vehicle_id_of(oids[c]) for c in cand[ok]]
+
+    def alerts(self, min_risk: float = 0.0,
+               vehicle_id: Optional[str] = None) -> List[Alert]:
+        src = (self.alert_manager.get_vehicle_alerts(vehicle_id)
+               if vehicle_id else list(self.alert_manager.alerts.values()))
+        out = [a for a in src if a.risk_level >= min_risk]
+        return sorted(out, key=lambda a: (-a.priority, -a.risk_level))
+
+    # ---- reliability ----
+
+    def save_checkpoint(self, metadata: Optional[dict] = None) -> str:
+        assert self.ckpt is not None, "Scene built without checkpoint_dir"
+        return self.ckpt.save(self.state, self.step_count,
+                              metadata={"ids": self._id_to_slot,
+                                        **(metadata or {})})
+
+    def restore_checkpoint(self, step: Optional[int] = None) -> int:
+        assert self.ckpt is not None, "Scene built without checkpoint_dir"
+        state, meta = self.ckpt.restore(step)
+        self.state = state
+        self.step_count = meta["step"]
+        ids = meta.get("metadata", {}).get("ids") or {}
+        self._id_to_slot = {k: int(v) for k, v in ids.items()}
+        self._slot_to_id = {v: k for k, v in self._id_to_slot.items()}
+        return self.step_count
+
+    # ---- stats (get_stats tree, collision_system.py:611-629 analog) ----
+
+    def stats(self) -> Dict[str, Any]:
+        alive = int(np.asarray(jnp.sum(self.state.alive)))
+        s = self.stats_timing
+        return {
+            "step_count": self.step_count,
+            "num_alive": alive,
+            "capacity": self.state.n,
+            "avg_step_ms": (s["total_ms"] / s["steps"]) if s["steps"] else 0.0,
+            "max_step_ms": s["max_ms"],
+            "alerts": self.alert_manager.get_stats(),
+            "checkpoints": self.ckpt.stats if self.ckpt else None,
+            "config": {"num_objects": self.cfg.num_objects,
+                       "cell_size": self.cfg.grid.cell_size,
+                       "mode": self.cfg.detect.mode},
+        }

@@ -1,0 +1,1 @@
+from tpu_collide.ckpt.checkpoint import CheckpointManager, BackupManager

@@ -49,11 +49,12 @@ class ObjectState:
 
 
 def empty_state(n: int) -> ObjectState:
-    """All-dead fleet of capacity n."""
-    f3 = jnp.zeros((n, 3), jnp.float32)
-    f1 = jnp.zeros((n,), jnp.float32)
+    """All-dead fleet of capacity n. Each field gets its own buffer —
+    aliased buffers break donation (f(donate(a), donate(a)))."""
+    f3 = lambda: jnp.zeros((n, 3), jnp.float32)
+    f1 = lambda: jnp.zeros((n,), jnp.float32)
     return ObjectState(
-        pos=f3, vel=f3, acc=f3, heading=f1, size=f1,
+        pos=f3(), vel=f3(), acc=f3(), heading=f1(), size=f1(),
         otype=jnp.zeros((n,), jnp.int32),
         alive=jnp.zeros((n,), bool),
         oid=jnp.arange(n, dtype=jnp.int32),
