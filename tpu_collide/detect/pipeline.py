@@ -141,30 +141,37 @@ def _risk_score(dist_hit, t_hit, rel_speed, heading_i, heading_j,
 def detect_pairs(state: ObjectState, index: GridIndex,
                  cfg: SystemConfig) -> PairRisks:
     """Run stages 1-4 for every alive object against its grid candidates."""
+    return detect_rows(state, index, cfg,
+                       jnp.arange(state.n, dtype=jnp.int32))
+
+
+def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
+                rows: jax.Array) -> PairRisks:
+    """Stages 1-4 for the query objects `rows` ([Q] int32) against the whole
+    indexed fleet. `detect_pairs` is rows = arange(N); the chunked large-N
+    path maps this over row blocks so [Q, K] intermediates stay small."""
     det = cfg.detect
-    n = state.n
 
     # ---- stage 1: spatial filtering ----
-    cand, cand_ok = gather_candidates(index, index.cell3, cfg)   # [N, K]
-    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cand_ok &= (cand != self_idx)
-    cand_ok &= state.alive[cand] & state.alive[:, None]
+    cand, cand_ok = gather_candidates(index, index.cell3[rows], cfg)  # [Q, K]
+    cand_ok &= (cand != rows[:, None])
+    cand_ok &= state.alive[cand] & state.alive[rows][:, None]
 
-    pos_i = state.pos[:, None, :]          # [N, 1, 3]
-    pos_j = state.pos[cand]                # [N, K, 3]
+    pos_i = state.pos[rows][:, None, :]    # [Q, 1, 3]
+    pos_j = state.pos[cand]                # [Q, K, 3]
     cur_dist = jnp.linalg.norm(pos_j - pos_i, axis=-1)
     cand_ok &= cur_dist <= det.search_radius
 
     # ---- stage 2: temporal filtering ----
-    vel_i = state.vel[:, None, :]
+    vel_i = state.vel[rows][:, None, :]
     vel_j = state.vel[cand]
-    acc_i = state.acc[:, None, :]
+    acc_i = state.acc[rows][:, None, :]
     acc_j = state.acc[cand]
     rel_vel = vel_i - vel_j                # vehicle minus other (ref :252-257)
     rel_pos = pos_j - pos_i                # other minus vehicle (ref :259-264)
     rel_speed = jnp.linalg.norm(rel_vel, axis=-1)
 
-    safe = _pair_safe_distance(state.size[:, None], state.size[cand], det)
+    safe = _pair_safe_distance(state.size[rows][:, None], state.size[cand], det)
 
     # Closest-approach time of the separation s(t) = rel_pos + (v_j - v_i) t.
     # 'physical': t* = -dot(rel_pos, v_j - v_i)/|rel|^2 (correct).
@@ -200,8 +207,8 @@ def detect_pairs(state: ObjectState, index: GridIndex,
 
     # ---- stage 4: risk assessment ----
     risk = _risk_score(jnp.where(hit, d_hit, 0.0), jnp.where(hit, t_hit, 0.0),
-                       rel_speed, state.heading[:, None], state.heading[cand],
-                       state.otype[:, None], state.otype[cand], safe, det)
+                       rel_speed, state.heading[rows][:, None], state.heading[cand],
+                       state.otype[rows][:, None], state.otype[cand], safe, det)
     risk = jnp.where(hit, risk, 0.0)
 
     return PairRisks(

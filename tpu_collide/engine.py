@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from tpu_collide.core.config import SystemConfig
 from tpu_collide.core.state import ObjectState
 from tpu_collide.index.grid import build_grid
-from tpu_collide.detect.pipeline import detect_pairs, PairRisks
+from tpu_collide.detect.pipeline import detect_pairs, detect_rows, PairRisks
 from tpu_collide.alerts.extract import extract_alerts, AlertBatch
 from tpu_collide.sim.integrator import integrate
 
@@ -66,10 +66,150 @@ def step(state: ObjectState, key: jax.Array,
     return state, out
 
 
-def make_step(cfg: SystemConfig, donate: bool = True):
+def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
+                            chunk: int):
+    """Detection + alert extraction mapped over row blocks of size `chunk`.
+
+    For large fleets the flat path materializes [N, K] pair arrays in HBM
+    (1M x 432 candidates x f32 ~ 1.7 GB per array); mapping blocks keeps the
+    working set at [chunk, K] while the grid build stays global. Per-block
+    top-k feeds a global top-k, so results match the flat path whenever no
+    single block exceeds max_scene_alerts qualifying alerts."""
+    from tpu_collide.alerts.extract import compute_priority
+
+    a = cfg.alerts
+    n = state.n
+    nblocks = -(-n // chunk)
+    index = build_grid(state.pos, state.alive, cfg)
+
+    def block(b):
+        rows = b * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        in_range = rows < n
+        rows = jnp.minimum(rows, n - 1)
+        pairs = detect_rows(state, index, cfg, rows)
+        keep = (pairs.valid & (pairs.risk >= a.risk_low)
+                & (state.oid[rows][:, None] < state.oid[pairs.other])
+                & in_range[:, None])
+        prio = compute_priority(pairs.risk, pairs.ttc, cfg)
+        key = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + pairs.risk,
+                        -1.0)
+        k = key.shape[1]
+        top_key, top_i = jax.lax.top_k(key.reshape(-1), a.max_scene_alerts)
+        r, s = top_i // k, top_i
+        flat = lambda x: x.reshape(chunk * k, *x.shape[2:])[s]
+        other = flat(pairs.other)
+        blk = dict(
+            key=top_key,
+            vehicle_oid=state.oid[rows][r],
+            other_oid=state.oid[other],
+            risk=flat(pairs.risk), ttc=flat(pairs.ttc),
+            distance=flat(pairs.distance), rel_speed=flat(pairs.rel_speed),
+            priority=flat(prio), col_pos=flat(pairs.col_pos))
+        n_risks = jnp.sum(pairs.valid & in_range[:, None], dtype=jnp.int32)
+        max_risk = jnp.max(jnp.where(in_range[:, None], pairs.risk, 0.0))
+        return blk, n_risks, max_risk
+
+    blks, n_risks, max_risk = jax.lax.map(
+        block, jnp.arange(nblocks, dtype=jnp.int32))
+
+    flat = {f: v.reshape(nblocks * a.max_scene_alerts, *v.shape[2:])
+            for f, v in blks.items()}
+    top_key, top_i = jax.lax.top_k(flat["key"], a.max_scene_alerts)
+    valid = top_key >= 0.0
+    g = lambda f: flat[f][top_i]
+    alerts = AlertBatch(
+        vehicle_oid=jnp.where(valid, g("vehicle_oid"), -1),
+        other_oid=jnp.where(valid, g("other_oid"), -1),
+        risk=jnp.where(valid, g("risk"), 0.0),
+        ttc=jnp.where(valid, g("ttc"), jnp.inf),
+        distance=jnp.where(valid, g("distance"), jnp.inf),
+        rel_speed=jnp.where(valid, g("rel_speed"), 0.0),
+        priority=jnp.where(valid, g("priority"), 0),
+        col_pos=g("col_pos"),
+        valid=valid,
+        count=jnp.sum(valid, dtype=jnp.int32),
+    )
+    return alerts, jnp.sum(n_risks), jnp.max(max_risk)
+
+
+def step_chunked(state: ObjectState, key: jax.Array, cfg: SystemConfig,
+                 chunk: int) -> tuple[ObjectState, StepOutput]:
+    """Large-N step: identical semantics to `step`, blocked detection."""
+    state = integrate(state, key, cfg)
+    alerts, n_risks, max_risk = _chunked_detect_extract(state, cfg, chunk)
+    out = StepOutput(
+        alerts=alerts,
+        num_pairs_checked=jnp.asarray(state.n * cfg.max_candidates,
+                                      jnp.int32),
+        num_risks=n_risks, max_risk=max_risk,
+        num_alive=jnp.sum(state.alive, dtype=jnp.int32),
+    )
+    return state, out
+
+
+def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
+               window_rows: int | None = None, interpret: bool = False
+               ) -> tuple[ObjectState, StepOutput]:
+    """Production-scale step on the fused Pallas kernel (kernels/): cell-list
+    build (one multi-operand sort) + on-chip broad+narrow phase. Fast-mode
+    (constant-velocity) stage-3 semantics; alert list = each object's
+    highest-risk pair (the reference's per-vehicle alert view,
+    warning_system.py:120-197), deduped by oid order, scene top-k."""
+    from tpu_collide.kernels.cell_list import build_cell_list
+    from tpu_collide.kernels.fused_detect import fused_detect
+    from tpu_collide.alerts.extract import compute_priority
+
+    state = integrate(state, key, cfg)
+    cl = build_cell_list(state, cfg, window_rows=window_rows)
+    risk, other_oid, ttc, dist, rel_speed, col_pos, cnt = fused_detect(
+        cl, cfg, interpret=interpret)
+
+    a = cfg.alerts
+    soid = cl.oid_flat
+    keep = (risk >= a.risk_low) & (other_oid >= 0) & (soid >= 0) \
+        & (soid < other_oid)
+    prio = compute_priority(risk, ttc, cfg)
+    keyv = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + risk, -1.0)
+    top_key, top_i = jax.lax.top_k(keyv, a.max_scene_alerts)
+    valid = top_key >= 0.0
+    alerts = AlertBatch(
+        vehicle_oid=jnp.where(valid, soid[top_i], -1),
+        other_oid=jnp.where(valid, other_oid[top_i], -1),
+        risk=jnp.where(valid, risk[top_i], 0.0),
+        ttc=jnp.where(valid, ttc[top_i], jnp.inf),
+        distance=jnp.where(valid, dist[top_i], jnp.inf),
+        rel_speed=jnp.where(valid, rel_speed[top_i], 0.0),
+        priority=jnp.where(valid, prio[top_i], 0),
+        col_pos=col_pos[top_i],
+        valid=valid,
+        count=jnp.sum(valid, dtype=jnp.int32),
+    )
+    out = StepOutput(
+        alerts=alerts,
+        num_pairs_checked=cl.overflow,     # repurposed: window overflow count
+        num_risks=jnp.sum(cnt, dtype=jnp.int32),
+        max_risk=jnp.max(risk),
+        num_alive=jnp.sum(state.alive, dtype=jnp.int32),
+    )
+    return state, out
+
+
+def make_step(cfg: SystemConfig, donate: bool = True,
+              chunk_size: int | None = None, backend: str = "xla",
+              window_rows: int | None = None, interpret: bool = False):
     """Compile `step` with the config baked in (static). Donates the input
-    state so HBM is reused in place."""
-    fn = partial(step, cfg=cfg)
+    state so HBM is reused in place.
+
+    backend='xla' (default): exact reference semantics; chunk_size selects
+    the blocked large-N variant. backend='fused': the Pallas cell-list
+    kernel — the speed-of-light path for big fleets (fast mode only)."""
+    if backend == "fused":
+        fn = partial(step_fused, cfg=cfg, window_rows=window_rows,
+                     interpret=interpret)
+    elif chunk_size:
+        fn = partial(step_chunked, cfg=cfg, chunk=chunk_size)
+    else:
+        fn = partial(step, cfg=cfg)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
