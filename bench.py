@@ -7,7 +7,12 @@ for the whole fleet (optimized_performance_test.py:850-981). This bench runs
 the identical workload shape as one jitted step and reports steps/s with
 vs_baseline = ours / 9.44.
 
-Prints ONE JSON line.
+Headline: 1000 vehicles, precise (reference-parity) 4-stage detection.
+Extra fields: fast mode at 1000, and with --full the 100k-2D and 1M-3D
+fused-kernel configs (BASELINE.json configs 3-4).
+
+NB: axon block_until_ready returns early; every timing forces a scalar
+fetch. Prints ONE JSON line.
 """
 from __future__ import annotations
 
@@ -17,75 +22,129 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_STEPS_PER_S = 9.44          # results/optimized_perf_test_1000vehicles…
 BASELINE_AVG_MS = 99.32
 BASELINE_P99_MS = 314.57
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--objects", type=int, default=1000)
-    ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--chunk", type=int, default=50)
-    ap.add_argument("--mode", default="precise", choices=["precise", "fast"])
-    args = ap.parse_args()
-
+def bench_scan(cfg, steps, chunk, key0=0):
+    """steps/s via scan-batched chunks; returns (steps_per_s, avg_ms,
+    worst_chunk_ms, total_risks)."""
     import tpu_collide as tc
-    from tpu_collide.core.config import DetectionConfig
-    from tpu_collide.sim import generate_fleet
     from tpu_collide.engine import step
+    from tpu_collide.sim import generate_fleet
 
-    cfg = tc.SystemConfig(
-        num_objects=args.objects,
-        detect=DetectionConfig(mode=args.mode),
-    )
-
-    state = generate_fleet(jax.random.key(0), cfg)
+    state = generate_fleet(jax.random.key(key0), cfg)
 
     def chunk_fn(state, key):
-        keys = jax.random.split(key, args.chunk)
+        keys = jax.random.split(key, chunk)
 
         def body(st, k):
             st, out = step(st, k, cfg)
-            return st, (out.num_risks, out.alerts.count)
+            return st, out.num_risks
 
         return jax.lax.scan(body, state, keys)
 
     run = jax.jit(chunk_fn, donate_argnums=(0,))
+    state, risks = run(state, jax.random.key(1))
+    int(np.asarray(risks[-1]))                      # real sync (compile)
 
-    # warmup/compile
-    state, _ = jax.block_until_ready(run(state, jax.random.key(1)))
-
-    n_chunks = max(1, args.steps // args.chunk)
-    chunk_ms = []
-    total_risks = 0
+    n_chunks = max(1, steps // chunk)
+    chunk_ms, total_risks = [], 0
     for i in range(n_chunks):
         t0 = time.perf_counter()
-        state, (risks, counts) = jax.block_until_ready(
-            run(state, jax.random.key(2 + i)))
+        state, risks = run(state, jax.random.key(2 + i))
+        total_risks += int(np.asarray(jnp.sum(risks)))   # forces completion
         chunk_ms.append((time.perf_counter() - t0) * 1e3)
-        total_risks += int(jnp.sum(risks))
-
-    steps_done = n_chunks * args.chunk
     total_ms = sum(chunk_ms)
-    steps_per_s = steps_done / (total_ms / 1e3)
-    avg_step_ms = total_ms / steps_done
-    worst_chunk_step_ms = max(chunk_ms) / args.chunk
+    done = n_chunks * chunk
+    return (done / (total_ms / 1e3), total_ms / done,
+            max(chunk_ms) / chunk, total_risks)
+
+
+def bench_fused(cfg, steps, key0=0):
+    """steps/s of the fused-kernel step (per-call dispatch ~25 ms over the
+    tunnel is included — it amortizes at these step times)."""
+    import tpu_collide as tc
+    from tpu_collide.sim import generate_fleet
+
+    state = generate_fleet(jax.random.key(key0), cfg, distribution="uniform")
+    f = tc.make_step(cfg, donate=True, backend="fused")
+    state, out = f(state, jax.random.key(1))
+    int(np.asarray(out.num_risks))
+    lat = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        state, out = f(state, jax.random.key(2 + i))
+        int(np.asarray(out.num_risks))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    avg = sum(lat) / len(lat)
+    p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
+    return avg, p99
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--full", action="store_true",
+                    help="also run the 100k-2D and 1M-3D fused configs")
+    args = ap.parse_args()
+
+    import tpu_collide as tc
+    from tpu_collide.core.config import (WorldConfig, GridConfig,
+                                         DetectionConfig, AlertConfig)
+
+    # headline: the reference's own 1000-vehicle config, parity (precise) mode
+    cfg_p = tc.SystemConfig(num_objects=1000,
+                            detect=DetectionConfig(mode="precise"))
+    sps, avg_ms, worst_ms, risks = bench_scan(cfg_p, args.steps, args.chunk)
+
+    # secondary: fast mode at 1000
+    cfg_f = tc.SystemConfig(num_objects=1000,
+                            detect=DetectionConfig(mode="fast"))
+    sps_fast, avg_fast, _, _ = bench_scan(cfg_f, args.steps, args.chunk)
+
+    extra = {}
+    if args.full:
+        cfg100k = tc.SystemConfig(
+            num_objects=100_000, world=WorldConfig(hi=(10000., 10000., 0.)),
+            grid=GridConfig(cell_size=100.0),
+            detect=DetectionConfig(mode="fast"),
+            alerts=AlertConfig(max_scene_alerts=1024))
+        a, p = bench_fused(cfg100k, steps=20)
+        extra["fused_100k_2d_avg_ms"] = round(a, 2)
+        extra["fused_100k_2d_p99_ms"] = round(p, 2)
+        cfg1m = tc.SystemConfig(
+            num_objects=1_000_000,
+            world=WorldConfig(hi=(10000., 10000., 500.)),
+            grid=GridConfig(cell_size=50.0),
+            detect=DetectionConfig(mode="fast", search_radius=50.0),
+            alerts=AlertConfig(max_scene_alerts=4096))
+        a, p = bench_fused(cfg1m, steps=10)
+        extra["fused_1m_3d_avg_ms"] = round(a, 2)
+        extra["fused_1m_3d_p99_ms"] = round(p, 2)
 
     print(json.dumps({
-        "metric": f"full-scene steps/s ({args.objects} vehicles, "
-                  f"{args.mode} 4-stage detection, TPU)",
-        "value": round(steps_per_s, 2),
+        "metric": "full-scene steps/s (1000 vehicles, precise 4-stage "
+                  "detection, TPU v5e-1)",
+        "value": round(sps, 2),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
-        "avg_step_ms": round(avg_step_ms, 4),
-        "worst_chunk_step_ms": round(worst_chunk_step_ms, 4),
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 2),
+        "avg_step_ms": round(avg_ms, 4),
+        "worst_chunk_step_ms": round(worst_ms, 4),
+        "fast_mode_steps_per_s": round(sps_fast, 2),
+        "fast_mode_avg_ms": round(avg_fast, 4),
         "baseline_steps_per_s": BASELINE_STEPS_PER_S,
         "baseline_avg_ms": BASELINE_AVG_MS,
-        "steps": steps_done,
-        "total_risks": total_risks,
+        "baseline_p99_ms": BASELINE_P99_MS,
+        "steps": args.steps,
+        "total_risks": risks,
         "device": str(jax.devices()[0]),
+        **extra,
     }))
 
 

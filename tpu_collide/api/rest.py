@@ -257,11 +257,13 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
         kind = body.get("type", "reset")
         if kind == "drop_objects":
             frac = float(body.get("fraction", 0.1))
-            alive = np.asarray(scene.state.alive).copy()
-            idx = np.flatnonzero(alive)
-            kill = idx[:int(len(idx) * frac)]
-            alive[kill] = False
-            scene.state = scene.state.replace(alive=jnp.asarray(alive))
+            with scene._device_lock:
+                alive = np.asarray(scene.state.alive).copy()
+                idx = np.flatnonzero(alive)
+                kill = idx[:int(len(idx) * frac)]
+                alive[kill] = False
+                scene.state = scene.state.replace(alive=jnp.asarray(alive))
+                scene._num_alive = int(alive.sum())
             fault_state["injected"].append({"type": kind, "killed": len(kill)})
             return _ok({"killed": int(len(kill))})
         if kind == "reset":

@@ -18,6 +18,7 @@ one scatter per step; queries run as one jitted gather.
 """
 from __future__ import annotations
 
+import threading
 import time
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
@@ -93,6 +94,12 @@ class Scene:
         self._pending: List[LocationData] = []
         self._pending_meta: List[tuple] = []
         self.stats_timing = {"steps": 0, "total_ms": 0.0, "max_ms": 0.0}
+        # All device-touching methods serialize on this lock: the step/detect
+        # paths DONATE state buffers, so a concurrent reader (REST stats/
+        # query thread) would race a deallocation — observed as a wedged
+        # CPU-backend stream under the threaded HTTP server.
+        self._device_lock = threading.RLock()
+        self._num_alive = int(np.asarray(jnp.sum(self.state.alive)))
 
     # ---- identity ----
 
@@ -124,6 +131,10 @@ class Scene:
 
     def flush(self) -> int:
         """Apply buffered ingests to the device in one scatter."""
+        with self._device_lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> int:
         if not self._pending:
             return 0
         n = len(self._pending)
@@ -152,12 +163,14 @@ class Scene:
             jnp.asarray(size), jnp.asarray(otype), jnp.asarray(valid))
         self._pending.clear()
         self._pending_meta.clear()
+        self._num_alive = int(np.asarray(jnp.sum(self.state.alive)))
         return n
 
     def adopt_fleet(self, state: ObjectState,
                     ids: Optional[Sequence[str]] = None) -> None:
         """Replace the fleet wholesale (e.g. from a generator or restore)."""
         self.state = state
+        self._num_alive = int(np.asarray(jnp.sum(state.alive)))
         self._id_to_slot.clear()
         self._slot_to_id.clear()
         if ids is not None:
@@ -169,7 +182,11 @@ class Scene:
 
     def step(self, n: int = 1) -> Any:
         """Advance physics + detection n steps; feeds the AlertManager."""
-        self.flush()
+        with self._device_lock:
+            return self._step_locked(n)
+
+    def _step_locked(self, n: int) -> Any:
+        self._flush_locked()
         out = None
         for _ in range(n):
             self._key, sub = jax.random.split(self._key)
@@ -181,13 +198,18 @@ class Scene:
             self.stats_timing["total_ms"] += t.elapsed_ms
             self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
                                               t.elapsed_ms)
+        self._num_alive = int(out.num_alive)
         self.alert_manager.process_batch(out.alerts, resolver=self.vehicle_id_of)
         return out
 
     def detect(self) -> Any:
         """Detection only, no physics (externally-driven fleets: ingest ->
         flush -> detect, the EarlyWarningSystem pattern)."""
-        self.flush()
+        with self._device_lock:
+            return self._detect_locked()
+
+    def _detect_locked(self) -> Any:
+        self._flush_locked()
         with Timer() as t:
             pairs = self._detect(self.state)
             from tpu_collide.alerts.extract import extract_alerts
@@ -225,12 +247,14 @@ class Scene:
         """Vehicle ids within `radius` of `center` (alive only)."""
         if isinstance(center, Position):
             center = center.to_tuple()
-        q = jnp.asarray([center], jnp.float32)
-        index = build_grid(self.state.pos, self.state.alive, self.cfg)
-        cand, ok = _query_radius(index, self.state.pos, self.state.alive,
-                                 q, radius, self.cfg)
-        cand, ok = np.asarray(cand[0]), np.asarray(ok[0])
-        oids = np.asarray(self.state.oid)
+        with self._device_lock:
+            self._flush_locked()
+            q = jnp.asarray([center], jnp.float32)
+            index = build_grid(self.state.pos, self.state.alive, self.cfg)
+            cand, ok = _query_radius(index, self.state.pos, self.state.alive,
+                                     q, radius, self.cfg)
+            cand, ok = np.asarray(cand[0]), np.asarray(ok[0])
+            oids = np.asarray(self.state.oid)
         return [self.vehicle_id_of(oids[c]) for c in cand[ok]]
 
     def alerts(self, min_risk: float = 0.0,
@@ -252,6 +276,7 @@ class Scene:
         assert self.ckpt is not None, "Scene built without checkpoint_dir"
         state, meta = self.ckpt.restore(step)
         self.state = state
+        self._num_alive = int(np.asarray(jnp.sum(state.alive)))
         self.step_count = meta["step"]
         ids = meta.get("metadata", {}).get("ids") or {}
         self._id_to_slot = {k: int(v) for k, v in ids.items()}
@@ -261,7 +286,9 @@ class Scene:
     # ---- stats (get_stats tree, collision_system.py:611-629 analog) ----
 
     def stats(self) -> Dict[str, Any]:
-        alive = int(np.asarray(jnp.sum(self.state.alive)))
+        # device-free: num_alive is tracked at each flush/step/restore so
+        # REST monitors never contend with the step loop for the device
+        alive = self._num_alive
         s = self.stats_timing
         return {
             "step_count": self.step_count,

@@ -140,11 +140,14 @@ class SceneHTTPServer:
                 kind = (body or {}).get("type", "reset")
                 if kind == "drop_objects":
                     frac = float((body or {}).get("fraction", 0.1))
-                    alive = np.asarray(scene.state.alive).copy()
-                    idx = np.flatnonzero(alive)
-                    kill = idx[:int(len(idx) * frac)]
-                    alive[kill] = False
-                    scene.state = scene.state.replace(alive=jnp.asarray(alive))
+                    with scene._device_lock:
+                        alive = np.asarray(scene.state.alive).copy()
+                        idx = np.flatnonzero(alive)
+                        kill = idx[:int(len(idx) * frac)]
+                        alive[kill] = False
+                        scene.state = scene.state.replace(
+                            alive=jnp.asarray(alive))
+                        scene._num_alive = int(alive.sum())
                     return 200, _ok({"killed": int(len(kill))})
                 if kind == "reset":
                     return 200, _ok(message="faults cleared")
