@@ -1,0 +1,101 @@
+"""Trajectory prediction model (reference CollisionPredictionModel,
+collision_detection.py:525-877) + Scene integration."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import tpu_collide as tc
+from tpu_collide.core.config import WorldConfig
+from tpu_collide.core.state import state_from_numpy
+from tpu_collide.core.types import LocationData, Position, Vector
+from tpu_collide.detect import (empty_history, update_history,
+                                classify_trajectories, needs_fallback,
+                                predict_collisions)
+from tpu_collide.index.grid import build_grid
+from tpu_collide.api import Scene
+
+
+def test_classification_matches_reference_classes():
+    """stationary / constant_velocity / accelerating via 0.1 thresholds
+    (reference :695-711)."""
+    n = 3
+    pos = np.array([[100, 100, 0], [200, 200, 0], [300, 300, 0]], np.float32)
+    vel = np.array([[0, 0, 0], [10, 0, 0], [5, 0, 0]], np.float32)
+    acc = np.array([[0, 0, 0], [0, 0, 0], [1, 0, 0]], np.float32)
+    st = state_from_numpy(pos, vel, acc, np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32), np.zeros(n, np.int32))
+    hist = empty_history(n)
+    assert np.asarray(needs_fallback(hist)).all()
+    for k in range(5):
+        t = k * 0.5
+        p = pos + vel * t + 0.5 * acc * t * t
+        hist = update_history(hist, st.replace(pos=jnp.asarray(p)), t)
+    assert not np.asarray(needs_fallback(hist)).any()
+    assert np.asarray(classify_trajectories(hist)).tolist() == [0, 1, 2]
+
+
+def test_predicted_catchup_pair():
+    """A chaser catching a slow leader is predicted before plain detection
+    would fire with high risk."""
+    pos = np.array([[0, 0, 0], [60, 0, 0]], np.float32)
+    vel = np.array([[10, 0, 0], [0.2, 0, 0]], np.float32)
+    acc = np.zeros((2, 3), np.float32)
+    st = state_from_numpy(pos, vel, acc, np.zeros(2, np.float32),
+                          np.full(2, 2.0, np.float32), np.zeros(2, np.int32))
+    cfg = tc.SystemConfig(num_objects=2,
+                          world=WorldConfig(hi=(500.0, 500.0, 0.0)))
+    hist = empty_history(2)
+    for k in range(4):
+        t = k * 0.5
+        hist = update_history(
+            hist, st.replace(pos=jnp.asarray(pos + vel * t)), t)
+    index = build_grid(st.pos, st.alive, cfg)
+    other, valid, risk, ttc, dist = predict_collisions(st, hist, index, cfg)
+    v = np.asarray(valid)
+    assert v[0].any() and v[1].any()
+    r0 = np.asarray(risk)[0][v[0]]
+    t0 = np.asarray(ttc)[0][v[0]]
+    assert r0.max() > 0.3
+    # closing 9.8 m/s from 60 m, safe 7 m -> ~5.4 s, quantized coarser
+    assert 3.0 < t0.min() < 7.0
+
+
+def test_scene_predict_feeds_alert_manager():
+    cfg = tc.SystemConfig(num_objects=16,
+                          world=WorldConfig(hi=(500.0, 500.0, 0.0)))
+    sc = Scene(cfg)
+    for k in range(4):
+        t = k * 0.5
+        sc.ingest(LocationData("chaser", Position(10 * t, 100, 0),
+                               Vector(10, 0, 0)))
+        sc.ingest(LocationData("slowpoke", Position(60 + 0.2 * t, 100, 0),
+                               Vector(0.2, 0, 0)))
+        sc.record_trajectories(dt=0.5)
+    risks = sc.predict()
+    assert risks and all(r.is_predicted for r in risks)
+    pairs = {(r.vehicle_id, r.other_vehicle_id) for r in risks}
+    assert ("chaser", "slowpoke") in pairs
+    assert sc.alert_manager.get_stats()["active"] >= 1
+
+
+def test_predict_merge_keeps_max_risk_per_pair():
+    """The per-pair merge keeps one entry with the max risk
+    (reference _merge_collision_risks, :848-865)."""
+    pos = np.array([[0, 0, 0], [40, 0, 0]], np.float32)
+    vel = np.array([[10, 0, 0], [1.0, 0, 0]], np.float32)
+    acc = np.zeros((2, 3), np.float32)
+    st = state_from_numpy(pos, vel, acc, np.zeros(2, np.float32),
+                          np.full(2, 2.0, np.float32), np.zeros(2, np.int32))
+    cfg = tc.SystemConfig(num_objects=2,
+                          world=WorldConfig(hi=(500.0, 500.0, 0.0)))
+    hist = empty_history(2)
+    for k in range(3):
+        t = k * 0.5
+        hist = update_history(
+            hist, st.replace(pos=jnp.asarray(pos + vel * t)), t)
+    index = build_grid(st.pos, st.alive, cfg)
+    other, valid, risk, ttc, dist = predict_collisions(st, hist, index, cfg)
+    v = np.asarray(valid)[0]
+    o = np.asarray(other)[0][v]
+    # pair (0 -> 1) appears exactly once despite hits at many offsets
+    assert (o == 1).sum() == 1

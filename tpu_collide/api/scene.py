@@ -100,6 +100,8 @@ class Scene:
         # CPU-backend stream under the threaded HTTP server.
         self._device_lock = threading.RLock()
         self._num_alive = int(np.asarray(jnp.sum(self.state.alive)))
+        self._traj = None          # TrajectoryHistory, created on first use
+        self._traj_clock = 0.0
 
     # ---- identity ----
 
@@ -207,6 +209,58 @@ class Scene:
         flush -> detect, the EarlyWarningSystem pattern)."""
         with self._device_lock:
             return self._detect_locked()
+
+    def record_trajectories(self, dt: Optional[float] = None) -> None:
+        """Append current positions to the trajectory history ring (the
+        CollisionPredictionModel.update_trajectory analog,
+        collision_detection.py:553-570). Call once per external tick when
+        using predict()."""
+        from tpu_collide.detect.predict import empty_history, update_history
+        with self._device_lock:
+            self._flush_locked()
+            if self._traj is None:
+                self._traj = empty_history(self.state.n)
+            self._traj_clock += dt if dt is not None else self.cfg.sim.dt
+            self._traj = update_history(self._traj, self.state,
+                                         self._traj_clock)
+
+    def predict(self, horizon: float = 10.0, step: float = 0.5) -> List[CollisionRisk]:
+        """Trajectory-based future-collision prediction (the
+        CollisionPredictionModel.predict_collisions analog,
+        collision_detection.py:572-621): classifies each object's recorded
+        trajectory and re-detects along its class-predicted path. Returns
+        is_predicted CollisionRisks and feeds them to the AlertManager.
+        Requires >= 2 record_trajectories() calls; objects with less history
+        are covered by the plain detect() path (reference :590-592)."""
+        from tpu_collide.detect.predict import predict_collisions
+        with self._device_lock:
+            self._flush_locked()
+            if self._traj is None:
+                return []
+            index = build_grid(self.state.pos, self.state.alive, self.cfg)
+            other, valid, risk, ttc, dist = predict_collisions(
+                self.state, self._traj, index, self.cfg,
+                horizon=horizon, step=step)
+        v = np.asarray(valid)
+        o = np.asarray(other)
+        r = np.asarray(risk)
+        t = np.asarray(ttc)
+        d = np.asarray(dist)
+        oids = np.asarray(self.state.oid)
+        out = []
+        rows, slots = np.nonzero(v)
+        for i, s in zip(rows, slots):
+            if r[i, s] < self.cfg.alerts.risk_low:
+                continue
+            out.append(CollisionRisk.new(
+                vehicle_id=self.vehicle_id_of(oids[i]),
+                other_vehicle_id=self.vehicle_id_of(o[i, s]),
+                risk_level=float(r[i, s]),
+                time_to_collision=float(t[i, s]),
+                distance=float(d[i, s]),
+                is_predicted=True))
+        self.alert_manager.process_collision_risks(out)
+        return out
 
     def _detect_locked(self) -> Any:
         self._flush_locked()

@@ -12,4 +12,6 @@ from tpu_collide.runtime.reliability import (HeartbeatMonitor, LeaderElection,
                                              FailoverManager,
                                              ThrottlingManager,
                                              ThrottlingPolicy,
-                                             AdaptiveThrottling)
+                                             AdaptiveThrottling,
+                                             StateTransferManager,
+                                             RecoveryCoordinator)

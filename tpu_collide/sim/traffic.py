@@ -86,7 +86,12 @@ class TrafficMap:
         self.road_connections.setdefault(b, []).append(a)
 
     def get_next_road(self, road_id: str) -> Optional[str]:
-        nxt = self.road_connections.get(road_id, [])
+        # filter to roads that exist: the reference's grid generator connects
+        # a phantom v-road-{width+1} at the map edge
+        # (vehicle_simulator.py:256-258) — harmless there only because the
+        # code never ran
+        nxt = [r for r in self.road_connections.get(road_id, [])
+               if r in self.roads]
         return self.rng.choice(nxt) if nxt else None
 
     def get_position_on_road(self) -> Tuple[float, float, str]:
@@ -268,6 +273,13 @@ class VehicleSimulator:
                 return self._update_random(v, dt)
             v.position.x, v.position.y = x, y
             self.vehicle_roads[vid] = rid
+            # snap velocity onto the road so the perpendicular component of
+            # the random initial heading doesn't drift the vehicle off-road
+            road = self.traffic_map.roads[rid]
+            dx, dy = road.direction()
+            speed = math.hypot(v.velocity.x, v.velocity.y)
+            v.velocity.x, v.velocity.y = speed * dx, speed * dy
+            v.heading = math.atan2(dy, dx)
         road = self.traffic_map.roads[rid]
         dx, dy = road.direction()
         along = ((v.position.x - road.start.x) * dx
@@ -301,6 +313,13 @@ class VehicleSimulator:
                 v.velocity.x, v.velocity.y = abs(speed) * dx, abs(speed) * dy
             v.position.x += v.velocity.x * dt
             v.position.y += v.velocity.y * dt
+            # re-project onto the road line (accel noise is axis-aligned but
+            # float drift accumulates)
+            px = v.position.x - road.start.x
+            py = v.position.y - road.start.y
+            along = px * dx + py * dy
+            v.position.x = road.start.x + along * dx
+            v.position.y = road.start.y + along * dy
             v.heading = math.atan2(v.velocity.y, v.velocity.x)
 
     def _update_destination(self, v: Vehicle, vid: str, dt: float) -> None:
@@ -328,6 +347,10 @@ class VehicleSimulator:
         v.position.x += v.velocity.x * dt
         v.position.y += v.velocity.y * dt
         v.heading = math.atan2(v.velocity.y, v.velocity.x)
+        # keep inside the map (targets are in-bounds; overshoot isn't)
+        w, h = self.traffic_map.size
+        v.position.x = min(max(v.position.x, 0.0), w)
+        v.position.y = min(max(v.position.y, 0.0), h)
 
     # ---- egress (reference :721-761, 828-908) ----
 
