@@ -48,6 +48,7 @@ FIELD_NAMES = ("x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
 @partial(jax.tree_util.register_dataclass,
          data_fields=["fields", "w_row", "w_nrows", "w_rlo", "w_rhi",
                       "row_rlo", "row_rhi", "row_xlo", "row_xhi",
+                      "cr_floor", "cr_ceil",
                       "n_alive", "overflow"],
          meta_fields=["num_tiles", "window_rows", "n_windows"])
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +77,8 @@ class CellList:
     row_rhi: jax.Array   # [R] i32 max cell-row (-1/-2 when row empty)
     row_xlo: jax.Array   # [R] f32 min x of alive objects in row
     row_xhi: jax.Array   # [R] f32 max x
+    cr_floor: jax.Array  # [nrows+1] i32 storage row where cell-row begins
+    cr_ceil: jax.Array   # [nrows+1] i32 ceil storage row of cell-row start
     n_alive: jax.Array
     overflow: jax.Array
     num_tiles: int
@@ -207,11 +210,19 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     # empty rows: (rlo, rhi) = (large, -1) so no guard ever passes
     row_rlo = jnp.where(row_rhi < 0, jnp.float32(nrows + 9), row_rlo)
 
+    # cell-row -> storage-row boundary tables: candidate storage rows for
+    # cell-rows [a, b] are [cr_floor[a], cr_ceil[b+1]) — the kernel iterates
+    # exactly that span instead of guard-branching over the whole window
+    cr_floor = row_start // LANE
+    cr_ceil = -(-row_start // LANE)
+
     return CellList(
         fields=fields,
         row_rlo=row_rlo.astype(jnp.int32),
         row_rhi=jnp.maximum(row_rhi, -1.0).astype(jnp.int32),
         row_xlo=row_xlo, row_xhi=row_xhi,
+        cr_floor=cr_floor.astype(jnp.int32),
+        cr_ceil=cr_ceil.astype(jnp.int32),
         w_row=jnp.stack(wr, axis=1).astype(jnp.int32),
         w_nrows=jnp.stack(wn, axis=1).astype(jnp.int32),
         w_rlo=jnp.stack(rlo_l, axis=1).astype(jnp.int32),
