@@ -149,3 +149,34 @@ def test_stationary_overlapping_pair_ignored():
     got = run_pipeline(cfg, pos, vel, acc, np.zeros(2, np.float32),
                        np.full(2, 2.0, np.float32), np.zeros(2, np.int32))
     assert not got
+
+
+def test_parity_city_skew_fleet():
+    """Golden parity on the reference's own 80/20 city-skew distribution
+    (optimized_performance_test.py:92-104) — the dense-city case SURVEY.md
+    flags as the broad-phase capacity hazard."""
+    import jax
+    from tpu_collide.sim import generate_fleet
+
+    cfg = SystemConfig(
+        num_objects=300,
+        world=WorldConfig(hi=(10000.0, 10000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode="precise"),
+    )
+    st = generate_fleet(jax.random.key(42), cfg, distribution="city_skew")
+    import numpy as np
+    pos = np.asarray(st.pos)
+    vel = np.asarray(st.vel)
+    acc = np.asarray(st.acc)
+    heading = np.asarray(st.heading)
+    size = np.asarray(st.size)
+    otype = np.asarray(st.otype)
+
+    got = run_pipeline(cfg, pos, vel, acc, heading, size, otype)
+    want = oracle_detect_all(pos, vel, acc, size, heading, otype)
+    assert set(got) == set(want), (
+        f"missing {set(want) - set(got)}, extra {set(got) - set(want)}")
+    for key, (r0, t0, d0) in want.items():
+        r1, t1, d1 = got[key]
+        assert abs(t1 - t0) < 1e-5 and abs(r1 - r0) < 2e-3
