@@ -158,3 +158,42 @@ def test_cross_boundary_pair_detected_via_halo():
     # 80 m apart closing at 20 m/s, safe=7 m -> first sample 3.7 s
     # (one dt=0.1 step of physics already happened: 78 m -> 3.6 s)
     assert abs(ttc - 3.6) < 0.11, ttc
+
+
+def test_sharded_scene_facade(tmp_path):
+    """ShardedScene: step/alerts/stats/checkpoint-failover on the 8-dev mesh
+    (the multi-node deployment facade; checkpointed failover = BASELINE
+    config 5's reliability story)."""
+    from tpu_collide.api import ShardedScene
+
+    cfg = base_cfg(n=400, deterministic=False)
+    fleet = generate_fleet(jax.random.key(11), cfg)
+    sc = ShardedScene(cfg, fleet=fleet, checkpoint_dir=str(tmp_path))
+
+    out = sc.step(3)
+    st = sc.stats()
+    assert st["num_alive"] == 400
+    assert st["dropped_total"] == 0
+    assert len(st["shard_occupancy"]) == 8
+    assert st["step_count"] == 3
+
+    path = sc.save_checkpoint()
+    sc.step(5)
+    pos_after = np.asarray(collect_state_pos(sc))
+    assert sc.step_count == 8
+
+    # failover: restore the snapshot, fleet intact, step counter rewound
+    sc.restore_checkpoint()
+    assert sc.step_count == 3
+    assert sc.stats()["num_alive"] == 400
+    assert not np.allclose(np.asarray(collect_state_pos(sc)), pos_after)
+    # and the restored fleet still steps
+    sc.step(1)
+    assert sc.stats()["num_alive"] == 400
+
+
+def collect_state_pos(sc):
+    host = sc.collect()
+    alive = np.asarray(host.alive)
+    order = np.argsort(np.asarray(host.oid)[alive])
+    return np.asarray(host.pos)[alive][order]

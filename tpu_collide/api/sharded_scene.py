@@ -1,0 +1,158 @@
+"""ShardedScene: the Scene API over a multi-device mesh.
+
+Gives mesh-sharded fleets the same surface as api/scene.py — step, alerts,
+stats, checkpoint/restore — on top of shard/step.py's SPMD program (slab
+ownership, ppermute halo + migration). This is the multi-node deployment
+facade the reference assembled from broker+scheduler+compute-nodes+shard-
+manager (SURVEY.md §3.1); here it is one object wrapping one compiled step.
+
+Occupancy telemetry and rebalancing ride shard/balance.LoadBalancer;
+checkpoints collect to host and restore through the same slab
+redistribution, which doubles as the failover story (BASELINE config 5:
+halo exchange + checkpointed failover).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.core.state import ObjectState
+from tpu_collide.core.types import Alert
+from tpu_collide.core.utils import Timer, get_logger
+from tpu_collide.alerts.manager import AlertManager
+from tpu_collide.ckpt.checkpoint import CheckpointManager
+from tpu_collide.shard.step import (make_mesh, make_sharded_step,
+                                    distribute_state, collect_state,
+                                    shard_slots)
+from tpu_collide.shard.balance import LoadBalancer, shard_occupancy
+
+logger = get_logger(__name__)
+
+
+class ShardedScene:
+    """Mesh-sharded fleet with the Scene surface (step/alerts/stats/ckpt).
+
+    Ingest differs from the single-device Scene: sharded fleets are bulk
+    simulations, so state enters via `adopt_fleet` (generator / checkpoint /
+    collected host state), not per-vehicle REST ingest."""
+
+    def __init__(self, cfg: SystemConfig,
+                 fleet: Optional[ObjectState] = None,
+                 devices=None,
+                 checkpoint_dir: Optional[str] = None,
+                 auto_rebalance: bool = True,
+                 broker=None):
+        assert cfg.shard.num_shards > 1, "use Scene for a single device"
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg, devices)
+        self.slots = shard_slots(cfg)
+        self._step = make_sharded_step(cfg, self.mesh, donate=True)
+        self.alert_manager = AlertManager(cfg, broker=broker)
+        self.ckpt = (CheckpointManager(checkpoint_dir)
+                     if checkpoint_dir else None)
+        self.balancer = (LoadBalancer(cfg, self.slots)
+                         if auto_rebalance else None)
+        self.step_count = 0
+        self.dropped_total = 0
+        self._key = jax.random.key(0)
+        self._lock = threading.RLock()
+        self.stats_timing = {"steps": 0, "total_ms": 0.0, "max_ms": 0.0}
+        self.state: Optional[ObjectState] = None
+        if fleet is not None:
+            self.adopt_fleet(fleet)
+
+    # ---- fleet management ----
+
+    def adopt_fleet(self, fleet: ObjectState) -> None:
+        """Distribute a host/global fleet across the mesh by x-slab."""
+        with self._lock:
+            self.state = distribute_state(fleet, self.cfg, self.mesh)
+
+    def collect(self) -> ObjectState:
+        """Gather the sharded fleet to one addressable host state."""
+        with self._lock:
+            return collect_state(self.state)
+
+    # ---- stepping ----
+
+    def step(self, n: int = 1) -> Any:
+        out = None
+        with self._lock:
+            for _ in range(n):
+                self._key, sub = jax.random.split(self._key)
+                with Timer() as t:
+                    self.state, out, dropped = self._step(self.state, sub)
+                    jax.block_until_ready(out.num_risks)
+                self.step_count += 1
+                self.dropped_total += int(np.asarray(dropped).sum())
+                self.stats_timing["steps"] += 1
+                self.stats_timing["total_ms"] += t.elapsed_ms
+                self.stats_timing["max_ms"] = max(
+                    self.stats_timing["max_ms"], t.elapsed_ms)
+                if self.balancer and self.balancer.should_rebalance(self.state):
+                    self.state = self.balancer.rebalance(self.state, self.mesh)
+            self.alert_manager.process_batch(out.alerts)
+        return out
+
+    # ---- queries ----
+
+    def alerts(self, min_risk: float = 0.0) -> List[Alert]:
+        return sorted(
+            (a for a in self.alert_manager.alerts.values()
+             if a.risk_level >= min_risk),
+            key=lambda a: (-a.priority, -a.risk_level))
+
+    def occupancy(self) -> np.ndarray:
+        with self._lock:
+            return shard_occupancy(self.state, self.cfg, self.slots)
+
+    def stats(self) -> Dict[str, Any]:
+        occ = self.occupancy()
+        s = self.stats_timing
+        return {
+            "step_count": self.step_count,
+            "num_alive": int(occ.sum()),
+            "num_shards": self.cfg.shard.num_shards,
+            "shard_occupancy": occ.tolist(),
+            "slots_per_shard": self.slots,
+            "dropped_total": self.dropped_total,
+            "avg_step_ms": (s["total_ms"] / s["steps"]) if s["steps"] else 0.0,
+            "max_step_ms": s["max_ms"],
+            "alerts": self.alert_manager.get_stats(),
+            "rebalances": (self.balancer.stats["rebalances"]
+                           if self.balancer else 0),
+        }
+
+    # ---- reliability (checkpointed failover, BASELINE config 5) ----
+
+    def save_checkpoint(self, metadata: Optional[dict] = None) -> str:
+        assert self.ckpt is not None
+        with self._lock:
+            host = collect_state(self.state)
+        return self.ckpt.save(host, self.step_count, metadata=metadata)
+
+    def restore_checkpoint(self, step: Optional[int] = None) -> int:
+        """Failover: reload the latest snapshot and redistribute it across
+        whatever devices the mesh has now."""
+        assert self.ckpt is not None
+        host, meta = self.ckpt.restore(step)
+        with self._lock:
+            # drop dead/padding slots before redistribution
+            alive = np.asarray(host.alive)
+            idx = np.flatnonzero(alive)
+            from tpu_collide.core.state import state_from_numpy
+            packed = state_from_numpy(
+                pos=np.asarray(host.pos)[idx],
+                vel=np.asarray(host.vel)[idx],
+                acc=np.asarray(host.acc)[idx],
+                heading=np.asarray(host.heading)[idx],
+                size=np.asarray(host.size)[idx],
+                otype=np.asarray(host.otype)[idx],
+                oid=np.asarray(host.oid)[idx])
+            self.state = distribute_state(packed, self.cfg, self.mesh)
+            self.step_count = meta["step"]
+        return self.step_count
