@@ -108,6 +108,25 @@ def main():
                             detect=DetectionConfig(mode="fast"))
     sps_fast, avg_fast, _, _ = bench_scan(cfg_f, args.steps, args.chunk)
 
+    # per-step p99 (each step individually dispatched + synced, i.e. the
+    # serving-latency view; includes ~25 ms axon-tunnel dispatch overhead)
+    from tpu_collide.sim import generate_fleet
+    from tpu_collide.engine import step as _step
+    from functools import partial as _partial
+    stepf = jax.jit(_partial(_step, cfg=cfg_p), donate_argnums=(0,))
+    st = generate_fleet(jax.random.key(9), cfg_p)
+    st, out = stepf(st, jax.random.key(10))
+    int(np.asarray(out.num_risks))
+    lat = []
+    for i in range(100):
+        t0 = time.perf_counter()
+        st, out = stepf(st, jax.random.key(11 + i))
+        int(np.asarray(out.num_risks))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    p99_ms = lat[98]
+    p95_ms = lat[94]
+
     extra = {}
     if args.full:
         cfg100k = tc.SystemConfig(
@@ -136,6 +155,9 @@ def main():
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 2),
         "avg_step_ms": round(avg_ms, 4),
         "worst_chunk_step_ms": round(worst_ms, 4),
+        "per_step_p95_ms": round(p95_ms, 2),
+        "per_step_p99_ms": round(p99_ms, 2),
+        "p99_vs_baseline": round(BASELINE_P99_MS / p99_ms, 2),
         "fast_mode_steps_per_s": round(sps_fast, 2),
         "fast_mode_avg_ms": round(avg_fast, 4),
         "baseline_steps_per_s": BASELINE_STEPS_PER_S,
