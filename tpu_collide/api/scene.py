@@ -78,10 +78,15 @@ class Scene:
     def __init__(self, cfg: SystemConfig,
                  state: Optional[ObjectState] = None,
                  checkpoint_dir: Optional[str] = None,
-                 broker=None):
+                 broker=None, backend: str = "xla",
+                 chunk_size: Optional[int] = None):
+        """backend='fused' runs step() on the Pallas cell-list kernel
+        (fast-mode semantics, big fleets); detect() always uses the exact
+        XLA pipeline."""
         self.cfg = cfg
         self.state = state if state is not None else empty_state(cfg.num_objects)
-        self._step = make_step(cfg, donate=True)
+        self._step = make_step(cfg, donate=True, backend=backend,
+                               chunk_size=chunk_size)
         self._detect = make_detect(cfg)
         self.alert_manager = AlertManager(cfg, broker=broker)
         self.ckpt = (CheckpointManager(checkpoint_dir)

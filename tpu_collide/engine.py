@@ -28,7 +28,7 @@ from tpu_collide.sim.integrator import integrate
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["alerts", "num_pairs_checked", "num_risks",
-                      "max_risk", "num_alive"],
+                      "max_risk", "num_alive", "overflow"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class StepOutput:
@@ -37,6 +37,9 @@ class StepOutput:
     num_risks: jax.Array           # [] int32 — stage-4 risks produced
     max_risk: jax.Array            # [] f32
     num_alive: jax.Array           # [] int32
+    overflow: jax.Array            # [] int32 — broad-phase capacity overflow
+                                   # (cell/window slots beyond static caps;
+                                   # 0 means every candidate was examined)
 
 
 def detect_only(state: ObjectState, cfg: SystemConfig) -> PairRisks:
@@ -44,6 +47,13 @@ def detect_only(state: ObjectState, cfg: SystemConfig) -> PairRisks:
     analog (collision_detection.py:110-193) for an externally-updated fleet."""
     index = build_grid(state.pos, state.alive, cfg)
     return detect_pairs(state, index, cfg)
+
+
+def grid_overflow(index, cfg: SystemConfig) -> jax.Array:
+    """Objects beyond cell_capacity in their bucket (dropped from THAT
+    cell's candidate lists) — the XLA broad phase's capacity counter."""
+    sizes = index.starts[1:cfg.num_cells + 1] - index.starts[:cfg.num_cells]
+    return jnp.sum(jnp.maximum(sizes - cfg.grid.cell_capacity, 0))
 
 
 def step(state: ObjectState, key: jax.Array,
@@ -57,11 +67,11 @@ def step(state: ObjectState, key: jax.Array,
     alerts = extract_alerts(state, pairs, cfg)
     out = StepOutput(
         alerts=alerts,
-        num_pairs_checked=jnp.sum(
-            (pairs.other >= 0) & (pairs.risk >= -1), dtype=jnp.int32),
+        num_pairs_checked=jnp.asarray(pairs.risk.size, jnp.int32),
         num_risks=jnp.sum(pairs.valid, dtype=jnp.int32),
         max_risk=jnp.max(pairs.risk),
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
+        overflow=grid_overflow(index, cfg).astype(jnp.int32),
     )
     return state, out
 
@@ -129,20 +139,23 @@ def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
         valid=valid,
         count=jnp.sum(valid, dtype=jnp.int32),
     )
-    return alerts, jnp.sum(n_risks), jnp.max(max_risk)
+    return alerts, jnp.sum(n_risks), jnp.max(max_risk), grid_overflow(
+        index, cfg)
 
 
 def step_chunked(state: ObjectState, key: jax.Array, cfg: SystemConfig,
                  chunk: int) -> tuple[ObjectState, StepOutput]:
     """Large-N step: identical semantics to `step`, blocked detection."""
     state = integrate(state, key, cfg)
-    alerts, n_risks, max_risk = _chunked_detect_extract(state, cfg, chunk)
+    alerts, n_risks, max_risk, oflow = _chunked_detect_extract(
+        state, cfg, chunk)
     out = StepOutput(
         alerts=alerts,
         num_pairs_checked=jnp.asarray(state.n * cfg.max_candidates,
                                       jnp.int32),
         num_risks=n_risks, max_risk=max_risk,
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
+        overflow=oflow.astype(jnp.int32),
     )
     return state, out
 
@@ -186,10 +199,11 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
     )
     out = StepOutput(
         alerts=alerts,
-        num_pairs_checked=cl.overflow,     # repurposed: window overflow count
+        num_pairs_checked=jnp.asarray(0, jnp.int32),   # not tracked in-kernel
         num_risks=jnp.sum(cnt, dtype=jnp.int32),
         max_risk=jnp.max(risk),
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
+        overflow=cl.overflow,
     )
     return state, out
 

@@ -79,6 +79,7 @@ def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
     # per-shard alert count becomes a [1] vector so shard_map can
     # concatenate it to a global [D] vector
     alerts = dataclasses.replace(alerts, count=alerts.count.reshape(1))
+    from tpu_collide.engine import grid_overflow
     out = StepOutput(
         alerts=alerts,
         num_pairs_checked=jax.lax.psum(
@@ -87,6 +88,8 @@ def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
             jnp.sum(own_valid, dtype=jnp.int32), ax),
         max_risk=jax.lax.pmax(jnp.max(pairs.risk), ax),
         num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
+        overflow=jax.lax.psum(
+            grid_overflow(index, cfg).astype(jnp.int32), ax),
     )
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
@@ -105,7 +108,8 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True):
         valid=P(ax), count=P(ax))
     # psum/pmax-reduced scalars are replicated across the mesh -> P()
     spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
-                          num_risks=P(), max_risk=P(), num_alive=P())
+                          num_risks=P(), max_risk=P(), num_alive=P(),
+                          overflow=P())
 
     f = jax.shard_map(
         partial(_local_step, cfg=cfg), mesh=mesh,
