@@ -96,3 +96,26 @@ def test_dead_objects_invisible(rng):
     cand, ok = query_radius(idx, pos, alive, pos[:1], 100.0, cfg)
     got = set(np.asarray(cand)[0][np.asarray(ok)[0]].tolist())
     assert got == {0, 2}
+
+
+def test_overflow_counter_reported(rng):
+    """StepOutput.overflow counts capacity drops instead of hiding them."""
+    import jax
+    from tpu_collide.engine import make_step
+    from tpu_collide.core.state import state_from_numpy
+    n = 64
+    cfg = cfg_for(n, cap=8)
+    # everyone in one cell -> 64 - 8 = 56 beyond capacity
+    pos = np.full((n, 3), 50.0, np.float32)
+    st = state_from_numpy(pos, np.zeros((n, 3)), np.zeros((n, 3)),
+                          np.zeros(n), np.full(n, 2.0), np.zeros(n, np.int32))
+    _, out = make_step(cfg, donate=False)(st, jax.random.key(0))
+    assert int(out.overflow) == n - cfg.grid.cell_capacity
+    # spread out -> zero overflow
+    pos2 = rng.uniform(0, 1000, (n, 3)).astype(np.float32)
+    pos2[:, 2] = 0.0
+    st2 = state_from_numpy(pos2, np.zeros((n, 3)), np.zeros((n, 3)),
+                           np.zeros(n), np.full(n, 2.0),
+                           np.zeros(n, np.int32))
+    _, out2 = make_step(cfg, donate=False)(st2, jax.random.key(0))
+    assert int(out2.overflow) == 0

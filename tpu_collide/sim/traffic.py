@@ -384,3 +384,57 @@ def scene_sink(scene) -> Callable[[List[LocationData]], None]:
         for loc in batch:
             scene.ingest(loc)
     return push
+
+
+def kafka_sink(bootstrap_servers: str = "localhost:9092",
+               topic: str = "vehicle-locations"):
+    """Kafka JSON emitter (reference vehicle_simulator.py:764-794). Gated:
+    kafka-python is not bundled; raises with guidance when absent."""
+    try:
+        from kafka import KafkaProducer  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "kafka-python is not installed in this environment; use "
+            "scene_sink/http sinks, or install kafka-python to emit to "
+            f"Kafka at {bootstrap_servers}") from e
+    producer = KafkaProducer(bootstrap_servers=bootstrap_servers,
+                             value_serializer=lambda v: json.dumps(
+                                 v, default=str).encode())
+
+    def push(batch: List[LocationData]):
+        for loc in batch:
+            producer.send(topic, loc.to_dict(), key=loc.vehicle_id.encode())
+    return push
+
+
+def redis_sink(url: str = "redis://localhost:6379",
+               channel: str = "vehicle-locations"):
+    """Redis pub/sub JSON emitter (reference vehicle_simulator.py:797-825).
+    Gated like kafka_sink."""
+    try:
+        import redis  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "redis is not installed in this environment; use scene_sink/"
+            f"http sinks, or install redis to publish to {url}") from e
+    client = redis.Redis.from_url(url)
+
+    def push(batch: List[LocationData]):
+        for loc in batch:
+            client.publish(channel, json.dumps(loc.to_dict(), default=str))
+    return push
+
+
+def http_sink(base_url: str = "http://127.0.0.1:8000"):
+    """POST each location to a tpu-collide REST server."""
+    import urllib.request
+
+    def push(batch: List[LocationData]):
+        for loc in batch:
+            req = urllib.request.Request(
+                base_url + "/vehicles/location",
+                data=json.dumps(loc.to_dict(), default=str).encode(),
+                method="POST",
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=5).read()
+    return push
