@@ -79,9 +79,11 @@ def test_fused_matches_xla_per_object(dim):
     np.testing.assert_allclose(got_r, want_r, atol=1e-5)
 
 
-def test_fused_step_alert_subset():
-    """step_fused alerts are a subset of the XLA step's alerts (per-object
-    top-1 truncation), with identical values on common pairs."""
+def test_fused_step_alert_coverage():
+    """step_fused emits each object's best pair from BOTH directions
+    (reference per-vehicle alert semantics); as UNORDERED pairs its alerts
+    cover the XLA scene list except pairs that are no object's best, and
+    values match exactly on common pairs."""
     cfg = cfg2d()
     st = generate_fleet(jax.random.key(0), cfg)
     key = jax.random.key(1)
@@ -89,17 +91,22 @@ def test_fused_step_alert_subset():
     _, o_f = step_fused(st, key, cfg, interpret=True)
     assert int(o_f.num_risks) == int(o_x.num_risks)
 
-    def aset(o):
+    def aset(o, unordered):
         v = np.asarray(o.alerts.valid)
-        return {(int(a), int(b)): (float(r), float(t))
-                for a, b, r, t in zip(
-                    np.asarray(o.alerts.vehicle_oid)[v],
-                    np.asarray(o.alerts.other_oid)[v],
-                    np.asarray(o.alerts.risk)[v],
-                    np.asarray(o.alerts.ttc)[v])}
-    ax, af = aset(o_x), aset(o_f)
+        out = {}
+        for a, b, r, t in zip(
+                np.asarray(o.alerts.vehicle_oid)[v],
+                np.asarray(o.alerts.other_oid)[v],
+                np.asarray(o.alerts.risk)[v],
+                np.asarray(o.alerts.ttc)[v]):
+            k = (min(int(a), int(b)), max(int(a), int(b))) if unordered \
+                else (int(a), int(b))
+            out[k] = (float(r), float(t))
+        return out
+    ax = aset(o_x, unordered=True)       # XLA list is already pair-deduped
+    af = aset(o_f, unordered=True)
     assert set(af) <= set(ax)
-    assert len(af) >= 0.7 * len(ax)      # top-1 keeps the large majority
+    assert len(af) >= 0.85 * len(ax)     # per-object-best covers the bulk
     for k in af:
         np.testing.assert_allclose(ax[k], af[k], rtol=1e-5, atol=1e-5)
 
@@ -113,9 +120,15 @@ def test_fused_head_on():
                           np.full(2, 2.0, np.float32),
                           np.zeros(2, np.int32))
     _, out = step_fused(st, jax.random.key(0), cfg, interpret=True)
-    assert int(out.alerts.count) == 1
-    ttc = float(np.asarray(out.alerts.ttc)[0])
-    assert abs(ttc - 4.6) < 0.11     # one dt of physics happened first
+    # per-vehicle semantics: the pair appears from BOTH directions
+    assert int(out.alerts.count) == 2
+    v = np.asarray(out.alerts.valid)
+    pairs = {(int(a), int(b)) for a, b in zip(
+        np.asarray(out.alerts.vehicle_oid)[v],
+        np.asarray(out.alerts.other_oid)[v])}
+    assert pairs == {(0, 1), (1, 0)}
+    for ttc in np.asarray(out.alerts.ttc)[v]:
+        assert abs(float(ttc) - 4.6) < 0.11   # one dt of physics happened
 
 
 def test_window_overflow_counted():

@@ -220,3 +220,51 @@ def test_backup_manager_roundtrip(tmp_path):
     for _ in range(3):
         bm.create_backup()
     assert len(bm.list_backups()) == 2
+
+
+def test_broker_backfills_pre_start_subscriptions():
+    """Subscriptions registered before start() must still get a dispatch
+    loop (components subscribe in __init__; the system starts the broker
+    later)."""
+    async def go():
+        broker = MessageBroker()
+        got = []
+        async def cb(msg):
+            got.append(msg.value)
+        broker.subscribe("early-topic", cb)      # before start()
+        await broker.start()
+        await broker.publish(Message(topic="early-topic", value={"x": 1}))
+        await asyncio.sleep(0.05)
+        await broker.stop()
+        return got
+    assert run(go()) == [{"x": 1}]
+
+
+def test_collision_system_task_dispatch(tmp_path):
+    """A task submitted through the system's scheduler reaches its own
+    TaskWorker (the worker subscribes in __init__, pre-start — regression
+    for the missing dispatch-loop backfill)."""
+    from tpu_collide.system import CollisionSystem
+    import tpu_collide as tc
+    from tpu_collide.core.config import WorldConfig
+
+    async def go():
+        sys_ = CollisionSystem(
+            tc.SystemConfig(num_objects=16,
+                            world=WorldConfig(hi=(500.0, 500.0, 0.0))),
+            node_id="task-node", checkpoint_dir=str(tmp_path),
+            detection_hz=0.1)
+        await sys_.start()
+        await sys_.scheduler.submit_task(Task(
+            task_id="t-ckpt", task_type="checkpoint", payload={}))
+        for _ in range(200):
+            if sys_.scheduler.get_stats()["completed"]:
+                break
+            await asyncio.sleep(0.1)
+        stats = sys_.scheduler.get_stats()
+        ckpts = sys_.scene.ckpt.list_checkpoints()
+        await sys_.stop()
+        return stats, ckpts
+    stats, ckpts = run(go())
+    assert stats["completed"] == 1
+    assert len(ckpts) == 1          # the checkpoint task actually executed

@@ -76,12 +76,18 @@ def test_scene_checkpoint_resume(tmp_path):
 
 
 def test_scene_capacity_guard():
+    """Capacity exhaustion drops the excess report (logged) instead of
+    poisoning the pending queue for every later flush."""
     sc = small_scene(n=2)
     converging(sc)
     sc.flush()
-    with pytest.raises(ValueError, match="capacity"):
-        sc.ingest(LocationData("carC", Position(1, 1, 0), Vector()))
-        sc.flush()
+    sc.ingest(LocationData("carC", Position(1, 1, 0), Vector()))
+    sc.flush()                                  # no raise
+    assert sc.stats()["num_alive"] == 2         # carC dropped
+    # the scene keeps working afterwards
+    sc.ingest(LocationData("carA", Position(105, 100, 0), Vector(10, 0, 0)))
+    sc.flush()
+    assert sc.stats()["num_alive"] == 2
 
 
 def test_rest_endpoints():

@@ -93,7 +93,7 @@ def test_simulator_scene_sink_roundtrip():
     m = TrafficMap(seed=8).generate_grid_map(2, 2, cell_size=500.0)
     sim = VehicleSimulator(m, num_vehicles=10, seed=9)
     sim.initialize_vehicles()
-    sim.run(1.0, dt=0.5, sink=scene_sink(sc))
+    sim.run(1.0, dt=0.5, sink=scene_sink(sc, sim))
     sc.flush()
     assert sc.stats()["num_alive"] == 10
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import asyncio
 import heapq
+import threading
 import time
 import uuid
 from typing import Any, Awaitable, Callable, Dict, List, Optional
@@ -57,6 +58,9 @@ class AlertManager:
         self._global_callbacks: List[AlertCallback] = []
         self.stats = {"created": 0, "updated": 0, "acknowledged": 0,
                       "expired": 0, "sent": 0, "dropped_low_risk": 0}
+        # the device feed (process_batch, executor thread) and the pump loop
+        # (asyncio thread) mutate the same heap/dicts — serialize them
+        self._lock = threading.RLock()
 
     # ---- ingestion from the device ----
 
@@ -101,6 +105,11 @@ class AlertManager:
 
     def _upsert(self, veh: str, other: str, risk: float, ttc: float,
                 dist: float, priority: int) -> Alert:
+        with self._lock:
+            return self._upsert_locked(veh, other, risk, ttc, dist, priority)
+
+    def _upsert_locked(self, veh: str, other: str, risk: float, ttc: float,
+                       dist: float, priority: int) -> Alert:
         msg = _message_for(risk, ttc, other, dist, self.cfg)
         key = (veh, other)
         aid = self.pair_alerts.get(key)
@@ -128,17 +137,22 @@ class AlertManager:
     # ---- lifecycle ----
 
     def acknowledge_alert(self, alert_id: str) -> bool:
-        a = self.alerts.get(alert_id)
-        if a is None:
-            return False
-        a.acknowledged = True
-        self.stats["acknowledged"] += 1
-        return True
+        with self._lock:
+            a = self.alerts.get(alert_id)
+            if a is None:
+                return False
+            a.acknowledged = True
+            self.stats["acknowledged"] += 1
+            return True
 
     def cleanup_expired(self, now: Optional[float] = None) -> int:
         """Drop acked or stale alerts (reference :490-517)."""
         now = now if now is not None else time.time()
         expiry = self.cfg.alerts.alert_expiry_s
+        with self._lock:
+            return self._cleanup_locked(now, expiry)
+
+    def _cleanup_locked(self, now: float, expiry: float) -> int:
         stale = [aid for aid, a in self.alerts.items()
                  if a.acknowledged or now - a.timestamp > expiry]
         for aid in stale:
@@ -157,16 +171,18 @@ class AlertManager:
         now = now if now is not None else time.time()
         resend = self.cfg.alerts.resend_interval_s
         sent, keep = [], []
-        while self._queue:
-            a = heapq.heappop(self._queue)
-            if not a.acknowledged and now - a.last_sent >= resend:
-                await self._send(a)
-                a.last_sent = now
-                sent.append(a)
-            if not a.acknowledged:
-                keep.append(a)
-        for a in keep:
-            heapq.heappush(self._queue, a)
+        with self._lock:
+            while self._queue:
+                a = heapq.heappop(self._queue)
+                if not a.acknowledged and now - a.last_sent >= resend:
+                    a.last_sent = now
+                    sent.append(a)
+                if not a.acknowledged:
+                    keep.append(a)
+            for a in keep:
+                heapq.heappush(self._queue, a)
+        for a in sent:                  # deliver outside the lock
+            await self._send(a)
         self.cleanup_expired(now)
         return sent
 
@@ -203,12 +219,17 @@ class AlertManager:
             self._callbacks.setdefault(vehicle_id, []).append(cb)
 
     def get_vehicle_alerts(self, vehicle_id: str) -> List[Alert]:
-        return [a for a in self.alerts.values()
-                if a.vehicle_id == vehicle_id]
+        """Alerts involving this vehicle from EITHER side — the device
+        dedups unordered pairs (DEVIATIONS.md #7), so the per-vehicle view
+        re-expands here."""
+        with self._lock:
+            return [a for a in self.alerts.values()
+                    if vehicle_id in (a.vehicle_id, a.other_vehicle_id)]
 
     def get_stats(self) -> Dict[str, Any]:
-        by_priority = {p: 0 for p in range(4)}
-        for a in self.alerts.values():
-            by_priority[a.priority] += 1
-        return {**self.stats, "active": len(self.alerts),
-                "by_priority": by_priority, "queued": len(self._queue)}
+        with self._lock:
+            by_priority = {p: 0 for p in range(4)}
+            for a in self.alerts.values():
+                by_priority[a.priority] += 1
+            return {**self.stats, "active": len(self.alerts),
+                    "by_priority": by_priority, "queued": len(self._queue)}

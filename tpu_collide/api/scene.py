@@ -88,6 +88,8 @@ class Scene:
         self._step = make_step(cfg, donate=True, backend=backend,
                                chunk_size=chunk_size)
         self._detect = make_detect(cfg)
+        from tpu_collide.alerts.extract import extract_alerts as _ea
+        self._extract = jax.jit(partial(_ea, cfg=cfg))
         self.alert_manager = AlertManager(cfg, broker=broker)
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
@@ -130,8 +132,9 @@ class Scene:
     def ingest(self, location: LocationData, size: float = 2.0,
                vtype: str = "car") -> None:
         """Buffer one location report; applied on the next step()/flush()."""
-        self._pending.append(location)
-        self._pending_meta.append((size, _TYPE_INDEX.get(vtype, 0)))
+        with self._device_lock:     # _flush_locked iterates+clears _pending
+            self._pending.append(location)
+            self._pending_meta.append((size, _TYPE_INDEX.get(vtype, 0)))
         hist = self._history.setdefault(location.vehicle_id, [])
         hist.append(location)
         del hist[:-10]                      # last-10 (storage.py:156-191)
@@ -154,9 +157,17 @@ class Scene:
         size = np.full(p, 2.0, np.float32)
         otype = np.zeros(p, np.int32)
         valid = np.zeros(p, bool)
+        dropped = 0
         for i, (loc, (sz, ot)) in enumerate(
                 zip(self._pending, self._pending_meta)):
-            slot[i] = self._slot_for(loc.vehicle_id)
+            try:
+                slot[i] = self._slot_for(loc.vehicle_id)
+            except ValueError:
+                # fleet capacity exhausted: drop THIS report and keep going —
+                # a raise here would leave _pending uncleared and poison
+                # every later flush/step/detect
+                dropped += 1
+                continue
             pos[i] = loc.position.to_tuple()
             vel[i] = (loc.velocity.x, loc.velocity.y, loc.velocity.z)
             acc[i] = (loc.acceleration.x, loc.acceleration.y,
@@ -164,6 +175,10 @@ class Scene:
             heading[i] = loc.heading
             size[i], otype[i] = sz, ot
             valid[i] = True
+        if dropped:
+            logger.error(
+                "dropped %d location reports: fleet capacity %d exhausted "
+                "(raise SystemConfig.num_objects)", dropped, self.state.n)
         self.state = _apply_updates(
             self.state, jnp.asarray(slot), jnp.asarray(pos),
             jnp.asarray(vel), jnp.asarray(acc), jnp.asarray(heading),
@@ -259,7 +274,7 @@ class Scene:
                 continue
             out.append(CollisionRisk.new(
                 vehicle_id=self.vehicle_id_of(oids[i]),
-                other_vehicle_id=self.vehicle_id_of(o[i, s]),
+                other_vehicle_id=self.vehicle_id_of(oids[o[i, s]]),
                 risk_level=float(r[i, s]),
                 time_to_collision=float(t[i, s]),
                 distance=float(d[i, s]),
@@ -271,9 +286,7 @@ class Scene:
         self._flush_locked()
         with Timer() as t:
             pairs = self._detect(self.state)
-            from tpu_collide.alerts.extract import extract_alerts
-            batch = jax.jit(lambda s, p: extract_alerts(s, p, self.cfg))(
-                self.state, pairs)
+            batch = self._extract(self.state, pairs)
             jax.block_until_ready(batch.count)
         self.stats_timing["steps"] += 1
         self.stats_timing["total_ms"] += t.elapsed_ms

@@ -89,7 +89,7 @@ def main(argv=None):
         loop = asyncio.get_event_loop()
         await loop.run_in_executor(
             None, lambda: sim.run(args.sim_duration, dt=0.5,
-                                  sink=scene_sink(system.scene)))
+                                  sink=scene_sink(system.scene, sim)))
         summary["sim_updates"] = sim.stats["updates"]
         logger.info("phase: load (%d tps, %.0fs)", args.tps, args.duration)
 

@@ -166,8 +166,9 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
     """Production-scale step on the fused Pallas kernel (kernels/): cell-list
     build (one multi-operand sort) + on-chip broad+narrow phase. Fast-mode
     (constant-velocity) stage-3 semantics; alert list = each object's
-    highest-risk pair (the reference's per-vehicle alert view,
-    warning_system.py:120-197), deduped by oid order, scene top-k."""
+    highest-risk pair from its own side (the reference's per-vehicle alert
+    view, warning_system.py:120-197 — both directions of a pair may appear,
+    exactly as the reference's AlertManager kept them), scene top-k."""
     from tpu_collide.kernels.cell_list import build_cell_list
     from tpu_collide.kernels.fused_detect import fused_detect
     from tpu_collide.alerts.extract import compute_priority
@@ -179,8 +180,11 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
 
     a = cfg.alerts
     soid = cl.oid_flat
-    keep = (risk >= a.risk_low) & (other_oid >= 0) & (soid >= 0) \
-        & (soid < other_oid)
+    # no oid-order dedup here: each object's best pair enters the scene
+    # list from its own side (the reference's per-vehicle alert semantics,
+    # warning_system.py:120-197). An oid<other filter on per-object BESTs
+    # would drop real pairs whose lower-oid endpoint has a different best.
+    keep = (risk >= a.risk_low) & (other_oid >= 0) & (soid >= 0)
     prio = compute_priority(risk, ttc, cfg)
     keyv = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + risk, -1.0)
     top_key, top_i = jax.lax.top_k(keyv, a.max_scene_alerts)

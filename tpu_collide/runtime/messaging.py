@@ -87,6 +87,13 @@ class MessageBroker:
 
     async def start(self) -> None:
         self.running = True
+        # backfill dispatch loops for topics subscribed before start()
+        # (components register handlers in __init__, before the system
+        # brings the broker up)
+        for topic in self._queues:
+            if topic not in self._tasks:
+                self._tasks[topic] = asyncio.ensure_future(
+                    self._dispatch_loop(topic))
         logger.info("message broker started")
 
     async def stop(self) -> None:

@@ -79,8 +79,9 @@ class LoadBalancer:
         self.overload_ratio = overload_ratio
         self.check_every = check_every
         self._step = 0
-        self.stats = {"checks": 0, "rebalances": 0}
+        self.stats = {"checks": 0, "rebalances": 0, "backoffs": 0}
         self.last_occupancy: Optional[np.ndarray] = None
+        self._post_rebalance_occ: Optional[np.ndarray] = None
 
     def should_rebalance(self, state_sharded: ObjectState) -> bool:
         """Call once per step; inspects occupancy every `check_every`."""
@@ -90,6 +91,18 @@ class LoadBalancer:
         self.stats["checks"] += 1
         occ = shard_occupancy(state_sharded, self.cfg, self.slots)
         self.last_occupancy = occ
+        # Skew that a defragmenting rebalance cannot fix (ownership is
+        # position-based): if the last rebalance left occupancy unchanged,
+        # back off instead of paying a full host round-trip every check.
+        if (self._post_rebalance_occ is not None
+                and np.array_equal(occ, self._post_rebalance_occ)):
+            self.stats["backoffs"] += 1
+            if occ.max() >= 0.95 * self.slots:
+                logger.warning(
+                    "shard occupancy %s near slot limit %d and rebalance "
+                    "cannot move slab walls — raise ShardConfig."
+                    "slot_headroom", occ.tolist(), self.slots)
+            return False
         # also rebalance when any shard nears slot exhaustion
         near_full = occ.max() >= 0.9 * self.slots
         return near_full or imbalance(occ) > self.overload_ratio
@@ -121,4 +134,7 @@ class LoadBalancer:
         # distribute_state re-buckets by x-slab; equal slabs stay the step's
         # invariant, but repacking frees fragmented dead slots so headroom
         # is restored where density moved
-        return distribute_state(packed, self.cfg, mesh)
+        new_state = distribute_state(packed, self.cfg, mesh)
+        self._post_rebalance_occ = shard_occupancy(new_state, self.cfg,
+                                                   self.slots)
+        return new_state

@@ -378,11 +378,19 @@ class VehicleSimulator:
         return steps
 
 
-def scene_sink(scene) -> Callable[[List[LocationData]], None]:
-    """Sink that feeds a Scene (size/type carried through)."""
+def scene_sink(scene, simulator: Optional["VehicleSimulator"] = None
+               ) -> Callable[[List[LocationData]], None]:
+    """Sink that feeds a Scene. Pass the simulator so vehicle size/type ride
+    along (LocationData doesn't carry them; without the lookup every object
+    would ingest as a 2 m car and pair safe distances would be wrong for
+    trucks/buses)."""
     def push(batch: List[LocationData]):
         for loc in batch:
-            scene.ingest(loc)
+            v = simulator.vehicles.get(loc.vehicle_id) if simulator else None
+            if v is not None:
+                scene.ingest(loc, size=v.size, vtype=v.type)
+            else:
+                scene.ingest(loc)
     return push
 
 
