@@ -223,7 +223,9 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
 
     @app.post("/step")
     async def step(body: StepModel):
-        out = scene.step(body.steps)
+        import asyncio
+        out = await asyncio.get_event_loop().run_in_executor(
+            None, scene.step, body.steps)     # device work off the loop
         return _ok({"step_count": scene.step_count,
                     "num_risks": int(out.num_risks),
                     "num_alerts": int(out.alerts.count),
@@ -231,7 +233,9 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
 
     @app.post("/detect")
     async def detect():
-        batch = scene.detect()
+        import asyncio
+        batch = await asyncio.get_event_loop().run_in_executor(
+            None, scene.detect)
         return _ok({"num_alerts": int(batch.count)})
 
     @app.get("/stats")

@@ -329,6 +329,19 @@ class Scene:
             oids = np.asarray(self.state.oid)
         return [self.vehicle_id_of(oids[c]) for c in cand[ok]]
 
+    def grid_vehicles(self, cx: int, cy: int, cz: int = 0) -> List[str]:
+        """Vehicle ids whose CURRENT device position falls in grid cell
+        (cx, cy, cz) — exact membership (the GET /grids/{id}/vehicles
+        semantics; a radius query would also return neighbors)."""
+        from tpu_collide.index.grid import cell_coords
+        with self._device_lock:
+            self._flush_locked()
+            c3 = np.asarray(cell_coords(self.state.pos, self.cfg))
+            alive = np.asarray(self.state.alive)
+            oids = np.asarray(self.state.oid)
+        hit = alive & (c3[:, 0] == cx) & (c3[:, 1] == cy) & (c3[:, 2] == cz)
+        return [self.vehicle_id_of(o) for o in oids[hit]]
+
     def alerts(self, min_risk: float = 0.0,
                vehicle_id: Optional[str] = None) -> List[Alert]:
         src = (self.alert_manager.get_vehicle_alerts(vehicle_id)

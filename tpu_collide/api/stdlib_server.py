@@ -97,10 +97,7 @@ class SceneHTTPServer:
                     cx, cy = (int(v) for v in m.group(1).split("_")[:2])
                 except ValueError:
                     return 400, _err("grid_id must be '<cx>_<cy>'")
-                cs = scene.cfg.grid.cell_size
-                lo = scene.cfg.world.lo
-                center = (lo[0] + (cx + 0.5) * cs, lo[1] + (cy + 0.5) * cs, 0.0)
-                return 200, _ok(scene.query_radius(center, cs * 0.7071 + 1e-3))
+                return 200, _ok(scene.grid_vehicles(cx, cy))
 
             if method == "GET" and path == "/alerts":
                 min_risk = float(query.get("min_risk", 0.0))
