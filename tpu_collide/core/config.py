@@ -73,6 +73,11 @@ class DetectionConfig:
     # collision_detection.py:296-342). 'fast' = closed-form constant-velocity
     # first-crossing (quadratic) — the speed-of-light path for benchmarks.
     mode: str = "precise"
+    # Stage-3 sweep runs only on stage-2 survivors, compacted to this many
+    # pairs per detection block (semantically identical: stage 3 is only
+    # reachable through stage 2 in the reference, collision_detection.py:
+    # 143-151; excess survivors beyond the cap are counted in overflow).
+    precise_survivor_cap: int = 4096
     # Stage-2 closest-approach sign convention. The reference computes
     # t* = -dot(rel_pos, rel_vel)/|rel_vel|^2 with rel_pos = other - vehicle
     # but rel_vel = vehicle - other (collision_detection.py:252-277), which

@@ -195,9 +195,27 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
     sep_acc = acc_j - acc_i
     if det.mode == "fast":
         hit, t_hit, d_hit = _fast_first_crossing(sep_pos, sep_vel, safe, det)
+        hit &= pass2
     else:
-        hit, t_hit, d_hit = _precise_sweep(sep_pos, sep_vel, sep_acc, safe, det)
-    hit &= pass2
+        # The sampled sweep only applies to stage-2 survivors (the reference
+        # reaches stage 3 through stage 2, :143-151) — compact them and run
+        # the T-step loop on [cap] pairs instead of [Q, K].
+        q, k = pass2.shape
+        cap = min(det.precise_survivor_cap, q * k)
+        flat2 = pass2.reshape(-1)
+        _, surv_idx = jax.lax.top_k(flat2.astype(jnp.int32), cap)
+        surv_ok = flat2[surv_idx]
+        g = lambda a: a.reshape(q * k, *a.shape[2:])[surv_idx]
+        s_hit, s_t, s_d = _precise_sweep(g(sep_pos), g(sep_vel), g(sep_acc),
+                                         g(safe), det)
+        s_hit &= surv_ok
+        shape = pass2.shape
+        hit = jnp.zeros(q * k, bool).at[surv_idx].set(
+            s_hit, mode="drop").reshape(shape)
+        t_hit = jnp.full(q * k, jnp.inf).at[surv_idx].set(
+            jnp.where(s_hit, s_t, jnp.inf), mode="drop").reshape(shape)
+        d_hit = jnp.full(q * k, jnp.inf).at[surv_idx].set(
+            jnp.where(s_hit, s_d, jnp.inf), mode="drop").reshape(shape)
 
     # collision position = midpoint of the two predicted positions (ref :331)
     t_h = jnp.where(hit, t_hit, 0.0)[..., None]
