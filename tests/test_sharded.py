@@ -197,3 +197,38 @@ def collect_state_pos(sc):
     alive = np.asarray(host.alive)
     order = np.argsort(np.asarray(host.oid)[alive])
     return np.asarray(host.pos)[alive][order]
+
+
+def test_sharded_fused_matches_sharded_xla():
+    """backend='fused' inside shard_map (interpret mode on the CPU mesh):
+    per-own-object risk counts and unordered alert pairs match the sharded
+    XLA fast path; cross-boundary halo pairs included."""
+    cfg = base_cfg(n=400, shards=8).replace(
+        detect=tc.SystemConfig().detect.__class__(mode="fast"))
+    fleet = generate_fleet(jax.random.key(5), cfg)
+    mesh = make_mesh(cfg)
+    key = jax.random.key(6)
+
+    st_x = distribute_state(fleet, cfg, mesh)
+    _, out_x, drop_x = make_sharded_step(cfg, mesh, donate=False)(st_x, key)
+
+    st_f = distribute_state(fleet, cfg, mesh)
+    _, out_f, drop_f = make_sharded_step(
+        cfg, mesh, donate=False, backend="fused", interpret=True)(st_f, key)
+
+    assert int(np.asarray(drop_f).sum()) == 0
+    assert int(out_f.num_alive) == 400
+    assert int(out_f.num_risks) == int(out_x.num_risks)
+    assert int(out_f.overflow) == 0
+
+    def pairs(out):
+        v = np.asarray(out.alerts.valid).ravel()
+        a = np.asarray(out.alerts.vehicle_oid).ravel()[v]
+        b = np.asarray(out.alerts.other_oid).ravel()[v]
+        return {(min(int(x), int(y)), max(int(x), int(y)))
+                for x, y in zip(a, b)}
+    px, pf = pairs(out_x), pairs(out_f)
+    # fused emits per-object bests; as unordered pairs it must cover the
+    # XLA scene list minus pairs that are no object's best
+    assert pf <= px
+    assert len(pf) >= 0.8 * max(1, len(px))

@@ -142,13 +142,20 @@ def halo_exchange(state: ObjectState, cfg: SystemConfig,
     return halo_buf, halo_valid, drop_l + drop_r
 
 
-def extend_with_halo(state: ObjectState, halo_buf, halo_valid) -> ObjectState:
+def extend_with_halo(state: ObjectState, halo_buf, halo_valid,
+                     halo_oid_offset: int = 0) -> ObjectState:
     """Concatenate owned slots with halo mirrors into one detection-ready
     state. Halo rows are alive (so they appear as candidates) but callers
-    must not emit alerts for them (use query_mask)."""
-    n_h = halo_valid.shape[0]
+    must not emit alerts for them (use query_mask, or — for the fused
+    kernel, which sorts rows — pass halo_oid_offset >= the global object
+    count so halo mirrors are distinguishable by oid after sorting)."""
     ext = {}
     for f in _XCHG_FIELDS:
         ext[f] = jnp.concatenate([getattr(state, f), halo_buf[f]])
+    if halo_oid_offset:
+        n_own = state.oid.shape[0]
+        tail = ext["oid"][n_own:]
+        ext["oid"] = jnp.concatenate(
+            [state.oid, jnp.where(tail >= 0, tail + halo_oid_offset, tail)])
     alive = jnp.concatenate([state.alive, halo_valid])
     return ObjectState(alive=alive, **ext)

@@ -94,10 +94,72 @@ def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
-def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True):
+def _local_step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
+                      interpret: bool = False
+                      ) -> Tuple[ObjectState, StepOutput, jax.Array]:
+    """Per-shard body on the fused Pallas kernel (fast-mode semantics):
+    integrate -> migrate -> halo -> cell-list build + fused broad/narrow
+    phase over owned+halo rows -> per-shard alert top-k. Halo mirrors carry
+    oid + num_objects so they are distinguishable after the cell-list sort;
+    only owner rows (oid < num_objects) emit alerts — the other endpoint's
+    shard emits its own direction, matching the single-device fused path."""
+    from tpu_collide.kernels.cell_list import build_cell_list
+    from tpu_collide.kernels.fused_detect import fused_detect
+    from tpu_collide.alerts.extract import compute_priority
+
+    ax = cfg.shard.axis_name
+    s = jax.lax.axis_index(ax)
+    key = jax.random.fold_in(key, s)
+    state = integrate(state, key, cfg)
+    state, mig_dropped = migrate(state, cfg, s)
+    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s)
+    n_glob = cfg.num_objects
+    ext = extend_with_halo(state, halo_buf, halo_valid,
+                           halo_oid_offset=n_glob)
+
+    cl = build_cell_list(ext, cfg)
+    risk, other_oid, ttc, dist, rel_speed, col_pos, cnt = fused_detect(
+        cl, cfg, interpret=interpret)
+
+    a = cfg.alerts
+    soid = cl.oid_flat
+    own = (soid >= 0) & (soid < n_glob)
+    keep = own & (risk >= a.risk_low) & (other_oid >= 0)
+    prio = compute_priority(risk, ttc, cfg)
+    keyv = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + risk, -1.0)
+    top_key, top_i = jax.lax.top_k(keyv, a.max_scene_alerts)
+    valid = top_key >= 0.0
+    dec = lambda o: jnp.where(o >= n_glob, o - n_glob, o)   # undo halo offset
+    alerts = AlertBatch(
+        vehicle_oid=jnp.where(valid, soid[top_i], -1),
+        other_oid=jnp.where(valid, dec(other_oid[top_i]), -1),
+        risk=jnp.where(valid, risk[top_i], 0.0),
+        ttc=jnp.where(valid, ttc[top_i], jnp.inf),
+        distance=jnp.where(valid, dist[top_i], jnp.inf),
+        rel_speed=jnp.where(valid, rel_speed[top_i], 0.0),
+        priority=jnp.where(valid, prio[top_i], 0),
+        col_pos=col_pos[top_i],
+        valid=valid,
+        count=jnp.sum(valid, dtype=jnp.int32).reshape(1),
+    )
+    out = StepOutput(
+        alerts=alerts,
+        num_pairs_checked=jnp.asarray(0, jnp.int32),
+        num_risks=jax.lax.psum(
+            jnp.sum(jnp.where(own, cnt, 0), dtype=jnp.int32), ax),
+        max_risk=jax.lax.pmax(jnp.max(jnp.where(own, risk, 0.0)), ax),
+        num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
+        overflow=jax.lax.psum(cl.overflow, ax),
+    )
+    return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
+
+
+def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
+                      backend: str = "xla", interpret: bool = False):
     """Compile the SPMD step. State layout: every array's leading dim is
     num_shards * shard_slots(cfg), sharded along the mesh axis; each shard
-    owns the slots of its slab."""
+    owns the slots of its slab. backend='fused' runs the Pallas cell-list
+    kernel per shard (fast-mode semantics; interpret=True for CPU tests)."""
     ax = cfg.shard.axis_name
     spec_state = ObjectState(
         pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
@@ -111,10 +173,20 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True):
                           num_risks=P(), max_risk=P(), num_alive=P(),
                           overflow=P())
 
+    if backend == "fused":
+        body = partial(_local_step_fused, cfg=cfg, interpret=interpret)
+        # pallas_call outputs carry no varying-manual-axes metadata, which
+        # trips shard_map's VMA checker — disable it for the kernel body
+        # (the XLA body keeps the check; it caught real bugs)
+        check_vma = False
+    else:
+        body = partial(_local_step, cfg=cfg)
+        check_vma = True
     f = jax.shard_map(
-        partial(_local_step, cfg=cfg), mesh=mesh,
+        body, mesh=mesh,
         in_specs=(spec_state, P()),          # key replicated, folded per shard
         out_specs=(spec_state, spec_out, P(ax)),
+        check_vma=check_vma,
     )
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
