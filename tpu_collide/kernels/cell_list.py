@@ -37,9 +37,9 @@ import jax.numpy as jnp
 from tpu_collide.core.config import SystemConfig
 from tpu_collide.core.state import ObjectState
 
-LANE = 256          # elements per storage row (2 VPU lane-groups)
-TILE = 2048         # objects per kernel tile = 8 storage rows (DMA aligned)
-ALIGN = 2048
+LANE = 128          # elements per storage row (1 VPU lane-group)
+TILE = 1024         # objects per kernel tile = 8 storage rows (DMA aligned)
+ALIGN = 1024
 
 FIELD_NAMES = ("x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
                "size", "heading", "otype", "oid", "valid", "row")
