@@ -216,3 +216,37 @@ def test_collision_system_integration(tmp_path):
     assert stats["is_leader"]                      # single-node -> leader
     assert len(alerts) == 1
     assert stats["broker"]["published"] > 0        # alert egress flowed
+
+
+def test_api_client_roundtrip():
+    """ApiClient (stdlib fallback) against the stdlib server over a real
+    socket — the reference ApiClient surface (api.py:394-598)."""
+    from tpu_collide.api.rest import ApiClient
+    from tpu_collide.api.stdlib_server import SceneHTTPServer
+
+    sc = small_scene()
+    srv = SceneHTTPServer(sc, port=0)
+    port = srv.start()
+    client = ApiClient(f"http://127.0.0.1:{port}")
+
+    async def go():
+        assert (await client.health())["success"]
+        r = await client.update_location(
+            {"vehicle_id": "carA", "position": {"x": 100, "y": 100},
+             "velocity": {"x": 10}})
+        assert r["success"]
+        await client.update_location(
+            {"vehicle_id": "carB", "position": {"x": 180, "y": 100},
+             "velocity": {"x": -10}, "heading": 3.14159})
+        loc = await client.get_location("carA")
+        assert loc["data"]["position"]["x"] == 100.0
+        assert (await client.get_history("carA"))["success"]
+        al = await client.alerts()
+        stats = await client.stats()
+        assert stats["data"]["num_alive"] in (0, 2)   # pre/post flush
+        return True
+
+    try:
+        assert asyncio.new_event_loop().run_until_complete(go())
+    finally:
+        srv.stop()

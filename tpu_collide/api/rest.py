@@ -296,24 +296,50 @@ class ApiServer:
 
 class ApiClient:
     """Async HTTP client mirroring every endpoint (reference
-    api.py:394-598); built on httpx if available, else aiohttp."""
+    api.py:394-598). Uses httpx or aiohttp when available; otherwise a
+    stdlib urllib fallback running in a worker thread (this framework must
+    run anywhere JAX runs)."""
 
     def __init__(self, base_url: str = "http://127.0.0.1:8000"):
         self.base_url = base_url.rstrip("/")
 
+    def _request_sync(self, method: str, path: str, json_body=None):
+        import json as _json
+        import urllib.error
+        import urllib.request
+        data = (_json.dumps(json_body).encode()
+                if json_body is not None else None)
+        req = urllib.request.Request(
+            self.base_url + path, data=data, method=method,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return _json.loads(e.read())
+
     async def _request(self, method: str, path: str, json_body=None):
         try:
             import httpx
+        except ImportError:
+            httpx = None
+        if httpx is not None:
             async with httpx.AsyncClient() as c:
                 r = await c.request(method, self.base_url + path,
                                     json=json_body)
                 return r.json()
-        except ImportError:
+        try:
             import aiohttp
+        except ImportError:
+            aiohttp = None
+        if aiohttp is not None:
             async with aiohttp.ClientSession() as s:
                 async with s.request(method, self.base_url + path,
                                      json=json_body) as r:
                     return await r.json()
+        import asyncio
+        return await asyncio.get_event_loop().run_in_executor(
+            None, self._request_sync, method, path, json_body)
 
     async def health(self):
         return await self._request("GET", "/health")
