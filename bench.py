@@ -20,16 +20,11 @@ import argparse
 import json
 import time
 
-import os
-
 import jax
 
-# persistent compile cache: first-compile of the big kernels costs minutes
-# over the axon tunnel; cached recompiles take seconds
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/tpu_collide_jaxcache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from tpu_collide.core.utils import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

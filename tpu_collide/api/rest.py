@@ -224,7 +224,7 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
     @app.post("/step")
     async def step(body: StepModel):
         import asyncio
-        out = await asyncio.get_event_loop().run_in_executor(
+        out = await asyncio.get_running_loop().run_in_executor(
             None, scene.step, body.steps)     # device work off the loop
         return _ok({"step_count": scene.step_count,
                     "num_risks": int(out.num_risks),
@@ -234,7 +234,7 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
     @app.post("/detect")
     async def detect():
         import asyncio
-        batch = await asyncio.get_event_loop().run_in_executor(
+        batch = await asyncio.get_running_loop().run_in_executor(
             None, scene.detect)
         return _ok({"num_alerts": int(batch.count)})
 
@@ -316,7 +316,14 @@ class ApiClient:
             with urllib.request.urlopen(req, timeout=30) as r:
                 return _json.loads(r.read())
         except urllib.error.HTTPError as e:
-            return _json.loads(e.read())
+            body = e.read()
+            try:
+                return _json.loads(body)
+            except ValueError:
+                # non-JSON error body (proxy/ingress page): surface status
+                return {"success": False,
+                        "message": f"HTTP {e.code}: {body[:200]!r}",
+                        "data": None}
 
     async def _request(self, method: str, path: str, json_body=None):
         try:
@@ -338,7 +345,7 @@ class ApiClient:
                                      json=json_body) as r:
                     return await r.json()
         import asyncio
-        return await asyncio.get_event_loop().run_in_executor(
+        return await asyncio.get_running_loop().run_in_executor(
             None, self._request_sync, method, path, json_body)
 
     async def health(self):

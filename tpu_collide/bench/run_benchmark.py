@@ -86,7 +86,7 @@ def main(argv=None):
                                distribution="city_centered", seed=7)
         sim.initialize_vehicles()
         logger.info("phase: simulator (%d vehicles)", args.vehicles)
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         await loop.run_in_executor(
             None, lambda: sim.run(args.sim_duration, dt=0.5,
                                   sink=scene_sink(system.scene, sim)))

@@ -150,3 +150,18 @@ class CircuitBreaker:
             raise
         self.record_success()
         return out
+
+
+def enable_compile_cache(directory: Optional[str] = None) -> None:
+    """Persistent JAX compilation cache (first compiles of the big kernels
+    cost minutes over remote-compile tunnels; cached reruns take seconds).
+    Respects JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        directory or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                    "/tmp/tpu_collide_jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

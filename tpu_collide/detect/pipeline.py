@@ -36,14 +36,16 @@ from tpu_collide.index.grid import GridIndex, gather_candidates
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["other", "valid", "risk", "ttc", "distance",
-                      "rel_speed", "col_pos"],
+                      "rel_speed", "col_pos", "survivor_overflow"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class PairRisks:
     """Per-object candidate risk table, fixed shape [N, K].
 
     valid=True rows carry a detected collision risk; everything else is
-    padding (risk=0, ttc=inf)."""
+    padding (risk=0, ttc=inf). survivor_overflow counts stage-2 survivors
+    beyond precise_survivor_cap whose stage-3 sweep was skipped (0 in fast
+    mode and whenever the cap holds)."""
     other: jax.Array      # [N, K] int32 other-object index
     valid: jax.Array      # [N, K] bool
     risk: jax.Array       # [N, K] f32 in [0, 1]
@@ -51,6 +53,7 @@ class PairRisks:
     distance: jax.Array   # [N, K] f32 distance at collision time
     rel_speed: jax.Array  # [N, K] f32
     col_pos: jax.Array    # [N, K, 3] f32 midpoint at collision time
+    survivor_overflow: jax.Array   # [] int32
 
 
 def _pair_safe_distance(size_i, size_j, det):
@@ -193,6 +196,7 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
     sep_pos = rel_pos                       # p_j - p_i
     sep_vel = sep_vel_2
     sep_acc = acc_j - acc_i
+    surv_overflow = jnp.asarray(0, jnp.int32)
     if det.mode == "fast":
         hit, t_hit, d_hit = _fast_first_crossing(sep_pos, sep_vel, safe, det)
         hit &= pass2
@@ -203,6 +207,8 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
         q, k = pass2.shape
         cap = min(det.precise_survivor_cap, q * k)
         flat2 = pass2.reshape(-1)
+        surv_overflow = jnp.maximum(
+            jnp.sum(flat2, dtype=jnp.int32) - cap, 0)
         _, surv_idx = jax.lax.top_k(flat2.astype(jnp.int32), cap)
         surv_ok = flat2[surv_idx]
         g = lambda a: a.reshape(q * k, *a.shape[2:])[surv_idx]
@@ -235,4 +241,5 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
         distance=jnp.where(hit, d_hit, jnp.inf),
         rel_speed=jnp.where(hit, rel_speed, 0.0),
         col_pos=col_pos,
+        survivor_overflow=surv_overflow,
     )

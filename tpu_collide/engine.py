@@ -71,7 +71,8 @@ def step(state: ObjectState, key: jax.Array,
         num_risks=jnp.sum(pairs.valid, dtype=jnp.int32),
         max_risk=jnp.max(pairs.risk),
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
-        overflow=grid_overflow(index, cfg).astype(jnp.int32),
+        overflow=(grid_overflow(index, cfg).astype(jnp.int32)
+                  + pairs.survivor_overflow),
     )
     return state, out
 
@@ -117,9 +118,9 @@ def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
             priority=flat(prio), col_pos=flat(pairs.col_pos))
         n_risks = jnp.sum(pairs.valid & in_range[:, None], dtype=jnp.int32)
         max_risk = jnp.max(jnp.where(in_range[:, None], pairs.risk, 0.0))
-        return blk, n_risks, max_risk
+        return blk, n_risks, max_risk, pairs.survivor_overflow
 
-    blks, n_risks, max_risk = jax.lax.map(
+    blks, n_risks, max_risk, surv_oflow = jax.lax.map(
         block, jnp.arange(nblocks, dtype=jnp.int32))
 
     flat = {f: v.reshape(nblocks * a.max_scene_alerts, *v.shape[2:])
@@ -139,8 +140,8 @@ def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
         valid=valid,
         count=jnp.sum(valid, dtype=jnp.int32),
     )
-    return alerts, jnp.sum(n_risks), jnp.max(max_risk), grid_overflow(
-        index, cfg)
+    return alerts, jnp.sum(n_risks), jnp.max(max_risk), (
+        grid_overflow(index, cfg) + jnp.sum(surv_oflow))
 
 
 def step_chunked(state: ObjectState, key: jax.Array, cfg: SystemConfig,
@@ -171,36 +172,21 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
     exactly as the reference's AlertManager kept them), scene top-k."""
     from tpu_collide.kernels.cell_list import build_cell_list
     from tpu_collide.kernels.fused_detect import fused_detect
-    from tpu_collide.alerts.extract import compute_priority
+    from tpu_collide.alerts.extract import assemble_best_alert_batch
 
     state = integrate(state, key, cfg)
     cl = build_cell_list(state, cfg, window_rows=window_rows)
     risk, other_oid, ttc, dist, rel_speed, col_pos, cnt = fused_detect(
         cl, cfg, interpret=interpret)
 
-    a = cfg.alerts
     soid = cl.oid_flat
     # no oid-order dedup here: each object's best pair enters the scene
     # list from its own side (the reference's per-vehicle alert semantics,
     # warning_system.py:120-197). An oid<other filter on per-object BESTs
     # would drop real pairs whose lower-oid endpoint has a different best.
-    keep = (risk >= a.risk_low) & (other_oid >= 0) & (soid >= 0)
-    prio = compute_priority(risk, ttc, cfg)
-    keyv = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + risk, -1.0)
-    top_key, top_i = jax.lax.top_k(keyv, a.max_scene_alerts)
-    valid = top_key >= 0.0
-    alerts = AlertBatch(
-        vehicle_oid=jnp.where(valid, soid[top_i], -1),
-        other_oid=jnp.where(valid, other_oid[top_i], -1),
-        risk=jnp.where(valid, risk[top_i], 0.0),
-        ttc=jnp.where(valid, ttc[top_i], jnp.inf),
-        distance=jnp.where(valid, dist[top_i], jnp.inf),
-        rel_speed=jnp.where(valid, rel_speed[top_i], 0.0),
-        priority=jnp.where(valid, prio[top_i], 0),
-        col_pos=col_pos[top_i],
-        valid=valid,
-        count=jnp.sum(valid, dtype=jnp.int32),
-    )
+    keep = (risk >= cfg.alerts.risk_low) & (other_oid >= 0) & (soid >= 0)
+    alerts = assemble_best_alert_batch(
+        soid, other_oid, risk, ttc, dist, rel_speed, col_pos, keep, cfg)
     out = StepOutput(
         alerts=alerts,
         num_pairs_checked=jnp.asarray(0, jnp.int32),   # not tracked in-kernel

@@ -10,11 +10,11 @@ pure-XLA detection path at scale). The cell list removes gathers entirely:
     contiguous in sorted order and rows y-1, y, y+1 of one z are adjacent —
     each tile's broad-phase candidates are 1 contiguous window (2D) or 3
     disjoint windows (3D, one per z-layer);
-  * fields are laid out 2D as [R, LANE] (LANE = 256) so every Mosaic DMA is
-    a statically 8-row-aligned 2D slice, and every compute access is a FULL
-    dynamic row — Mosaic crashes on dynamic 1D offsets and on lane
-    sub-slices of dynamically-indexed rows (found empirically); tiles are
-    TILE = 2048 objects = 8 rows;
+  * fields are laid out 2D as [R, LANE] so every Mosaic DMA is a statically
+    8-row-aligned 2D slice, and every compute access is a FULL dynamic row —
+    Mosaic crashes on dynamic 1D offsets and on lane sub-slices of
+    dynamically-indexed rows (found empirically); tiles are TILE = 8*LANE
+    objects = 8 rows (see the LANE/TILE constants below);
   * per-tile window tables (start row, row count, cell-row range) are
     computed here; the kernel masks alignment padding exactly using each
     candidate's cell-row id (carried as a field), so no phantom pairs and
@@ -112,6 +112,11 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     num_cells = cfg.num_cells
     n = state.n
     num_tiles = -(-n // TILE)
+    # oids ride through the sort and kernel as f32; they (and any halo
+    # offset the sharded path adds, up to 2*num_objects) must stay exact
+    assert 2 * cfg.num_objects < 2 ** 24, (
+        "fused kernel stores oids in f32: fleets past ~8.3M objects need "
+        "the oid fields widened (ROADMAP)")
     if window_rows is None:
         window_rows = default_window_rows(cfg)
     assert window_rows % 8 == 0

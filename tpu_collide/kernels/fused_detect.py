@@ -1,10 +1,11 @@
 """Fused broad+narrow-phase Pallas kernel.
 
-Per 2048-object tile (8 storage rows of 256), this kernel does what the XLA
-path spreads over gather_candidates + detect_rows (SURVEY.md §7 stage 4):
-DMA the tile's contiguous candidate windows (cell_list.py) from HBM into
-VMEM and run the 4-stage fast-mode detection math on [256 own x 256 cand]
-pair blocks entirely on-chip, reducing per-object best-risk + risk counts.
+Per TILE-object tile (8 storage rows of LANE), this kernel does what the
+XLA path spreads over gather_candidates + detect_rows (SURVEY.md §7 stage
+4): DMA the tile's contiguous candidate windows (cell_list.py) from HBM
+into VMEM and run the 4-stage fast-mode detection math on [LANE own x LANE
+cand] pair blocks entirely on-chip, reducing per-object best-risk + risk
+counts.
 No [N, K] candidate arrays ever touch HBM and no irregular gathers exist.
 
 Loop nest per tile:   window (1 or 3 z-layers, disjoint cell-row ranges)

@@ -463,7 +463,7 @@ class StateTransferManager:
                             timeout: float = 5.0,
                             apply: bool = True) -> Any:
         rid = str(uuid.uuid4())
-        fut: asyncio.Future = asyncio.get_event_loop().create_future()
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._pending[rid] = fut
         await self.broker.publish(Message(
             topic=self._topic, key=rid,

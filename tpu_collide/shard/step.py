@@ -89,7 +89,8 @@ def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
         max_risk=jax.lax.pmax(jnp.max(pairs.risk), ax),
         num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
         overflow=jax.lax.psum(
-            grid_overflow(index, cfg).astype(jnp.int32), ax),
+            grid_overflow(index, cfg).astype(jnp.int32)
+            + pairs.survivor_overflow, ax),
     )
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
@@ -105,7 +106,7 @@ def _local_step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
     shard emits its own direction, matching the single-device fused path."""
     from tpu_collide.kernels.cell_list import build_cell_list
     from tpu_collide.kernels.fused_detect import fused_detect
-    from tpu_collide.alerts.extract import compute_priority
+    from tpu_collide.alerts.extract import assemble_best_alert_batch
 
     ax = cfg.shard.axis_name
     s = jax.lax.axis_index(ax)
@@ -121,27 +122,13 @@ def _local_step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
     risk, other_oid, ttc, dist, rel_speed, col_pos, cnt = fused_detect(
         cl, cfg, interpret=interpret)
 
-    a = cfg.alerts
     soid = cl.oid_flat
     own = (soid >= 0) & (soid < n_glob)
-    keep = own & (risk >= a.risk_low) & (other_oid >= 0)
-    prio = compute_priority(risk, ttc, cfg)
-    keyv = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + risk, -1.0)
-    top_key, top_i = jax.lax.top_k(keyv, a.max_scene_alerts)
-    valid = top_key >= 0.0
-    dec = lambda o: jnp.where(o >= n_glob, o - n_glob, o)   # undo halo offset
-    alerts = AlertBatch(
-        vehicle_oid=jnp.where(valid, soid[top_i], -1),
-        other_oid=jnp.where(valid, dec(other_oid[top_i]), -1),
-        risk=jnp.where(valid, risk[top_i], 0.0),
-        ttc=jnp.where(valid, ttc[top_i], jnp.inf),
-        distance=jnp.where(valid, dist[top_i], jnp.inf),
-        rel_speed=jnp.where(valid, rel_speed[top_i], 0.0),
-        priority=jnp.where(valid, prio[top_i], 0),
-        col_pos=col_pos[top_i],
-        valid=valid,
-        count=jnp.sum(valid, dtype=jnp.int32).reshape(1),
-    )
+    keep = own & (risk >= cfg.alerts.risk_low) & (other_oid >= 0)
+    alerts = assemble_best_alert_batch(
+        soid, other_oid, risk, ttc, dist, rel_speed, col_pos, keep, cfg,
+        decode_other=lambda o: jnp.where(o >= n_glob, o - n_glob, o))
+    alerts = dataclasses.replace(alerts, count=alerts.count.reshape(1))
     out = StepOutput(
         alerts=alerts,
         num_pairs_checked=jnp.asarray(0, jnp.int32),

@@ -150,7 +150,7 @@ class CollisionSystem:
             t0 = time.perf_counter()
             try:
                 if self.scene._id_to_slot or self.scene._pending:
-                    await asyncio.get_event_loop().run_in_executor(
+                    await asyncio.get_running_loop().run_in_executor(
                         None, self.scene.detect)
             except Exception as e:  # noqa: BLE001
                 logger.error("detection loop error: %s", e)
