@@ -45,12 +45,15 @@ class ShardedScene:
                  devices=None,
                  checkpoint_dir: Optional[str] = None,
                  auto_rebalance: bool = True,
-                 broker=None):
+                 broker=None, backend: str = "xla"):
+        """backend='fused' runs the Pallas cell-list kernel per shard
+        (fast-mode semantics)."""
         assert cfg.shard.num_shards > 1, "use Scene for a single device"
         self.cfg = cfg
         self.mesh = make_mesh(cfg, devices)
         self.slots = shard_slots(cfg)
-        self._step = make_sharded_step(cfg, self.mesh, donate=True)
+        self._step = make_sharded_step(cfg, self.mesh, donate=True,
+                                       backend=backend)
         self.alert_manager = AlertManager(cfg, broker=broker)
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
