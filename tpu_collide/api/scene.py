@@ -84,6 +84,7 @@ class Scene:
         (fast-mode semantics, big fleets); detect() always uses the exact
         XLA pipeline."""
         self.cfg = cfg
+        fresh = state is None
         self.state = state if state is not None else empty_state(cfg.num_objects)
         self._step = make_step(cfg, donate=True, backend=backend,
                                chunk_size=chunk_size)
@@ -106,7 +107,11 @@ class Scene:
         # query thread) would race a deallocation — observed as a wedged
         # CPU-backend stream under the threaded HTTP server.
         self._device_lock = threading.RLock()
-        self._num_alive = int(np.asarray(jnp.sum(self.state.alive)))
+        # a fresh fleet is all-dead by construction: skip the device read so
+        # service boot doesn't block ~minutes on first backend contact over
+        # remote-TPU tunnels (the first flush/step pays it instead)
+        self._num_alive = (0 if fresh
+                           else int(np.asarray(jnp.sum(self.state.alive))))
         self._traj = None          # TrajectoryHistory, created on first use
         self._traj_clock = 0.0
 
