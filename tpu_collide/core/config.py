@@ -14,10 +14,6 @@ import math
 from typing import Tuple
 
 
-def _freeze(**kw):
-    return dataclasses.field(default_factory=lambda: dict(kw))
-
-
 @dataclasses.dataclass(frozen=True)
 class WorldConfig:
     """Axis-aligned world bounds. Reference map default is 10 km x 10 km

@@ -88,8 +88,6 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
     dtt = det.time_step
     t_max = det.time_window - det.time_step + 1e-6
 
-    n_rows_tab = None  # cr tables sized [nrows+1]; indexed with clamped i32
-
     def window_pass(w, _):
         # window tables are flattened [T*W] (2D SMEM operands pad to 128
         # lanes and blow the 1 MB SMEM budget at large T)

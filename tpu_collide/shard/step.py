@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_collide.core.config import SystemConfig
-from tpu_collide.core.state import ObjectState, empty_state
+from tpu_collide.core.state import ObjectState
 from tpu_collide.index.grid import build_grid
 from tpu_collide.detect.pipeline import detect_pairs
 from tpu_collide.alerts.extract import extract_alerts, AlertBatch
