@@ -174,6 +174,19 @@ class NodeInfo:
 
 
 @dataclasses.dataclass
+class NodeConfig:
+    """Per-node tuning (reference models.py:87-94, consumed by
+    ComputeNodeFactory compute_node.py:645-672). In this framework the
+    compiled step replaces per-node workers; these knobs map onto
+    SystemConfig (search_radius -> DetectionConfig.search_radius,
+    batch_size/processing_interval -> scan chunking / detection_hz)."""
+    max_workers: int = 4
+    search_radius: float = 100.0
+    batch_size: int = 100
+    processing_interval: float = 0.1
+
+
+@dataclasses.dataclass
 class GridInfo:
     """A spatial tile. Reference: models.py:67-105."""
     grid_id: str
