@@ -180,3 +180,46 @@ def test_parity_city_skew_fleet():
     for key, (r0, t0, d0) in want.items():
         r1, t1, d1 = got[key]
         assert abs(t1 - t0) < 1e-5 and abs(r1 - r0) < 2e-3
+
+
+def test_golden_alert_snapshot():
+    """Frozen alert output for the 1000-vehicle city-skew scene (generated
+    from the oracle-verified implementation; guards refactors across
+    rounds). Regenerate deliberately if semantics change on purpose."""
+    import json
+    import os
+    import jax
+    from tpu_collide.core.config import AlertConfig
+    from tpu_collide.sim import generate_fleet
+    from tpu_collide import make_step
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "alerts_1000_cityskew.json")
+    with open(path) as f:
+        golden = json.load(f)
+
+    cfg = SystemConfig(num_objects=1000,
+                       detect=DetectionConfig(mode="precise"),
+                       alerts=AlertConfig(max_scene_alerts=256))
+    st = generate_fleet(jax.random.key(42), cfg)
+    _, out = make_step(cfg, donate=False)(st, jax.random.key(7))
+    assert int(out.num_risks) == golden["num_risks"]
+    v = np.asarray(out.alerts.valid)
+    got = sorted(
+        ({"vehicle": int(a), "other": int(b),
+          "risk": round(float(r), 5), "ttc": round(float(t), 4),
+          "priority": int(p)}
+         for a, b, r, t, p in zip(
+             np.asarray(out.alerts.vehicle_oid)[v],
+             np.asarray(out.alerts.other_oid)[v],
+             np.asarray(out.alerts.risk)[v],
+             np.asarray(out.alerts.ttc)[v],
+             np.asarray(out.alerts.priority)[v])),
+        key=lambda x: (x["vehicle"], x["other"]))
+    want = golden["alerts"]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["vehicle"] == w["vehicle"] and g["other"] == w["other"]
+        assert abs(g["risk"] - w["risk"]) < 1e-4
+        assert abs(g["ttc"] - w["ttc"]) < 1e-3
+        assert g["priority"] == w["priority"]
