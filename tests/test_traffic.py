@@ -119,9 +119,10 @@ def test_load_balancer_occupancy_and_rebalance():
 
     lb = LoadBalancer(cfg, slots, check_every=1)
     assert lb.should_rebalance(st)
-    st2 = lb.rebalance(st, mesh)
+    st2, boundaries = lb.rebalance(st, mesh)
     occ2 = shard_occupancy(st2, cfg, slots)
     assert occ2.sum() == 400             # conservation
+    assert imbalance(occ2) < 1.2         # walls moved into the dense zone
     assert lb.stats["rebalances"] == 1
 
 

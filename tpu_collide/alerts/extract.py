@@ -99,33 +99,3 @@ def extract_alerts(state: ObjectState, pairs: PairRisks,
         valid=valid,
         count=jnp.sum(valid, dtype=jnp.int32),
     )
-
-
-def assemble_best_alert_batch(soid, other_oid, risk, ttc, distance,
-                              rel_speed, col_pos, keep,
-                              cfg: SystemConfig,
-                              decode_other=None) -> AlertBatch:
-    """Scene AlertBatch from per-object best-pair vectors (the fused-kernel
-    outputs): rank kept rows by (priority, risk), take the scene top-k.
-    decode_other: optional map applied to other-oids (the sharded path
-    offsets halo oids)."""
-    a = cfg.alerts
-    prio = compute_priority(risk, ttc, cfg)
-    keyv = jnp.where(keep, prio.astype(jnp.float32) * 2.0 + risk, -1.0)
-    top_key, top_i = jax.lax.top_k(keyv, a.max_scene_alerts)
-    valid = top_key >= 0.0
-    other_top = other_oid[top_i]
-    if decode_other is not None:
-        other_top = decode_other(other_top)
-    return AlertBatch(
-        vehicle_oid=jnp.where(valid, soid[top_i], -1),
-        other_oid=jnp.where(valid, other_top, -1),
-        risk=jnp.where(valid, risk[top_i], 0.0),
-        ttc=jnp.where(valid, ttc[top_i], jnp.inf),
-        distance=jnp.where(valid, distance[top_i], jnp.inf),
-        rel_speed=jnp.where(valid, rel_speed[top_i], 0.0),
-        priority=jnp.where(valid, prio[top_i], 0),
-        col_pos=col_pos[top_i],
-        valid=valid,
-        count=jnp.sum(valid, dtype=jnp.int32),
-    )

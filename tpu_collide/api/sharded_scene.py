@@ -61,6 +61,7 @@ class ShardedScene:
                          if auto_rebalance else None)
         self.step_count = 0
         self.dropped_total = 0
+        self.boundaries = None        # [D+1] dynamic slab walls (None=equal)
         self._key = jax.random.key(0)
         self._lock = threading.RLock()
         self.stats_timing = {"steps": 0, "total_ms": 0.0, "max_ms": 0.0}
@@ -73,7 +74,8 @@ class ShardedScene:
     def adopt_fleet(self, fleet: ObjectState) -> None:
         """Distribute a host/global fleet across the mesh by x-slab."""
         with self._lock:
-            self.state = distribute_state(fleet, self.cfg, self.mesh)
+            self.state = distribute_state(fleet, self.cfg, self.mesh,
+                                          boundaries=self.boundaries)
 
     def collect(self) -> ObjectState:
         """Gather the sharded fleet to one addressable host state."""
@@ -88,7 +90,8 @@ class ShardedScene:
             for _ in range(n):
                 self._key, sub = jax.random.split(self._key)
                 with Timer() as t:
-                    self.state, out, dropped = self._step(self.state, sub)
+                    self.state, out, dropped = self._step(
+                        self.state, sub, self.boundaries)
                     jax.block_until_ready(out.num_risks)
                 self.step_count += 1
                 self.dropped_total += int(np.asarray(dropped).sum())
@@ -97,7 +100,8 @@ class ShardedScene:
                 self.stats_timing["max_ms"] = max(
                     self.stats_timing["max_ms"], t.elapsed_ms)
                 if self.balancer and self.balancer.should_rebalance(self.state):
-                    self.state = self.balancer.rebalance(self.state, self.mesh)
+                    self.state, self.boundaries = self.balancer.rebalance(
+                        self.state, self.mesh)
             self.alert_manager.process_batch(out.alerts)
         return out
 
@@ -156,6 +160,7 @@ class ShardedScene:
                 size=np.asarray(host.size)[idx],
                 otype=np.asarray(host.otype)[idx],
                 oid=np.asarray(host.oid)[idx])
-            self.state = distribute_state(packed, self.cfg, self.mesh)
+            self.state = distribute_state(packed, self.cfg, self.mesh,
+                                          boundaries=self.boundaries)
             self.step_count = meta["step"]
         return self.step_count

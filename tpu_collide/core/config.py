@@ -74,6 +74,11 @@ class DetectionConfig:
     # reachable through stage 2 in the reference, collision_detection.py:
     # 143-151; excess survivors beyond the cap are counted in overflow).
     precise_survivor_cap: int = 4096
+    # Per-object stage-2 survivor slots kept by the fused kernel in precise
+    # mode (kernels/fused_detect.py mode='survivors'); survivors beyond this
+    # are counted in alert_overflow. 8 covers any plausible simultaneous
+    # near-collision count per object; raise for pathological densities.
+    survivor_k: int = 8
     # Stage-2 closest-approach sign convention. The reference computes
     # t* = -dot(rel_pos, rel_vel)/|rel_vel|^2 with rel_pos = other - vehicle
     # but rel_vel = vehicle - other (collision_detection.py:252-277), which

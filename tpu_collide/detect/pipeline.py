@@ -36,7 +36,8 @@ from tpu_collide.index.grid import GridIndex, gather_candidates
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["other", "valid", "risk", "ttc", "distance",
-                      "rel_speed", "col_pos", "survivor_overflow"],
+                      "rel_speed", "col_pos", "survivor_overflow",
+                      "num_checked"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class PairRisks:
@@ -45,7 +46,10 @@ class PairRisks:
     valid=True rows carry a detected collision risk; everything else is
     padding (risk=0, ttc=inf). survivor_overflow counts stage-2 survivors
     beyond precise_survivor_cap whose stage-3 sweep was skipped (0 in fast
-    mode and whenever the cap holds)."""
+    mode and whenever the cap holds). num_checked counts candidate pairs
+    that passed stage 1 (alive, non-self, within search radius) — the
+    cross-backend `num_pairs_checked` definition shared with the fused
+    kernel's counter."""
     other: jax.Array      # [N, K] int32 other-object index
     valid: jax.Array      # [N, K] bool
     risk: jax.Array       # [N, K] f32 in [0, 1]
@@ -54,6 +58,7 @@ class PairRisks:
     rel_speed: jax.Array  # [N, K] f32
     col_pos: jax.Array    # [N, K, 3] f32 midpoint at collision time
     survivor_overflow: jax.Array   # [] int32
+    num_checked: jax.Array         # [] int32
 
 
 def _pair_safe_distance(size_i, size_j, det):
@@ -149,16 +154,21 @@ def detect_pairs(state: ObjectState, index: GridIndex,
 
 
 def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
-                rows: jax.Array) -> PairRisks:
+                rows: jax.Array,
+                row_valid: jax.Array | None = None) -> PairRisks:
     """Stages 1-4 for the query objects `rows` ([Q] int32) against the whole
     indexed fleet. `detect_pairs` is rows = arange(N); the chunked large-N
-    path maps this over row blocks so [Q, K] intermediates stay small."""
+    path maps this over row blocks so [Q, K] intermediates stay small
+    (passing `row_valid` to mask its duplicated tail rows out of the
+    stage-1 counter)."""
     det = cfg.detect
 
     # ---- stage 1: spatial filtering ----
     cand, cand_ok = gather_candidates(index, index.cell3[rows], cfg)  # [Q, K]
     cand_ok &= (cand != rows[:, None])
     cand_ok &= state.alive[cand] & state.alive[rows][:, None]
+    if row_valid is not None:
+        cand_ok &= row_valid[:, None]
 
     pos_i = state.pos[rows][:, None, :]    # [Q, 1, 3]
     pos_j = state.pos[cand]                # [Q, K, 3]
@@ -242,4 +252,5 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
         rel_speed=jnp.where(hit, rel_speed, 0.0),
         col_pos=col_pos,
         survivor_overflow=surv_overflow,
+        num_checked=jnp.sum(cand_ok, dtype=jnp.int32),
     )

@@ -28,18 +28,26 @@ from tpu_collide.sim.integrator import integrate
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["alerts", "num_pairs_checked", "num_risks",
-                      "max_risk", "num_alive", "overflow"],
+                      "max_risk", "num_alive", "overflow",
+                      "alert_overflow"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class StepOutput:
     alerts: AlertBatch
-    num_pairs_checked: jax.Array   # [] int32 — candidate pairs examined
+    num_pairs_checked: jax.Array   # [] int32 — candidate pairs that passed
+                                   # stage 1 (alive, non-self, within search
+                                   # radius); same definition on the xla,
+                                   # chunked and fused backends
     num_risks: jax.Array           # [] int32 — stage-4 risks produced
     max_risk: jax.Array            # [] f32
     num_alive: jax.Array           # [] int32
     overflow: jax.Array            # [] int32 — broad-phase capacity overflow
                                    # (cell/window slots beyond static caps;
                                    # 0 means every candidate was examined)
+    alert_overflow: jax.Array      # [] int32 — alert-path capacity overflow
+                                   # (fused per-object slots / survivor cap /
+                                   # XLA survivor cap); 0 means the alert
+                                   # list is provably complete
 
 
 def detect_only(state: ObjectState, cfg: SystemConfig) -> PairRisks:
@@ -67,12 +75,12 @@ def step(state: ObjectState, key: jax.Array,
     alerts = extract_alerts(state, pairs, cfg)
     out = StepOutput(
         alerts=alerts,
-        num_pairs_checked=jnp.asarray(pairs.risk.size, jnp.int32),
+        num_pairs_checked=pairs.num_checked,
         num_risks=jnp.sum(pairs.valid, dtype=jnp.int32),
         max_risk=jnp.max(pairs.risk),
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
-        overflow=(grid_overflow(index, cfg).astype(jnp.int32)
-                  + pairs.survivor_overflow),
+        overflow=grid_overflow(index, cfg).astype(jnp.int32),
+        alert_overflow=pairs.survivor_overflow,
     )
     return state, out
 
@@ -97,7 +105,7 @@ def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
         rows = b * chunk + jnp.arange(chunk, dtype=jnp.int32)
         in_range = rows < n
         rows = jnp.minimum(rows, n - 1)
-        pairs = detect_rows(state, index, cfg, rows)
+        pairs = detect_rows(state, index, cfg, rows, row_valid=in_range)
         keep = (pairs.valid & (pairs.risk >= a.risk_low)
                 & (state.oid[rows][:, None] < state.oid[pairs.other])
                 & in_range[:, None])
@@ -118,9 +126,10 @@ def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
             priority=flat(prio), col_pos=flat(pairs.col_pos))
         n_risks = jnp.sum(pairs.valid & in_range[:, None], dtype=jnp.int32)
         max_risk = jnp.max(jnp.where(in_range[:, None], pairs.risk, 0.0))
-        return blk, n_risks, max_risk, pairs.survivor_overflow
+        return (blk, n_risks, max_risk, pairs.survivor_overflow,
+                pairs.num_checked)
 
-    blks, n_risks, max_risk, surv_oflow = jax.lax.map(
+    blks, n_risks, max_risk, surv_oflow, n_checked = jax.lax.map(
         block, jnp.arange(nblocks, dtype=jnp.int32))
 
     flat = {f: v.reshape(nblocks * a.max_scene_alerts, *v.shape[2:])
@@ -140,23 +149,25 @@ def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
         valid=valid,
         count=jnp.sum(valid, dtype=jnp.int32),
     )
-    return alerts, jnp.sum(n_risks), jnp.max(max_risk), (
-        grid_overflow(index, cfg) + jnp.sum(surv_oflow))
+    return (alerts, jnp.sum(n_risks), jnp.max(max_risk),
+            grid_overflow(index, cfg).astype(jnp.int32),
+            jnp.sum(surv_oflow).astype(jnp.int32),
+            jnp.sum(n_checked).astype(jnp.int32))
 
 
 def step_chunked(state: ObjectState, key: jax.Array, cfg: SystemConfig,
                  chunk: int) -> tuple[ObjectState, StepOutput]:
     """Large-N step: identical semantics to `step`, blocked detection."""
     state = integrate(state, key, cfg)
-    alerts, n_risks, max_risk, oflow = _chunked_detect_extract(
-        state, cfg, chunk)
+    alerts, n_risks, max_risk, oflow, aoflow, n_checked = \
+        _chunked_detect_extract(state, cfg, chunk)
     out = StepOutput(
         alerts=alerts,
-        num_pairs_checked=jnp.asarray(state.n * cfg.max_candidates,
-                                      jnp.int32),
+        num_pairs_checked=n_checked,
         num_risks=n_risks, max_risk=max_risk,
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
-        overflow=oflow.astype(jnp.int32),
+        overflow=oflow,
+        alert_overflow=aoflow,
     )
     return state, out
 
@@ -165,35 +176,37 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
                window_rows: int | None = None, interpret: bool = False
                ) -> tuple[ObjectState, StepOutput]:
     """Production-scale step on the fused Pallas kernel (kernels/): cell-list
-    build (one multi-operand sort) + on-chip broad+narrow phase. Fast-mode
-    (constant-velocity) stage-3 semantics; alert list = each object's
-    highest-risk pair from its own side (the reference's per-vehicle alert
-    view, warning_system.py:120-197 — both directions of a pair may appear,
-    exactly as the reference's AlertManager kept them), scene top-k."""
+    build (one multi-operand sort) + on-chip broad+narrow top-k slots + XLA
+    refine of the selected alert pairs (kernels/refine.py).
+
+    Both detection modes run at kernel scale: 'fast' (closed-form
+    constant-velocity stage 3) and 'precise' (kernel emits stage-2
+    survivors; the sampled constant-acceleration sweep runs on the
+    compacted survivor list — exact reference stage-3 semantics,
+    collision_detection.py:296-342).
+
+    Alert semantics: each object's qualifying pairs enter from its own side
+    (the reference's per-vehicle alert view, warning_system.py:120-197 —
+    both directions of a pair may appear, exactly as the reference's
+    AlertManager kept them). The scene list equals the XLA selection
+    whenever out.alert_overflow == 0."""
     from tpu_collide.kernels.cell_list import build_cell_list
-    from tpu_collide.kernels.fused_detect import fused_detect
-    from tpu_collide.alerts.extract import assemble_best_alert_batch
+    from tpu_collide.kernels.refine import (fused_scene_fast,
+                                            fused_scene_precise)
 
     state = integrate(state, key, cfg)
     cl = build_cell_list(state, cfg, window_rows=window_rows)
-    risk, other_oid, ttc, dist, rel_speed, col_pos, cnt = fused_detect(
-        cl, cfg, interpret=interpret)
-
-    soid = cl.oid_flat
-    # no oid-order dedup here: each object's best pair enters the scene
-    # list from its own side (the reference's per-vehicle alert semantics,
-    # warning_system.py:120-197). An oid<other filter on per-object BESTs
-    # would drop real pairs whose lower-oid endpoint has a different best.
-    keep = (risk >= cfg.alerts.risk_low) & (other_oid >= 0) & (soid >= 0)
-    alerts = assemble_best_alert_batch(
-        soid, other_oid, risk, ttc, dist, rel_speed, col_pos, keep, cfg)
+    scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
+                else fused_scene_precise)
+    res = scene_fn(cl, cfg, interpret=interpret)
     out = StepOutput(
-        alerts=alerts,
-        num_pairs_checked=jnp.asarray(0, jnp.int32),   # not tracked in-kernel
-        num_risks=jnp.sum(cnt, dtype=jnp.int32),
-        max_risk=jnp.max(risk),
+        alerts=res.alerts,
+        num_pairs_checked=res.num_checked,
+        num_risks=res.num_risks,
+        max_risk=res.max_risk,
         num_alive=jnp.sum(state.alive, dtype=jnp.int32),
         overflow=cl.overflow,
+        alert_overflow=res.alert_overflow,
     )
     return state, out
 
@@ -206,7 +219,8 @@ def make_step(cfg: SystemConfig, donate: bool = True,
 
     backend='xla' (default): exact reference semantics; chunk_size selects
     the blocked large-N variant. backend='fused': the Pallas cell-list
-    kernel — the speed-of-light path for big fleets (fast mode only)."""
+    kernel — the speed-of-light path for big fleets, in both 'fast' and
+    'precise' detection modes."""
     if backend == "fused":
         fn = partial(step_fused, cfg=cfg, window_rows=window_rows,
                      interpret=interpret)

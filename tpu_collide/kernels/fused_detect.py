@@ -1,12 +1,43 @@
-"""Fused broad+narrow-phase Pallas kernel.
+"""Fused broad+narrow-phase Pallas kernel: per-object top-k pair slots.
 
 Per TILE-object tile (8 storage rows of LANE), this kernel does what the
 XLA path spreads over gather_candidates + detect_rows (SURVEY.md §7 stage
 4): DMA the tile's contiguous candidate windows (cell_list.py) from HBM
-into VMEM and run the 4-stage fast-mode detection math on [LANE own x LANE
-cand] pair blocks entirely on-chip, reducing per-object best-risk + risk
-counts.
-No [N, K] candidate arrays ever touch HBM and no irregular gathers exist.
+into VMEM and run the detection math on [LANE own x LANE cand] pair blocks
+entirely on-chip. No [N, K] candidate arrays ever touch HBM and no
+irregular gathers exist.
+
+Output design (round 2): instead of reducing full pair payloads per object,
+each object keeps K SLOTS of (key, candidate-sorted-index) ranked by key,
+plus three counters. The payload (ttc/dist/col_pos/...) for the few pairs
+that actually surface as alerts is recomputed afterwards in XLA by
+gathering the candidate's fields from the already-sorted cell-list arrays
+(kernels/refine.py) — slots are 2 numbers, not 8, so the kernel does less
+work per block than the round-1 best-pair reduction while giving EXACT
+scene-alert parity whenever no object has more than K qualifying pairs
+(overflow is counted, never silent).
+
+Key packing (mode="hits", fast stage-3):
+    qualifying hit (risk >= risk_low):  key = 2*priority + risk  (>= 0)
+    sub-threshold hit:                  key = risk - 2           ([-2, -1.7))
+    no hit / padding:                   key = -3
+2*priority + risk is EXACTLY the scene ranking key used by the XLA alert
+extractor (alerts/extract.py), so a scene top-A over raw slot keys equals
+the XLA scene selection; qualifying pairs always outrank sub-threshold ones
+so none is evicted while count_qualifying <= K. risk (and priority) are
+recoverable: risk = key - 2*floor(key/2) for every emitted key.
+
+mode="survivors" (precise stage-3 support, reference
+collision_detection.py:296-342): slots hold stage-2 survivors ranked by
+closest-approach proximity, key = 1 - d_closest^2/safe^2 in [0, 1]; the
+constant-acceleration sampled sweep then runs in XLA on the compacted
+survivor list (detect/pipeline._precise_sweep), which is how 'precise'
+semantics scale past the chunked-XLA path.
+
+Counters per object: pairs checked (stage-1 pass: alive, non-self, within
+search radius — the cross-backend `num_pairs_checked` definition), pairs
+emitted-class (hits / survivors), and qualifying hits (risk >= risk_low;
+== emitted in survivor mode).
 
 Loop nest per tile:   window (1 or 3 z-layers, disjoint cell-row ranges)
                     -> own storage row (8)
@@ -23,10 +54,6 @@ offsets and lane sub-slices of dynamic rows crash the compiler); DMA
 endpoints are whole buffers or aligned slices; accumulators live in VMEM
 scratch because lax.cond with vector-carried values SIGABRTs the compiler
 (register-carried accumulators were tried and reverted).
-
-Scope: fast (constant-velocity) stage-3 semantics — the production/scale
-path. The sampled constant-acceleration 'precise' mode stays on the XLA
-path (engine.make_step), which is the alert-parity reference.
 """
 from __future__ import annotations
 
@@ -43,6 +70,8 @@ from tpu_collide.kernels.cell_list import CellList, TILE, LANE, FIELD_NAMES
 NF = len(FIELD_NAMES)   # 15
 ROWS = TILE // LANE     # 8 own storage rows per tile
 _BIG = 3.0e38
+KEY_NONE = -3.0         # slot/init key for "nothing here"
+KEY_SUB = -2.0          # sub-threshold hits live at risk + KEY_SUB
 
 (_X, _Y, _Z, _VX, _VY, _VZ, _AX, _AY, _AZ,
  _SIZE, _HEAD, _TYPE, _OID, _VALID, _ROW) = range(NF)
@@ -52,15 +81,20 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
             row_rlo_ref, row_rhi_ref, row_xlo_ref, row_xhi_ref,
             cr_floor_ref, cr_ceil_ref,
             *refs,
-            cfg: SystemConfig, window_rows: int, n_windows: int):
+            cfg: SystemConfig, window_rows: int, n_windows: int,
+            k: int, emit: str):
+    n_out = 2 * k + 3
     hbm = refs[:NF]
-    outs = refs[NF:NF + 9]
-    rest = refs[NF + 9:]
-    own = rest[:NF]                    # 15 x VMEM (ROWS, LANE)
-    win = rest[NF:2 * NF]              # 15 x VMEM (window_rows, LANE)
-    outbuf = rest[2 * NF:2 * NF + 9]   # 9 x VMEM (ROWS, LANE)
-    sem_own, sem_win, sem_out = rest[2 * NF + 9:]
+    outs = refs[NF:NF + n_out]
+    rest = refs[NF + n_out:]
+    own = rest[:NF]                        # 15 x VMEM (ROWS, LANE)
+    win = rest[NF:2 * NF]                  # 15 x VMEM (window_rows, LANE)
+    okey = rest[2 * NF:2 * NF + k]         # k x VMEM (ROWS, LANE) slot keys
+    oidx = rest[2 * NF + k:2 * NF + 2 * k]  # k x VMEM slot cand indices
+    ocnt = rest[2 * NF + 2 * k:2 * NF + 2 * k + 3]  # checked/emitted/qual
+    sem_own, sem_win, sem_out = rest[2 * NF + n_out:]
     det = cfg.detect
+    al = cfg.alerts
     t = pl.program_id(0)
 
     base = pl.multiple_of(t * ROWS, ROWS)
@@ -72,21 +106,21 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
                               own[f], sem_own.at[f]).wait()
 
     zero = jnp.zeros((ROWS, LANE), jnp.float32)
-    outbuf[0][:, :] = zero                       # best risk
-    outbuf[1][:, :] = zero - 1.0                 # best oid
-    outbuf[2][:, :] = zero + _BIG                # ttc
-    outbuf[3][:, :] = zero + _BIG                # dist
-    outbuf[4][:, :] = zero                       # rel speed
-    outbuf[5][:, :] = zero                       # cpx
-    outbuf[6][:, :] = zero                       # cpy
-    outbuf[7][:, :] = zero                       # cpz
-    outbuf[8][:, :] = zero                       # count
+    for j in range(k):
+        okey[j][:, :] = zero + KEY_NONE
+        oidx[j][:, :] = zero - 1.0
+    for j in range(3):
+        ocnt[j][:, :] = zero
 
     conv = 1.0 if det.convention == "physical" else -1.0
     r_max = det.search_radius
     r2_max = r_max * r_max
     dtt = det.time_step
     t_max = det.time_window - det.time_step + 1e-6
+    ny_shift = cfg.grid_dims[1]   # cell-row id delta between z-layers
+    # tpu.iota only produces integers; cast to f32 for the select math
+    col_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (LANE, LANE), 1).astype(jnp.float32)
 
     def window_pass(w, _):
         # window tables are flattened [T*W] (2D SMEM operands pad to 128
@@ -96,8 +130,6 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
         wn = w_nrows_ref[wi]
         rlo_i = w_rlo_ref[wi]
         rhi_i = w_rhi_ref[wi]
-        rlo = rlo_i.astype(jnp.float32)
-        rhi = rhi_i.astype(jnp.float32)
         wn_eff = jnp.minimum(wn, window_rows)
 
         @pl.when(wn > 0)
@@ -126,139 +158,250 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
                 osize, ohead = colv(_SIZE), colv(_HEAD)
                 otype, ooid = colv(_TYPE), colv(_OID)
 
-                # exact candidate storage-row span for this sub-block: the
-                # cell-rows [sr_lo-1, sr_hi+1] clipped to this window's
-                # range, mapped through the cr_floor/cr_ceil tables — no
-                # per-row adjacency branching at all
+                # exact candidate storage-row spans for this sub-block:
+                # the cell-rows [sr_lo-1, sr_hi+1] PLUS their z-layer
+                # shifted copies (+-ny in cell-row id space; round-1 bug:
+                # the shifts were missing, so cross-z-layer candidates
+                # were only seen when a tile happened to span a layer),
+                # disjointified so no candidate row is visited twice,
+                # clipped to this window's range and mapped through the
+                # cr_floor/cr_ceil tables — no per-row adjacency branching
                 tab_max = jnp.int32(cr_floor_ref.shape[0] - 1)
-                a = jnp.maximum(sr_lo - 1, rlo_i)
-                b = jnp.minimum(sr_hi + 1, rhi_i)
-                a_c = jnp.clip(a, 0, tab_max)
-                b_c = jnp.clip(b + 1, 0, tab_max)
-                c_lo = jnp.clip(cr_floor_ref[a_c] - wrow, 0, wn_eff)
-                c_hi = jnp.clip(cr_ceil_ref[b_c] - wrow, 0, wn_eff)
-                c_hi = jnp.where(b < a, c_lo, c_hi)
+                sa = sr_lo - 1
+                sb = sr_hi + 1
+                if n_windows == 1:
+                    spans = ((sa, sb),)
+                else:
+                    spans = ((sa - ny_shift, sb - ny_shift),
+                             (jnp.maximum(sa, sb - ny_shift + 1), sb),
+                             (jnp.maximum(sa + ny_shift, sb + 1),
+                              sb + ny_shift))
 
-                def crow_pass(c, _):
-                    gr = wrow + c
-                    cx_lo = row_xlo_ref[gr]
-                    cx_hi = row_xhi_ref[gr]
+                def make_crow_pass(a_f, b_f):
+                    # a_f/b_f: THIS span's cell-row bounds — the guard must
+                    # be per-span (not per-window) because abutting spans
+                    # can share a boundary storage row (cell-rows are not
+                    # lane-aligned); a window-level guard would count its
+                    # candidates twice
+                    def crow_pass(c, _):
+                        gr = wrow + c
+                        cx_lo = row_xlo_ref[gr]
+                        cx_hi = row_xhi_ref[gr]
 
-                    # x-overlap guard (sorted order makes rows x-coherent)
-                    @pl.when((cx_lo <= ox_hi + r_max)
-                             & (cx_hi >= ox_lo - r_max))
-                    def _():
-                        rowv = lambda f: win[f][c, :][None, :]
-                        cx, cy, cz = rowv(_X), rowv(_Y), rowv(_Z)
-                        cvx, cvy, cvz = rowv(_VX), rowv(_VY), rowv(_VZ)
-                        cax, cay, caz = rowv(_AX), rowv(_AY), rowv(_AZ)
-                        csize, chead = rowv(_SIZE), rowv(_HEAD)
-                        ctype, coid = rowv(_TYPE), rowv(_OID)
-                        cvalid, crow = rowv(_VALID), rowv(_ROW)
-                        c_ok = ((cvalid > 0.5) & (crow >= rlo)
-                                & (crow <= rhi))
+                        # x-overlap guard (sorted order makes rows x-coherent)
+                        @pl.when((cx_lo <= ox_hi + r_max)
+                                 & (cx_hi >= ox_lo - r_max))
+                        def _():
+                            rowv = lambda f: win[f][c, :][None, :]
+                            cx, cy, cz = rowv(_X), rowv(_Y), rowv(_Z)
+                            cvx, cvy, cvz = rowv(_VX), rowv(_VY), rowv(_VZ)
+                            cax, cay, caz = rowv(_AX), rowv(_AY), rowv(_AZ)
+                            csize, chead = rowv(_SIZE), rowv(_HEAD)
+                            ctype, coid = rowv(_TYPE), rowv(_OID)
+                            cvalid, crow = rowv(_VALID), rowv(_ROW)
+                            c_ok = ((cvalid > 0.5) & (crow >= a_f)
+                                    & (crow <= b_f))
 
-                        # stage 1: exact radius + alive + no self
-                        dxp, dyp, dzp = cx - ox, cy - oy, cz - oz
-                        d2 = dxp * dxp + dyp * dyp + dzp * dzp
-                        ok = (c_ok & o_ok & (coid != ooid)
-                              & (d2 <= r2_max))
+                            # stage 1: exact radius + alive + no self
+                            dxp, dyp, dzp = cx - ox, cy - oy, cz - oz
+                            d2 = dxp * dxp + dyp * dyp + dzp * dzp
+                            ok1 = (c_ok & o_ok & (coid != ooid)
+                                   & (d2 <= r2_max))
 
-                        # stage 2: closest approach
-                        dvx, dvy, dvz = cvx - ovx, cvy - ovy, cvz - ovz
-                        rs2 = dvx * dvx + dvy * dvy + dvz * dvz
-                        dot = dxp * dvx + dyp * dvy + dzp * dvz
-                        rs2s = jnp.where(rs2 > 1e-12, rs2, 1.0)
-                        ts = -(conv * dot) / rs2s
-                        dax, day, daz = cax - oax, cay - oay, caz - oaz
-                        cdx = dxp + dvx * ts + 0.5 * dax * ts * ts
-                        cdy = dyp + dvy * ts + 0.5 * day * ts * ts
-                        cdz = dzp + dvz * ts + 0.5 * daz * ts * ts
-                        cd2 = cdx * cdx + cdy * cdy + cdz * cdz
-                        safe = ((osize + csize) * 0.5
-                                + det.safe_distance_base)
-                        safe2 = safe * safe
-                        ok &= ((rs2 >= det.min_relative_speed ** 2)
-                               & (ts >= 0.0) & (ts <= det.time_window)
-                               & (cd2 <= safe2))
+                            # stage 2: closest approach (const-accel distance at
+                            # t*, reference collision_detection.py:229-294)
+                            dvx, dvy, dvz = cvx - ovx, cvy - ovy, cvz - ovz
+                            rs2 = dvx * dvx + dvy * dvy + dvz * dvz
+                            dot = dxp * dvx + dyp * dvy + dzp * dvz
+                            rs2s = jnp.where(rs2 > 1e-12, rs2, 1.0)
+                            ts = -(conv * dot) / rs2s
+                            dax, day, daz = cax - oax, cay - oay, caz - oaz
+                            cdx = dxp + dvx * ts + 0.5 * dax * ts * ts
+                            cdy = dyp + dvy * ts + 0.5 * day * ts * ts
+                            cdz = dzp + dvz * ts + 0.5 * daz * ts * ts
+                            cd2 = cdx * cdx + cdy * cdy + cdz * cdz
+                            safe = ((osize + csize) * 0.5
+                                    + det.safe_distance_base)
+                            safe2 = safe * safe
+                            ok2 = ok1 & ((rs2 >= det.min_relative_speed ** 2)
+                                         & (ts >= 0.0) & (ts <= det.time_window)
+                                         & (cd2 <= safe2))
 
-                        # stage 3 (fast): first |p + v t| = safe crossing,
-                        # snapped to the dt lattice
-                        bq = 2.0 * dot
-                        cq = d2 - safe2
-                        disc = bq * bq - 4.0 * rs2 * cq
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        t_en = (-bq - sq) / (2.0 * rs2s)
-                        t_ex = (-bq + sq) / (2.0 * rs2s)
-                        inside = cq <= 0.0
-                        t_fi = jnp.where(inside, 0.0,
-                                         jnp.maximum(t_en, 0.0))
-                        t_sn = jnp.ceil(t_fi / dtt - 1e-6) * dtt
-                        sok = inside | ((t_sn >= t_en - 1e-6)
-                                        & (t_sn <= t_ex + 1e-6))
-                        hit = (ok & (disc >= 0.0) & (rs2 > 1e-12)
-                               & sok & (t_sn <= t_max))
-                        t_hit = jnp.where(inside, 0.0, t_sn)
-                        hdx = dxp + dvx * t_hit
-                        hdy = dyp + dvy * t_hit
-                        hdz = dzp + dvz * t_hit
-                        d_hit = jnp.sqrt(hdx * hdx + hdy * hdy
-                                         + hdz * hdz)
+                            if emit == "hits":
+                                # stage 3 (fast): first |p + v t| = safe
+                                # crossing, snapped to the dt lattice
+                                bq = 2.0 * dot
+                                cq = d2 - safe2
+                                disc = bq * bq - 4.0 * rs2 * cq
+                                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                                t_en = (-bq - sq) / (2.0 * rs2s)
+                                t_ex = (-bq + sq) / (2.0 * rs2s)
+                                inside = cq <= 0.0
+                                t_fi = jnp.where(inside, 0.0,
+                                                 jnp.maximum(t_en, 0.0))
+                                t_sn = jnp.ceil(t_fi / dtt - 1e-6) * dtt
+                                sok = inside | ((t_sn >= t_en - 1e-6)
+                                                & (t_sn <= t_ex + 1e-6))
+                                hit = (ok2 & (disc >= 0.0) & (rs2 > 1e-12)
+                                       & sok & (t_sn <= t_max))
+                                t_hit = jnp.where(inside, 0.0, t_sn)
+                                hdx = dxp + dvx * t_hit
+                                hdy = dyp + dvy * t_hit
+                                hdz = dzp + dvz * t_hit
+                                d_hit = jnp.sqrt(hdx * hdx + hdy * hdy
+                                                 + hdz * hdz)
 
-                        # stage 4: weighted risk
-                        risk = (
-                            det.weight_distance * (1.0 - d_hit / safe)
-                            + det.weight_time
-                            * (1.0 - jnp.minimum(
-                                1.0, t_hit / det.max_warning_time))
-                            + det.weight_speed
-                            * jnp.minimum(1.0, jnp.sqrt(rs2)
-                                          / det.max_relative_speed)
-                            + det.weight_angle
-                            * jnp.sin(jnp.abs(ohead - chead))
-                            + det.weight_type
-                            * jnp.where(ctype == otype,
-                                        det.same_type_factor,
-                                        det.diff_type_factor))
-                        risk = jnp.where(hit,
-                                         jnp.clip(risk, 0.0, 1.0), -1.0)
+                                # stage 4: weighted risk
+                                risk = (
+                                    det.weight_distance * (1.0 - d_hit / safe)
+                                    + det.weight_time
+                                    * (1.0 - jnp.minimum(
+                                        1.0, t_hit / det.max_warning_time))
+                                    + det.weight_speed
+                                    * jnp.minimum(1.0, jnp.sqrt(rs2)
+                                                  / det.max_relative_speed)
+                                    + det.weight_angle
+                                    * jnp.sin(jnp.abs(ohead - chead))
+                                    + det.weight_type
+                                    * jnp.where(ctype == otype,
+                                                det.same_type_factor,
+                                                det.diff_type_factor))
+                                risk = jnp.clip(risk, 0.0, 1.0)
 
-                        # midpoint at t_hit
-                        mx = ox + 0.5 * dxp + 0.5 * (ovx + cvx) * t_hit
-                        my = oy + 0.5 * dyp + 0.5 * (ovy + cvy) * t_hit
-                        mz = oz + 0.5 * dzp + 0.5 * (ovz + cvz) * t_hit
+                                # priority rules (warning_system.py:287-311) —
+                                # the packed key 2*prio + risk IS the XLA scene
+                                # ranking key (alerts/extract.py)
+                                crit = ((risk >= al.risk_high)
+                                        & (t_hit < al.ttc_critical))
+                                high = ((risk >= al.risk_high)
+                                        | (t_hit < al.ttc_high))
+                                med = risk >= al.risk_medium
+                                prio = jnp.where(
+                                    crit, 3.0, jnp.where(high, 2.0,
+                                                         jnp.where(med, 1.0,
+                                                                   0.0)))
+                                qual = hit & (risk >= al.risk_low)
+                                key = jnp.where(
+                                    qual, 2.0 * prio + risk,
+                                    jnp.where(hit, risk + KEY_SUB, KEY_NONE))
+                                emitted = hit
+                            else:
+                                # stage-2 survivors for the XLA precise sweep;
+                                # rank by closest-approach proximity
+                                key = jnp.where(ok2, 1.0 - cd2 / safe2,
+                                                KEY_NONE)
+                                emitted = ok2
+                                qual = ok2
 
-                        # per-object best in this block; on ties each field
-                        # takes the min among tied candidates
-                        m = jnp.max(risk, axis=1, keepdims=True)
-                        is_best = risk >= m
-                        mins = lambda v: jnp.min(
-                            jnp.where(is_best, v, _BIG), axis=1)
-                        mrow = m[:, 0]
+                            # stage-1 counter (read-modify-write VMEM row)
+                            ocnt[0][pl.ds(s, 1), :] = (
+                                ocnt[0][s, :] + jnp.sum(
+                                    jnp.where(ok1, 1.0, 0.0), axis=1)
+                            )[None, :]
 
-                        prev = outbuf[0][s, :]
-                        upd = mrow > prev
-                        ones = jnp.ones_like(risk)
-                        pick = lambda k, new: jnp.where(
-                            upd, mins(new), outbuf[k][s, :])[None, :]
-                        outbuf[1][pl.ds(s, 1), :] = pick(1, coid * ones)
-                        outbuf[2][pl.ds(s, 1), :] = pick(2, t_hit)
-                        outbuf[3][pl.ds(s, 1), :] = pick(3, d_hit)
-                        outbuf[4][pl.ds(s, 1), :] = pick(
-                            4, jnp.sqrt(rs2) * ones)
-                        outbuf[5][pl.ds(s, 1), :] = pick(5, mx * ones)
-                        outbuf[6][pl.ds(s, 1), :] = pick(6, my * ones)
-                        outbuf[7][pl.ds(s, 1), :] = pick(7, mz * ones)
-                        outbuf[0][pl.ds(s, 1), :] = jnp.maximum(
-                            prev, mrow)[None, :]
-                        outbuf[8][pl.ds(s, 1), :] = (
-                            outbuf[8][s, :] + jnp.sum(
-                                jnp.where(hit, 1.0, 0.0), axis=1)
-                        )[None, :]
+                            # per-lane emitted counts drive the remaining
+                            # counters and the extraction sparsity switch.
+                            # Measured at 100k/TPU: skipping extraction
+                            # for hit-free blocks (the common case) saves
+                            # ~20% despite the scalar/vector sync a
+                            # vector-derived pl.when costs; the 1-vs-k
+                            # twin path adds a little more.
+                            emitted_row = jnp.sum(
+                                jnp.where(emitted, 1.0, 0.0), axis=1)
+                            cmax = jnp.max(emitted_row)
 
-                    return 0
+                            def insert_cands(kb, ib, cands):
+                                """Insert (m_v, i_v) candidates into the
+                                descending slot lists (pure registers)."""
+                                for m_v, i_v in cands:
+                                    g = [m_v > kb[j] for j in range(k)]
+                                    nkb, nib = [], []
+                                    for j in range(k):
+                                        at_j = g[j] if j == 0 else (
+                                            g[j] & ~g[j - 1])
+                                        if j == 0:
+                                            nk = jnp.where(at_j, m_v, kb[0])
+                                            ni = jnp.where(at_j, i_v, ib[0])
+                                        else:
+                                            nk = jnp.where(
+                                                at_j, m_v,
+                                                jnp.where(g[j - 1],
+                                                          kb[j - 1], kb[j]))
+                                            ni = jnp.where(
+                                                at_j, i_v,
+                                                jnp.where(g[j - 1],
+                                                          ib[j - 1], ib[j]))
+                                        nkb.append(nk)
+                                        nib.append(ni)
+                                    kb, ib = nkb, nib
+                                return kb, ib
 
-                return jax.lax.fori_loop(c_lo, c_hi, crow_pass, 0)
+                            def extract(keym, n_iter):
+                                """Top-n_iter (key, cand index) per own
+                                lane."""
+                                gbase = (gr * LANE).astype(jnp.float32)
+                                out = []
+                                for _t in range(n_iter):
+                                    m2 = jnp.max(keym, axis=1,
+                                                 keepdims=True)
+                                    csel = jnp.min(
+                                        jnp.where(keym >= m2, col_iota,
+                                                  _BIG),
+                                        axis=1, keepdims=True)
+                                    if _t + 1 < n_iter:
+                                        keym = jnp.where(col_iota == csel,
+                                                         -_BIG, keym)
+                                    out.append((m2[:, 0],
+                                                gbase + csel[:, 0]))
+                                return out
+
+                            @pl.when(cmax > 0.5)
+                            def _():
+                                ocnt[1][pl.ds(s, 1), :] = (
+                                    ocnt[1][s, :] + emitted_row)[None, :]
+                                ocnt[2][pl.ds(s, 1), :] = (
+                                    ocnt[2][s, :] + jnp.sum(
+                                        jnp.where(qual, 1.0, 0.0), axis=1)
+                                )[None, :]
+                                kb = [okey[j][s, :] for j in range(k)]
+                                ib = [oidx[j][s, :] for j in range(k)]
+
+                                @pl.when(cmax <= 1.5)
+                                def _():
+                                    nkb, nib = insert_cands(
+                                        kb, ib, extract(key, 1))
+                                    for j in range(k):
+                                        okey[j][pl.ds(s, 1), :] = \
+                                            nkb[j][None, :]
+                                        oidx[j][pl.ds(s, 1), :] = \
+                                            nib[j][None, :]
+
+                                @pl.when(cmax > 1.5)
+                                def _():
+                                    nkb, nib = insert_cands(
+                                        kb, ib, extract(key, k))
+                                    for j in range(k):
+                                        okey[j][pl.ds(s, 1), :] = \
+                                            nkb[j][None, :]
+                                        oidx[j][pl.ds(s, 1), :] = \
+                                            nib[j][None, :]
+
+                        return 0
+                    return crow_pass
+
+                for (slo, shi) in spans:
+                    a = jnp.maximum(slo, rlo_i)
+                    b = jnp.minimum(shi, rhi_i)
+                    a_c = jnp.clip(a, 0, tab_max)
+                    b_c = jnp.clip(b + 1, 0, tab_max)
+                    c_lo = jnp.clip(cr_floor_ref[a_c] - wrow, 0, wn_eff)
+                    c_hi = jnp.clip(cr_ceil_ref[b_c] - wrow, 0, wn_eff)
+                    c_hi = jnp.where(b < a, c_lo, c_hi)
+                    jax.lax.fori_loop(
+                        c_lo, c_hi,
+                        make_crow_pass(a.astype(jnp.float32),
+                                       b.astype(jnp.float32)), 0)
+                return 0
 
             jax.lax.fori_loop(0, ROWS, sub_pass, 0)
 
@@ -266,42 +409,51 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
 
     jax.lax.fori_loop(0, n_windows, window_pass, 0)
 
-    outbuf[0][:, :] = jnp.maximum(outbuf[0][:, :], 0.0)
-    for f in range(9):
-        pltpu.make_async_copy(outbuf[f],
+    bufs = list(okey) + list(oidx) + list(ocnt)
+    for f in range(n_out):
+        pltpu.make_async_copy(bufs[f],
                               outs[f].at[pl.ds(base, ROWS), :],
                               sem_out.at[f]).start()
-    for f in range(9):
-        pltpu.make_async_copy(outbuf[f],
+    for f in range(n_out):
+        pltpu.make_async_copy(bufs[f],
                               outs[f].at[pl.ds(base, ROWS), :],
                               sem_out.at[f]).wait()
 
 
-def fused_detect(cl: CellList, cfg: SystemConfig, interpret: bool = False):
-    """Run the kernel. Returns per-sorted-object arrays (N = num_tiles*TILE):
-    (best_risk [N], best_oid i32, best_ttc, best_dist, best_rel_speed,
-    col_pos [N, 3], count i32). interpret=True uses the Pallas interpreter
-    (CPU tests)."""
+def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
+               mode: str = "hits"):
+    """Run the kernel. N = num_tiles*TILE sorted-object slots; K slots each.
+
+    Returns (keys [N, K] f32 packed, idx [N, K] i32 candidate sorted index
+    (-1 = empty slot), checked [N] i32, emitted [N] i32, qual [N] i32).
+    mode='hits' emits fast stage-3 hits; mode='survivors' emits stage-2
+    survivors for the XLA precise sweep. interpret=True uses the Pallas
+    interpreter (CPU tests)."""
+    assert mode in ("hits", "survivors")
+    k = (cfg.alerts.max_alerts_per_object if mode == "hits"
+         else cfg.detect.survivor_k)
+    assert k >= 1
     T = cl.num_tiles
     wr = cl.window_rows
+    n_out = 2 * k + 3
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
-                             n_windows=cl.n_windows)
+                             n_windows=cl.n_windows, k=k, emit=mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * NF,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
         scratch_shapes=(
             [pltpu.VMEM((ROWS, LANE), jnp.float32)] * NF    # own
             + [pltpu.VMEM((wr, LANE), jnp.float32)] * NF    # window
-            + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * 9   # accumulators
+            + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * n_out  # slots+cnts
             + [pltpu.SemaphoreType.DMA((NF,)),
                pltpu.SemaphoreType.DMA((NF,)),
-               pltpu.SemaphoreType.DMA((9,))]
+               pltpu.SemaphoreType.DMA((n_out,))]
         ),
     )
     out_shape = [jax.ShapeDtypeStruct((T * ROWS, LANE), jnp.float32)
-                 for _ in range(9)]
+                 for _ in range(n_out)]
     field_list = [cl.fields[i] for i in range(NF)]
     outs = pl.pallas_call(
         kern,
@@ -313,8 +465,8 @@ def fused_detect(cl: CellList, cfg: SystemConfig, interpret: bool = False):
       cl.row_rlo, cl.row_rhi, cl.row_xlo, cl.row_xhi,
       cl.cr_floor, cl.cr_ceil, *field_list)
     n = T * TILE
-    risk, oid, ttc, dist, rs, cpx, cpy, cpz, cnt = (
-        o.reshape(n) for o in outs)
-    col_pos = jnp.stack([cpx, cpy, cpz], axis=-1)
-    return (risk, oid.astype(jnp.int32), ttc, dist, rs, col_pos,
-            cnt.astype(jnp.int32))
+    keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
+    idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)
+    checked, emitted, qual = (outs[2 * k + j].reshape(n).astype(jnp.int32)
+                              for j in range(3))
+    return keys, idx.astype(jnp.int32), checked, emitted, qual

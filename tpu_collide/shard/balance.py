@@ -14,12 +14,12 @@ redistributes. Re-tiling costs one gather + scatter (~ms), amortized over
 the thousands of steps between rebalances — the same trade the reference
 made with its 10 s rebalance loop (data_sharding.py:487-511).
 
-NOTE: the boundary-based sharded step is round-2 work; this module provides
-the planning half (occupancy tracking, quantile boundaries, rebalance
-decision) against the CURRENT equal-slab step by re-tiling in OBJECT SPACE:
-instead of moving slab walls, it relabels which shard owns which objects by
-permuting them between slabs at redistribute time. Equal slabs + occupancy
-headroom remain the invariant the step relies on.
+The sharded step consumes a [D+1] slab-wall array (shard/step.py
+`step(state, key, boundaries)`), so rebalancing MOVES THE WALLS: quantile
+boundaries put ~equal object counts in every slab, clamped to a minimum
+width that keeps halo coverage and one-slab-per-step migration sound
+(step.check_boundaries). `rebalance()` computes the new walls and
+redistributes the fleet under them in one host round-trip.
 """
 from __future__ import annotations
 
@@ -83,6 +83,12 @@ class LoadBalancer:
         self.last_occupancy: Optional[np.ndarray] = None
         self._post_rebalance_occ: Optional[np.ndarray] = None
 
+    def min_slab_width(self) -> float:
+        """Smallest legal slab: halo band must fit and no object may cross
+        more than one slab per step."""
+        c = self.cfg
+        return max(c.shard.halo_width, c.sim.max_speed * c.sim.dt) * 1.01
+
     def should_rebalance(self, state_sharded: ObjectState) -> bool:
         """Call once per step; inspects occupancy every `check_every`."""
         self._step += 1
@@ -91,27 +97,31 @@ class LoadBalancer:
         self.stats["checks"] += 1
         occ = shard_occupancy(state_sharded, self.cfg, self.slots)
         self.last_occupancy = occ
-        # Skew that a defragmenting rebalance cannot fix (ownership is
-        # position-based): if the last rebalance left occupancy unchanged,
-        # back off instead of paying a full host round-trip every check.
+        # Skew even wall-moving cannot fix (min_width clamps against a
+        # single ultra-dense column): if the last rebalance left occupancy
+        # essentially unchanged, back off instead of paying a host
+        # round-trip every check.
         if (self._post_rebalance_occ is not None
                 and np.array_equal(occ, self._post_rebalance_occ)):
             self.stats["backoffs"] += 1
             if occ.max() >= 0.95 * self.slots:
                 logger.warning(
-                    "shard occupancy %s near slot limit %d and rebalance "
-                    "cannot move slab walls — raise ShardConfig."
-                    "slot_headroom", occ.tolist(), self.slots)
+                    "shard occupancy %s near slot limit %d and quantile "
+                    "walls are clamped by min_slab_width — raise "
+                    "ShardConfig.slot_headroom", occ.tolist(), self.slots)
             return False
         # also rebalance when any shard nears slot exhaustion
         near_full = occ.max() >= 0.9 * self.slots
         return near_full or imbalance(occ) > self.overload_ratio
 
-    def rebalance(self, state_sharded: ObjectState, mesh) -> ObjectState:
-        """Collect -> repack alive objects evenly across shards -> scatter.
-        Ownership after repack is by x-order, so slab locality (and halo
-        correctness) is preserved."""
-        from tpu_collide.shard.step import distribute_state
+    def rebalance(self, state_sharded: ObjectState, mesh):
+        """Collect -> compute quantile slab walls -> redistribute under
+        them. Returns (new_state, boundaries [D+1]); feed the boundaries to
+        every subsequent step call. This is the TPU-native replacement for
+        the reference's region split/merge + shard migration
+        (spatial_index.py:585-679, data_sharding.py:513-564)."""
+        from tpu_collide.shard.step import (distribute_state,
+                                            check_boundaries)
         from tpu_collide.core.state import state_from_numpy
 
         d = self.cfg.shard.num_shards
@@ -119,22 +129,26 @@ class LoadBalancer:
                   for f in ("pos", "vel", "acc", "heading", "size",
                             "otype", "alive", "oid")}
         alive_idx = np.flatnonzero(fields["alive"])
-        order = alive_idx[np.argsort(fields["pos"][alive_idx, 0],
-                                     kind="stable")]
         packed = state_from_numpy(
-            pos=fields["pos"][order], vel=fields["vel"][order],
-            acc=fields["acc"][order], heading=fields["heading"][order],
-            size=fields["size"][order], otype=fields["otype"][order],
-            oid=fields["oid"][order])
+            pos=fields["pos"][alive_idx], vel=fields["vel"][alive_idx],
+            acc=fields["acc"][alive_idx],
+            heading=fields["heading"][alive_idx],
+            size=fields["size"][alive_idx], otype=fields["otype"][alive_idx],
+            oid=fields["oid"][alive_idx])
+        boundaries = quantile_boundaries(
+            fields["pos"][alive_idx, 0], d,
+            self.cfg.world.lo[0], self.cfg.world.hi[0],
+            self.min_slab_width())
+        check_boundaries(self.cfg, boundaries)
         self.stats["rebalances"] += 1
-        logger.info("rebalanced %d objects across %d shards (occupancy %s)",
-                    len(order), d,
+        logger.info("rebalanced %d objects across %d shards "
+                    "(occupancy %s, walls %s)",
+                    len(alive_idx), d,
                     self.last_occupancy.tolist()
-                    if self.last_occupancy is not None else "?")
-        # distribute_state re-buckets by x-slab; equal slabs stay the step's
-        # invariant, but repacking frees fragmented dead slots so headroom
-        # is restored where density moved
-        new_state = distribute_state(packed, self.cfg, mesh)
+                    if self.last_occupancy is not None else "?",
+                    np.round(boundaries, 1).tolist())
+        new_state = distribute_state(packed, self.cfg, mesh,
+                                     boundaries=boundaries)
         self._post_rebalance_occ = shard_occupancy(new_state, self.cfg,
                                                    self.slots)
-        return new_state
+        return new_state, boundaries

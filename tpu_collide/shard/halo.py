@@ -30,12 +30,22 @@ from tpu_collide.core.state import ObjectState
 _XCHG_FIELDS = ("pos", "vel", "acc", "heading", "size", "otype", "oid")
 
 
-def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[lo_x, hi_x) of this shard's slab."""
-    lo = cfg.world.lo[0]
-    width = (cfg.world.hi[0] - cfg.world.lo[0]) / cfg.shard.num_shards
-    slab_lo = lo + width * shard_idx.astype(jnp.float32)
-    return slab_lo, slab_lo + width
+def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array,
+                boundaries: jax.Array | None = None
+                ) -> Tuple[jax.Array, jax.Array]:
+    """[lo_x, hi_x) of this shard's slab.
+
+    boundaries: optional [D+1] f32 wall positions (replicated inside the
+    step) — the dynamic re-tiling the reference did with region split/merge
+    (spatial_index.py:585-679). None = equal slabs."""
+    if boundaries is None:
+        lo = cfg.world.lo[0]
+        width = (cfg.world.hi[0] - cfg.world.lo[0]) / cfg.shard.num_shards
+        slab_lo = lo + width * shard_idx.astype(jnp.float32)
+        return slab_lo, slab_lo + width
+    slab_lo = boundaries[shard_idx]
+    slab_hi = boundaries[shard_idx + 1]
+    return slab_lo, slab_hi
 
 
 def pack(state: ObjectState, mask: jax.Array, capacity: int,
@@ -94,11 +104,14 @@ def place(state: ObjectState, buf, valid: jax.Array) -> Tuple[ObjectState, jax.A
 
 
 def migrate(state: ObjectState, cfg: SystemConfig,
-            shard_idx: jax.Array) -> Tuple[ObjectState, jax.Array]:
+            shard_idx: jax.Array,
+            boundaries: jax.Array | None = None
+            ) -> Tuple[ObjectState, jax.Array]:
     """Move objects whose x left the local slab to the neighbor shard.
     Objects can only cross one slab per step when
-    max_speed * dt < slab_width (checked statically at mesh build)."""
-    slab_lo, slab_hi = slab_bounds(cfg, shard_idx)
+    max_speed * dt < min slab width (checked statically at mesh build for
+    equal slabs; enforced via min_width at rebalance for dynamic ones)."""
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries)
     d = cfg.shard.num_shards
     m = cfg.shard.migrate_capacity
 
@@ -119,12 +132,13 @@ def migrate(state: ObjectState, cfg: SystemConfig,
 
 
 def halo_exchange(state: ObjectState, cfg: SystemConfig,
-                  shard_idx: jax.Array):
+                  shard_idx: jax.Array,
+                  boundaries: jax.Array | None = None):
     """Mirror boundary bands to slab neighbors.
 
     Returns (halo_buf, halo_valid, dropped): the 2*halo_capacity foreign
     objects visible to this shard this step."""
-    slab_lo, slab_hi = slab_bounds(cfg, shard_idx)
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries)
     d = cfg.shard.num_shards
     h = cfg.shard.halo_capacity
     w = cfg.shard.halo_width

@@ -51,9 +51,12 @@ def make_mesh(cfg: SystemConfig, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (cfg.shard.axis_name,))
 
 
-def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
+def _local_step(state: ObjectState, key: jax.Array, boundaries: jax.Array,
+                cfg: SystemConfig
                 ) -> Tuple[ObjectState, StepOutput, jax.Array]:
-    """Per-shard body. state/key are the LOCAL shard ([slots] arrays)."""
+    """Per-shard body. state/key are the LOCAL shard ([slots] arrays);
+    boundaries is the replicated [D+1] slab-wall array (dynamic
+    re-tiling, shard/balance.py)."""
     ax = cfg.shard.axis_name
     s = jax.lax.axis_index(ax)
     key = jax.random.fold_in(key, s)
@@ -62,10 +65,11 @@ def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
     state = integrate(state, key, cfg)
 
     # migration: ownership follows position
-    state, mig_dropped = migrate(state, cfg, s)
+    state, mig_dropped = migrate(state, cfg, s, boundaries)
 
     # halo: mirror boundary bands from slab neighbors
-    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s)
+    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
+                                                       boundaries)
     ext = extend_with_halo(state, halo_buf, halo_valid)
 
     # detection over owned + halo rows; alerts emitted only for owned rows
@@ -82,63 +86,86 @@ def _local_step(state: ObjectState, key: jax.Array, cfg: SystemConfig
     from tpu_collide.engine import grid_overflow
     out = StepOutput(
         alerts=alerts,
-        num_pairs_checked=jax.lax.psum(
-            jnp.asarray(pairs.risk.size, jnp.int32), ax),
+        num_pairs_checked=jax.lax.psum(pairs.num_checked, ax),
         num_risks=jax.lax.psum(
             jnp.sum(own_valid, dtype=jnp.int32), ax),
         max_risk=jax.lax.pmax(jnp.max(pairs.risk), ax),
         num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
         overflow=jax.lax.psum(
-            grid_overflow(index, cfg).astype(jnp.int32)
-            + pairs.survivor_overflow, ax),
+            grid_overflow(index, cfg).astype(jnp.int32), ax),
+        alert_overflow=jax.lax.psum(pairs.survivor_overflow, ax),
     )
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
-def _local_step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
+def _local_step_fused(state: ObjectState, key: jax.Array,
+                      boundaries: jax.Array, cfg: SystemConfig,
                       interpret: bool = False
                       ) -> Tuple[ObjectState, StepOutput, jax.Array]:
-    """Per-shard body on the fused Pallas kernel (fast-mode semantics):
-    integrate -> migrate -> halo -> cell-list build + fused broad/narrow
-    phase over owned+halo rows -> per-shard alert top-k. Halo mirrors carry
-    oid + num_objects so they are distinguishable after the cell-list sort;
-    only owner rows (oid < num_objects) emit alerts — the other endpoint's
-    shard emits its own direction, matching the single-device fused path."""
+    """Per-shard body on the fused Pallas kernel (both 'fast' and 'precise'
+    detection modes): integrate -> migrate -> halo -> cell-list build +
+    fused broad/narrow top-k slots + XLA refine -> per-shard alert top-k.
+    Halo mirrors carry oid + num_objects so they are distinguishable after
+    the cell-list sort; only owner rows (oid < num_objects) emit alerts —
+    the other endpoint's shard emits its own direction, matching the
+    single-device fused path."""
     from tpu_collide.kernels.cell_list import build_cell_list
-    from tpu_collide.kernels.fused_detect import fused_detect
-    from tpu_collide.alerts.extract import assemble_best_alert_batch
+    from tpu_collide.kernels.refine import (fused_scene_fast,
+                                            fused_scene_precise)
 
     ax = cfg.shard.axis_name
     s = jax.lax.axis_index(ax)
     key = jax.random.fold_in(key, s)
     state = integrate(state, key, cfg)
-    state, mig_dropped = migrate(state, cfg, s)
-    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s)
+    state, mig_dropped = migrate(state, cfg, s, boundaries)
+    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
+                                                       boundaries)
     n_glob = cfg.num_objects
     ext = extend_with_halo(state, halo_buf, halo_valid,
                            halo_oid_offset=n_glob)
 
     cl = build_cell_list(ext, cfg)
-    risk, other_oid, ttc, dist, rel_speed, col_pos, cnt = fused_detect(
-        cl, cfg, interpret=interpret)
-
-    soid = cl.oid_flat
-    own = (soid >= 0) & (soid < n_glob)
-    keep = own & (risk >= cfg.alerts.risk_low) & (other_oid >= 0)
-    alerts = assemble_best_alert_batch(
-        soid, other_oid, risk, ttc, dist, rel_speed, col_pos, keep, cfg,
-        decode_other=lambda o: jnp.where(o >= n_glob, o - n_glob, o))
-    alerts = dataclasses.replace(alerts, count=alerts.count.reshape(1))
+    scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
+                else fused_scene_precise)
+    res = scene_fn(cl, cfg, interpret=interpret, n_own_oid=n_glob,
+                   decode_other=lambda o: jnp.where(o >= n_glob,
+                                                    o - n_glob, o))
+    alerts = dataclasses.replace(res.alerts,
+                                 count=res.alerts.count.reshape(1))
     out = StepOutput(
         alerts=alerts,
-        num_pairs_checked=jnp.asarray(0, jnp.int32),
-        num_risks=jax.lax.psum(
-            jnp.sum(jnp.where(own, cnt, 0), dtype=jnp.int32), ax),
-        max_risk=jax.lax.pmax(jnp.max(jnp.where(own, risk, 0.0)), ax),
+        num_pairs_checked=jax.lax.psum(res.num_checked, ax),
+        num_risks=jax.lax.psum(res.num_risks, ax),
+        max_risk=jax.lax.pmax(res.max_risk, ax),
         num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
         overflow=jax.lax.psum(cl.overflow, ax),
+        alert_overflow=jax.lax.psum(res.alert_overflow, ax),
     )
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
+
+
+def equal_boundaries(cfg: SystemConfig):
+    """Default [D+1] slab walls: equal x-slabs."""
+    import numpy as np
+    d = cfg.shard.num_shards
+    return jnp.asarray(np.linspace(cfg.world.lo[0], cfg.world.hi[0], d + 1),
+                       jnp.float32)
+
+
+def check_boundaries(cfg: SystemConfig, boundaries) -> None:
+    """Host-side validity check for dynamic slab walls: monotone, pinned to
+    world bounds, and wide enough that (a) the halo band covers the search
+    radius and (b) no object can cross more than one slab per step."""
+    import numpy as np
+    b = np.asarray(boundaries)
+    assert b.shape == (cfg.shard.num_shards + 1,)
+    assert abs(b[0] - cfg.world.lo[0]) < 1e-3
+    assert abs(b[-1] - cfg.world.hi[0]) < 1e-3
+    min_w = float(np.diff(b).min())
+    need = max(cfg.shard.halo_width, cfg.sim.max_speed * cfg.sim.dt)
+    assert min_w >= need, (
+        f"slab width {min_w:.1f} < required {need:.1f} "
+        f"(halo_width / max_speed*dt)")
 
 
 def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
@@ -146,7 +173,11 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
     """Compile the SPMD step. State layout: every array's leading dim is
     num_shards * shard_slots(cfg), sharded along the mesh axis; each shard
     owns the slots of its slab. backend='fused' runs the Pallas cell-list
-    kernel per shard (fast-mode semantics; interpret=True for CPU tests)."""
+    kernel per shard (both detection modes; interpret=True for CPU tests).
+
+    The returned callable is step(state, key, boundaries=None): boundaries
+    is an optional [D+1] slab-wall array (see shard/balance.py re-tiling);
+    None uses equal slabs."""
     ax = cfg.shard.axis_name
     spec_state = ObjectState(
         pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
@@ -158,7 +189,7 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
     # psum/pmax-reduced scalars are replicated across the mesh -> P()
     spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
                           num_risks=P(), max_risk=P(), num_alive=P(),
-                          overflow=P())
+                          overflow=P(), alert_overflow=P())
 
     if backend == "fused":
         body = partial(_local_step_fused, cfg=cfg, interpret=interpret)
@@ -171,28 +202,42 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
         check_vma = True
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec_state, P()),          # key replicated, folded per shard
+        # key + boundaries replicated (key folded per shard in the body)
+        in_specs=(spec_state, P(), P()),
         out_specs=(spec_state, spec_out, P(ax)),
         check_vma=check_vma,
     )
-    return jax.jit(f, donate_argnums=(0,) if donate else ())
+    jf = jax.jit(f, donate_argnums=(0,) if donate else ())
+    default_b = equal_boundaries(cfg)
+
+    def step(state, key, boundaries=None):
+        return jf(state, key,
+                  default_b if boundaries is None else boundaries)
+
+    return step
 
 
 def distribute_state(state_global: ObjectState, cfg: SystemConfig,
-                     mesh: Mesh) -> ObjectState:
+                     mesh: Mesh, boundaries=None) -> ObjectState:
     """Host-side: scatter a globally-generated fleet into per-shard slots by
-    slab. Returns the mesh-sharded state ([D * slots] leading dim).
+    slab (equal slabs, or the given [D+1] dynamic walls). Returns the
+    mesh-sharded state ([D * slots] leading dim).
 
     (This is ingest/bootstrap, not the hot path — plain numpy.)"""
     import numpy as np
     d = cfg.shard.num_shards
     slots = shard_slots(cfg)
-    lo = cfg.world.lo[0]
-    w = (cfg.world.hi[0] - cfg.world.lo[0]) / d
 
     pos = np.asarray(state_global.pos)
     alive = np.asarray(state_global.alive)
-    shard_of = np.clip(((pos[:, 0] - lo) // w).astype(int), 0, d - 1)
+    if boundaries is None:
+        lo = cfg.world.lo[0]
+        w = (cfg.world.hi[0] - cfg.world.lo[0]) / d
+        shard_of = np.clip(((pos[:, 0] - lo) // w).astype(int), 0, d - 1)
+    else:
+        b = np.asarray(boundaries)
+        shard_of = np.clip(np.searchsorted(b, pos[:, 0], side="right") - 1,
+                           0, d - 1)
 
     fields = {f: np.asarray(getattr(state_global, f))
               for f in ("pos", "vel", "acc", "heading", "size", "otype",
