@@ -250,3 +250,101 @@ def test_api_client_roundtrip():
         assert asyncio.new_event_loop().run_until_complete(go())
     finally:
         srv.stop()
+
+
+def test_route_core_grid_boundary_exact():
+    """VERDICT r1 #6: exact cell membership for an object just across the
+    cell boundary. The round-1 FastAPI handler used a circumradius
+    query_radius(center, cs*0.7071) which INCLUDED neighbor-cell residents;
+    the shared route core must not."""
+    from tpu_collide.api.routes import RouteTable
+
+    sc = small_scene()
+    # 100 m cells: carA in cell (1,1), carB 2 m away but in cell (2,1)
+    sc.ingest(LocationData("carA", Position(199.0, 150.0, 0), Vector()))
+    sc.ingest(LocationData("carB", Position(201.0, 150.0, 0), Vector()))
+    routes = RouteTable(sc)
+
+    code, r = routes.handle("GET", "/grids/1_1/vehicles", None, {})
+    assert code == 200 and r["data"] == ["carA"]
+    code, r = routes.handle("GET", "/grids/2_1/vehicles", None, {})
+    assert code == 200 and r["data"] == ["carB"]
+    # and it agrees with the Scene's own exact membership
+    assert r["data"] == sc.grid_vehicles(2, 1)
+    code, r = routes.handle("GET", "/grids/zzz/vehicles", None, {})
+    assert code == 400
+
+
+def test_stdlib_server_uses_shared_route_core():
+    """Both transports serve the SAME handlers by construction: the stdlib
+    server delegates to api/routes.RouteTable (and so does the FastAPI app),
+    so the round-1 divergence class is structurally gone."""
+    from tpu_collide.api.routes import RouteTable
+    from tpu_collide.api.stdlib_server import SceneHTTPServer
+
+    sc = small_scene()
+    srv = SceneHTTPServer(sc, port=0)
+    assert isinstance(srv.routes, RouteTable)
+    sc.ingest(LocationData("carA", Position(110.0, 110.0, 0), Vector()))
+    for method, path in [("GET", "/health"), ("GET", "/stats"),
+                         ("GET", "/grids/1_1/vehicles"),
+                         ("GET", "/vehicles/carA/location"),
+                         ("GET", "/api/collision/metrics")]:
+        code_s, body_s = srv.handle(method, path, None, {})
+        code_r, body_r = srv.routes.handle(method, path, None, {})
+        assert code_s == code_r
+        assert body_s.keys() == body_r.keys()
+
+
+def test_fault_injection_reference_surface():
+    """The reference FailureInjector's full client surface
+    (load_generator.py:748-865) round-trips against the stdlib server:
+    node_failure, network_partition, high_load, slow_response, plus the
+    separate POST /api/admin/reset-failures endpoint."""
+    import json
+    import time as _t
+    import urllib.request
+
+    sc = small_scene()
+    from tpu_collide.api.stdlib_server import SceneHTTPServer
+    srv = SceneHTTPServer(sc, port=0)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=None):
+        req = urllib.request.Request(
+            base + path, method="POST",
+            data=json.dumps(body or {}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=30) as r:
+            return json.loads(r.read())
+
+    try:
+        inj = "/api/admin/inject-failure"
+        assert post(inj, {"type": "node_failure", "node_id": "n1"})[0] == 200
+        assert post(inj, {"type": "network_partition",
+                          "node_ids": ["n2", "n3"]})[0] == 200
+        assert post(inj, {"type": "high_load", "duration": 1})[0] == 200
+        st = get("/stats")["data"]["faults"]
+        assert st["partitioned_nodes"] == ["n2", "n3"]
+        assert st["injected_total"] == 3
+
+        # slow_response measurably delays requests
+        assert post(inj, {"type": "slow_response", "latency": 150,
+                          "duration": 5})[0] == 200
+        t0 = _t.time()
+        get("/health")
+        assert _t.time() - t0 >= 0.12
+
+        # the reference's separate reset endpoint
+        assert post("/api/admin/reset-failures")[0] == 200
+        t0 = _t.time()
+        get("/health")
+        assert _t.time() - t0 < 0.1
+        assert get("/stats")["data"]["faults"]["partitioned_nodes"] == []
+    finally:
+        srv.stop()

@@ -28,26 +28,16 @@ SURVEY.md §2.12/§4):
 """
 from __future__ import annotations
 
-import dataclasses
-import time
 from typing import Any, Dict, List, Optional
 
-from tpu_collide.core.config import SystemConfig
-from tpu_collide.core.types import LocationData, Position, Vector, Task
+from tpu_collide.core.types import LocationData
 from tpu_collide.core.utils import get_logger
 from tpu_collide.api.scene import Scene
+from tpu_collide.api.routes import RouteTable
 from tpu_collide.runtime.messaging import MessageBroker, LocationDataProducer
 from tpu_collide.runtime.reliability import ThrottlingManager
 
 logger = get_logger(__name__)
-
-
-def _ok(data: Any = None, message: str = "ok") -> Dict[str, Any]:
-    return {"success": True, "message": message, "data": data}
-
-
-def _err(message: str) -> Dict[str, Any]:
-    return {"success": False, "message": message, "data": None}
 
 
 def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
@@ -101,6 +91,9 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
     class StepModel(BaseModel):
         steps: int = 1
 
+    import asyncio
+    from fastapi.responses import JSONResponse
+
     app = FastAPI(title="tpu-collide API",
                   description="TPU-native real-time collision detection",
                   version="1.0.0")
@@ -108,172 +101,117 @@ def create_app(scene: Scene, broker: Optional[MessageBroker] = None,
                        allow_credentials=True, allow_methods=["*"],
                        allow_headers=["*"])
     producer = LocationDataProducer(broker) if broker else None
-    fault_state = {"injected": []}
+    loop_ref: Dict[str, Any] = {}
 
-    def _throttle(endpoint: str) -> bool:
-        return throttling is None or throttling.allow_request(endpoint)
+    def on_ingest(loc: LocationData) -> None:
+        # runs on an executor thread — hop the broker publish back to the
+        # event loop
+        lp = loop_ref.get("loop")
+        if producer is not None and lp is not None:
+            import asyncio as _aio
+            _aio.run_coroutine_threadsafe(producer.send_location(loc), lp)
+
+    routes = RouteTable(scene, scheduler=scheduler, throttling=throttling,
+                        on_ingest=on_ingest)
+    app.state.routes = routes
+
+    @app.on_event("startup")
+    async def _capture_loop():
+        loop_ref["loop"] = asyncio.get_running_loop()
+
+    async def _call(method: str, path: str, body: Optional[dict] = None,
+                    query: Optional[Dict[str, str]] = None) -> JSONResponse:
+        """Every endpoint funnels through the shared RouteTable, executed
+        off the event loop (device work must never block it). Identical
+        behavior to the stdlib server by construction."""
+        loop = asyncio.get_running_loop()
+        code, payload = await loop.run_in_executor(
+            None, routes.handle, method, path, body, query or {})
+        return JSONResponse(payload, status_code=code)
+
+    # pydantic models validate request shapes; handlers delegate
 
     @app.get("/health")
     async def health():
-        return _ok({"timestamp": time.time(), "status": "ok"})
+        return await _call("GET", "/health")
 
     @app.post("/vehicles/location")
     async def update_location(loc: LocationDataModel):
-        if not _throttle("/vehicles/location"):
-            return _err("throttled")
-        data = LocationData(
-            vehicle_id=loc.vehicle_id,
-            position=Position(**loc.position.model_dump()),
-            velocity=Vector(**loc.velocity.model_dump()),
-            acceleration=Vector(**loc.acceleration.model_dump()),
-            heading=loc.heading,
-            timestamp=loc.timestamp or time.time())
-        scene.ingest(data, size=loc.size, vtype=loc.vehicle_type)
-        if producer is not None:
-            await producer.send_location(data)
-        return _ok(message="Location updated")
+        return await _call("POST", "/vehicles/location", loc.model_dump())
 
     @app.get("/vehicles/{vehicle_id}/location")
     async def get_location(vehicle_id: str):
-        loc = scene.get_location(vehicle_id)
-        if loc is None:
-            return _err(f"vehicle {vehicle_id} not found")
-        return _ok(loc.to_dict())
+        return await _call("GET", f"/vehicles/{vehicle_id}/location")
 
     @app.get("/vehicles/{vehicle_id}/history")
     async def get_history(vehicle_id: str):
-        return _ok([l.to_dict() for l in scene.get_history(vehicle_id)])
+        return await _call("GET", f"/vehicles/{vehicle_id}/history")
 
     @app.get("/vehicles/{vehicle_id}/risks")
     async def get_vehicle_risks(vehicle_id: str):
-        return _ok([dataclasses.asdict(r)
-                    for r in scene.get_vehicle_risks(vehicle_id)])
+        return await _call("GET", f"/vehicles/{vehicle_id}/risks")
 
     @app.get("/risks/{risk_id}")
     async def get_risk(risk_id: str):
-        a = scene.alert_manager.alerts.get(risk_id)
-        if a is None:
-            return _err(f"risk {risk_id} not found")
-        return _ok(dataclasses.asdict(a))
+        return await _call("GET", f"/risks/{risk_id}")
 
     @app.post("/tasks")
     async def submit_task(task: TaskModel):
-        if scheduler is None:
-            return _err("no scheduler configured")
-        import uuid
-        t = Task(task_id=f"task-{uuid.uuid4()}", task_type=task.task_type,
-                 payload=task.payload, priority=task.priority,
-                 grid_id=task.grid_id, timeout_s=task.timeout_s)
-        tid = await scheduler.submit_task(t)
-        return _ok({"task_id": tid})
+        return await _call("POST", "/tasks", task.model_dump())
 
     @app.post("/nodes")
     async def register_node(node: NodeModel):
-        if scheduler is None:
-            return _err("no scheduler configured")
-        from tpu_collide.core.types import NodeInfo
-        scheduler.register_node(NodeInfo(
-            node_id=node.node_id, host=node.host, port=node.port,
-            grid_ids=node.grid_ids))
-        return _ok(message="Node registered")
+        return await _call("POST", "/nodes", node.model_dump())
 
     @app.delete("/nodes/{node_id}")
     async def unregister_node(node_id: str):
-        if scheduler is None:
-            return _err("no scheduler configured")
-        scheduler.unregister_node(node_id)
-        return _ok(message="Node unregistered")
+        return await _call("DELETE", f"/nodes/{node_id}")
 
     @app.post("/nodes/{node_id}/load")
     async def update_load(node_id: str, load: LoadModel):
-        if scheduler is None:
-            return _err("no scheduler configured")
-        from tpu_collide.core.types import LoadMetrics
-        scheduler.update_node_load(node_id, LoadMetrics(
-            cpu_usage=load.cpu_usage, memory_usage=load.memory_usage,
-            queue_size=load.queue_size,
-            processing_rate=load.processing_rate,
-            average_latency=load.average_latency))
-        return _ok(message="Load updated")
+        return await _call("POST", f"/nodes/{node_id}/load",
+                           load.model_dump())
 
     @app.get("/grids/{grid_id}/vehicles")
     async def grid_vehicles(grid_id: str):
-        """grid_id = 'x_y' cell coordinates; returns resident vehicle ids."""
-        try:
-            cx, cy = (int(v) for v in grid_id.split("_")[:2])
-        except ValueError:
-            return _err("grid_id must be '<cx>_<cy>'")
-        cs = scene.cfg.grid.cell_size
-        lo = scene.cfg.world.lo
-        center = (lo[0] + (cx + 0.5) * cs, lo[1] + (cy + 0.5) * cs, 0.0)
-        ids = scene.query_radius(center, cs * 0.7071 + 1e-3)
-        return _ok(ids)
+        """grid_id = 'x_y' cell coords; EXACT cell membership (same
+        handler as the stdlib server — the round-1 circumradius
+        approximation is gone)."""
+        return await _call("GET", f"/grids/{grid_id}/vehicles")
 
-    # ---- additions ----
+    # ---- additions beyond the reference ----
 
     @app.get("/alerts")
     async def alerts(min_risk: float = 0.0):
-        return _ok([dataclasses.asdict(a) for a in scene.alerts(min_risk)])
+        return await _call("GET", "/alerts", query={"min_risk": min_risk})
 
     @app.post("/alerts/{alert_id}/acknowledge")
     async def ack(alert_id: str):
-        if scene.alert_manager.acknowledge_alert(alert_id):
-            return _ok(message="acknowledged")
-        return _err(f"alert {alert_id} not found")
+        return await _call("POST", f"/alerts/{alert_id}/acknowledge")
 
     @app.post("/step")
     async def step(body: StepModel):
-        import asyncio
-        out = await asyncio.get_running_loop().run_in_executor(
-            None, scene.step, body.steps)     # device work off the loop
-        return _ok({"step_count": scene.step_count,
-                    "num_risks": int(out.num_risks),
-                    "num_alerts": int(out.alerts.count),
-                    "max_risk": float(out.max_risk)})
+        return await _call("POST", "/step", body.model_dump())
 
     @app.post("/detect")
     async def detect():
-        import asyncio
-        batch = await asyncio.get_running_loop().run_in_executor(
-            None, scene.detect)
-        return _ok({"num_alerts": int(batch.count)})
+        return await _call("POST", "/detect")
 
     @app.get("/stats")
     async def stats():
-        return _ok(scene.stats())
+        return await _call("GET", "/stats")
 
     @app.get("/api/collision/metrics")
     async def collision_metrics():
-        s = scene.stats()
-        return _ok({"detection_count": s["step_count"],
-                    "avg_detection_time_ms": s["avg_step_ms"],
-                    "max_detection_time_ms": s["max_step_ms"],
-                    "active_alerts": s["alerts"]["active"]})
+        return await _call("GET", "/api/collision/metrics")
 
     @app.post("/api/admin/inject-failure")
     async def inject_failure(body: Dict[str, Any]):
-        """Fault injection (the endpoint the reference's FailureInjector
-        posted to but the reference never implemented). Supported:
-        {'type': 'drop_objects', 'fraction': f} kills a fraction of the
-        fleet; {'type': 'reset'} clears injected faults."""
-        import numpy as np
-        import jax.numpy as jnp
-        kind = body.get("type", "reset")
-        if kind == "drop_objects":
-            frac = float(body.get("fraction", 0.1))
-            with scene._device_lock:
-                alive = np.asarray(scene.state.alive).copy()
-                idx = np.flatnonzero(alive)
-                kill = idx[:int(len(idx) * frac)]
-                alive[kill] = False
-                scene.state = scene.state.replace(alive=jnp.asarray(alive))
-                scene._num_alive = int(alive.sum())
-            fault_state["injected"].append({"type": kind, "killed": len(kill)})
-            return _ok({"killed": int(len(kill))})
-        if kind == "reset":
-            fault_state["injected"].clear()
-            return _ok(message="faults cleared")
-        return _err(f"unknown fault type {kind!r}")
+        return await _call("POST", "/api/admin/inject-failure", body)
+
+    @app.post("/api/admin/reset-failures")
+    async def reset_failures():
+        return await _call("POST", "/api/admin/reset-failures")
 
     return app
 

@@ -75,6 +75,12 @@ class Scheduler:
     # ---- task submission (reference :149-255) ----
 
     async def submit_task(self, task: Task) -> str:
+        return self.submit_task_nowait(task)
+
+    def submit_task_nowait(self, task: Task) -> str:
+        """Sync submission (thread-safe enough: list.append is atomic);
+        the dispatch loop picks it up within one poll interval. Used by the
+        shared HTTP route core, which runs handlers off the event loop."""
         self.stats["submitted"] += 1
         self.pending.append(task)
         return task.task_id
