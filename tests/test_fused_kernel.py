@@ -16,7 +16,7 @@ from tpu_collide.core.state import state_from_numpy
 from tpu_collide.sim import generate_fleet
 from tpu_collide.engine import step_fused, make_step, make_detect
 from tpu_collide.kernels.cell_list import build_cell_list, TILE
-from tpu_collide.kernels.fused_detect import fused_topk
+from tpu_collide.kernels.fused_detect import fused_topk, PACKED_OCC_MIN
 from tpu_collide.kernels.refine import decode_risk
 
 
@@ -55,8 +55,8 @@ def fused_ref(state, cfg):
     """Per-object best slot risk + emitted count + checked (kernel)."""
     cl = build_cell_list(state, cfg)
     keys, idx, checked, emitted, qual = fused_topk(cl, cfg, interpret=True)
-    risk = np.asarray(jnp.where(idx >= 0, decode_risk(keys), 0.0)).max(
-        axis=1)
+    risk = np.asarray(jnp.where(keys > PACKED_OCC_MIN,
+                                decode_risk(keys), 0.0)).max(axis=1)
     soid = np.asarray(cl.oid_flat)
     n = state.n
     out_r = np.zeros(n)
@@ -81,7 +81,9 @@ def test_fused_matches_xla_per_object(dim):
     # honest cross-backend counter: same stage-1 definition (VERDICT r1 #8)
     assert got_checked == want_checked
     np.testing.assert_array_equal(got_c, want_c)
-    np.testing.assert_allclose(got_r, want_r, atol=1e-5)
+    # slot risks are quantized to 1/KEY_Q = 1.2e-4 (ranking only; alert
+    # values come exact from the refine pass)
+    np.testing.assert_allclose(got_r, want_r, atol=2e-4)
 
 
 def _alert_map(o, unordered=True):

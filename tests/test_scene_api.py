@@ -348,3 +348,41 @@ def test_fault_injection_reference_surface():
         assert get("/stats")["data"]["faults"]["partitioned_nodes"] == []
     finally:
         srv.stop()
+
+
+def test_scene_auto_window_growth():
+    """Adaptive window sizing (the reference's density-driven grid-split
+    analog, spatial_index.py:139-160): a dense clump that overflows the
+    kernel's candidate windows makes the Scene double window_rows and
+    recompile; within a few steps the overflow counter returns to 0."""
+    import jax
+    import numpy as np
+    from tpu_collide.core.state import state_from_numpy
+    from tpu_collide.core.config import (GridConfig, DetectionConfig,
+                                         AlertConfig, SimConfig)
+
+    n = 1200          # > the 8*128-slot minimum window
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(2000.0, 2000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        sim=SimConfig(accel_change_prob=0.0),
+        alerts=AlertConfig(max_scene_alerts=64))
+    pos = np.full((n, 3), 50.0, np.float32)
+    pos[:, 2] = 0.0
+    st = state_from_numpy(pos, np.zeros((n, 3), np.float32),
+                          np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    sc = Scene(cfg, backend="fused", window_rows=8, interpret=True)
+    sc.adopt_fleet(st)
+    out = sc.step()
+    assert int(out.overflow) > 0          # 1200 objects > 8*128-slot window
+    assert sc.window_regrows >= 1
+    for _ in range(3):
+        out = sc.step()
+        if int(out.overflow) == 0:
+            break
+    assert int(out.overflow) == 0
+    assert sc._window_rows > 8

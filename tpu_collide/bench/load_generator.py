@@ -7,9 +7,16 @@ and a FailureInjector client for the fault-injection endpoint (which the
 reference never implemented server-side; ours exists —
 api/stdlib_server.py /api/admin/inject-failure).
 
-Targets: 'http' (any tpu-collide REST server) or 'scene' (in-process Scene,
-no network) — the kafka/redis sinks of the reference were test-harness-only
-clients of services the repo never provisioned (SURVEY.md §2.11).
+Targets: 'http' (any tpu-collide REST server), 'scene' (in-process Scene,
+no network), plus 'kafka' and 'redis' to match the reference's full target
+list (load_generator.py:92-99, 252-257) — the latter two reuse the gated
+sinks from sim/traffic.py and raise with guidance when the client library
+or service is absent (neither is provisioned in this environment, exactly
+as in the reference repo).
+
+Artifacts: latencies CSV + summary JSON + PNG charts (latency histogram /
+timeline, cross-run comparison bars) when matplotlib is available —
+matching the reference's chart output (load_generator.py:412-471).
 """
 from __future__ import annotations
 
@@ -74,11 +81,25 @@ class LoadGenerator:
 
     def __init__(self, target: str = "http://127.0.0.1:8000",
                  scene=None, seed: int = 0,
-                 map_size=(10_000.0, 10_000.0)):
+                 map_size=(10_000.0, 10_000.0),
+                 target_type: str = "http", **sink_kw):
+        """target_type: 'http' | 'scene' | 'kafka' | 'redis' (the
+        reference's full list). kafka/redis build a gated sink from
+        sim/traffic.py; sink_kw passes bootstrap_servers/url/topic/channel
+        through."""
+        assert target_type in ("http", "scene", "kafka", "redis")
         self.target = target
         self.scene = scene                 # in-process mode when set
+        self.target_type = "scene" if scene is not None else target_type
         self.rng = random.Random(seed)
         self.map_size = map_size
+        self._sink = None
+        if self.target_type == "kafka":
+            from tpu_collide.sim.traffic import kafka_sink
+            self._sink = kafka_sink(**sink_kw)
+        elif self.target_type == "redis":
+            from tpu_collide.sim.traffic import redis_sink
+            self._sink = redis_sink(**sink_kw)
 
     def _payload(self, i: int) -> Dict[str, Any]:
         speed = self.rng.uniform(5, 20)
@@ -93,14 +114,21 @@ class LoadGenerator:
         }
 
     def _send(self, payload: Dict[str, Any]) -> bool:
-        if self.scene is not None:
+        if self.scene is not None or self._sink is not None:
             from tpu_collide.core.types import LocationData, Position, Vector
-            self.scene.ingest(LocationData(
+            loc = LocationData(
                 vehicle_id=payload["vehicle_id"],
                 position=Position(**payload["position"]),
                 velocity=Vector(**payload["velocity"]),
-                heading=payload["heading"]))
-            return True
+                heading=payload["heading"])
+            if self.scene is not None:
+                self.scene.ingest(loc)
+                return True
+            try:
+                self._sink([loc])
+                return True
+            except Exception:  # noqa: BLE001 — broker down counts as error
+                return False
         req = urllib.request.Request(
             self.target + "/vehicles/location",
             data=json.dumps(payload).encode(), method="POST",
@@ -151,30 +179,92 @@ class LoadGenerator:
                 f.write(f"{v}\n")
         with open(base + "_summary.json", "w") as f:
             json.dump(result.summary(), f, indent=2)
+        save_latency_charts(result.latencies_ms, base)
         return base
 
 
+def save_latency_charts(latencies_ms: List[float], base: str) -> List[str]:
+    """PNG latency histogram + timeline (reference load_generator.py:
+    412-471). No-op (returns []) when matplotlib is unavailable."""
+    if not latencies_ms:
+        return []
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        logger.info("matplotlib unavailable; skipping latency charts")
+        return []
+    out = []
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.hist(latencies_ms, bins=min(60, max(10, len(latencies_ms) // 20)),
+            color="#3b7dd8", edgecolor="white")
+    ax.set_xlabel("latency (ms)")
+    ax.set_ylabel("requests")
+    ax.set_title("Request latency distribution")
+    fig.tight_layout()
+    fig.savefig(base + "_latency_hist.png", dpi=110)
+    plt.close(fig)
+    out.append(base + "_latency_hist.png")
+
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.plot(latencies_ms, lw=0.7, color="#3b7dd8")
+    ax.set_xlabel("request #")
+    ax.set_ylabel("latency (ms)")
+    ax.set_title("Latency over the run")
+    fig.tight_layout()
+    fig.savefig(base + "_latency_timeline.png", dpi=110)
+    plt.close(fig)
+    out.append(base + "_latency_timeline.png")
+    return out
+
+
 class FailureInjector:
-    """Fault-injection client (reference load_generator.py:748-865). The
-    reference POSTed to /api/admin/inject-failure which its server never
-    implemented; ours does."""
+    """Fault-injection client — the reference's FULL surface
+    (load_generator.py:748-865: node_failure, network_partition, high_load,
+    slow_response, reset-failures) plus our drop_objects. The reference
+    POSTed to /api/admin/inject-failure which its server never implemented;
+    ours does (api/routes.py)."""
 
     def __init__(self, target: str = "http://127.0.0.1:8000"):
         self.target = target
 
-    def _post(self, body: Dict[str, Any]) -> Dict[str, Any]:
+    def _post(self, path: str, body: Optional[Dict[str, Any]] = None
+              ) -> Dict[str, Any]:
         req = urllib.request.Request(
-            self.target + "/api/admin/inject-failure",
-            data=json.dumps(body).encode(), method="POST",
+            self.target + path,
+            data=json.dumps(body or {}).encode(), method="POST",
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=5) as r:
             return json.loads(r.read())
 
-    def inject_object_loss(self, fraction: float = 0.1) -> Dict[str, Any]:
-        return self._post({"type": "drop_objects", "fraction": fraction})
+    def _inject(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        return self._post("/api/admin/inject-failure", body)
 
+    def inject_node_failure(self, node_id: str) -> Dict[str, Any]:
+        return self._inject({"type": "node_failure", "node_id": node_id})
+
+    def inject_network_partition(self, node_ids: List[str]) -> Dict[str, Any]:
+        return self._inject({"type": "network_partition",
+                             "node_ids": node_ids})
+
+    def inject_high_load(self, duration: float = 60) -> Dict[str, Any]:
+        return self._inject({"type": "high_load", "duration": duration})
+
+    def inject_slow_response(self, latency: float = 500,
+                             duration: float = 60) -> Dict[str, Any]:
+        return self._inject({"type": "slow_response", "latency": latency,
+                             "duration": duration})
+
+    def inject_object_loss(self, fraction: float = 0.1) -> Dict[str, Any]:
+        return self._inject({"type": "drop_objects", "fraction": fraction})
+
+    def reset_failures(self) -> Dict[str, Any]:
+        return self._post("/api/admin/reset-failures")
+
+    # round-1 name, kept for compatibility
     def reset(self) -> Dict[str, Any]:
-        return self._post({"type": "reset"})
+        return self._inject({"type": "reset"})
 
 
 class PerformanceAnalyzer:
@@ -215,3 +305,35 @@ class PerformanceAnalyzer:
             with open(path, "w") as f:
                 f.write(text + "\n")
         return text
+
+    @staticmethod
+    def comparison_chart(runs: Dict[str, List[float]],
+                         path: str) -> Optional[str]:
+        """Grouped-bar PNG of avg/p95/p99 per run (reference
+        load_generator.py:412-471 comparison charts). None when matplotlib
+        is unavailable."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            logger.info("matplotlib unavailable; skipping comparison chart")
+            return None
+        cmp_ = PerformanceAnalyzer.compare(runs)
+        names = list(cmp_)
+        metrics = ("avg_ms", "p95_ms", "p99_ms")
+        x = range(len(names))
+        width = 0.27
+        fig, ax = plt.subplots(figsize=(max(6, 2 * len(names)), 4.5))
+        for j, m in enumerate(metrics):
+            ax.bar([i + (j - 1) * width for i in x],
+                   [cmp_[n][m] for n in names], width, label=m)
+        ax.set_xticks(list(x))
+        ax.set_xticklabels(names, rotation=15, ha="right")
+        ax.set_ylabel("latency (ms)")
+        ax.set_title("Run comparison")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        return path

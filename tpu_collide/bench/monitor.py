@@ -93,4 +93,47 @@ class PerformanceMonitor:
             for s in self.samples:
                 f.write(",".join(str(s.get(k, "")) for k in keys) + "\n")
         logger.info("monitor samples saved to %s", path)
+        self.save_charts(path[:-4])
         return path
+
+    def save_charts(self, base: str) -> List[str]:
+        """PNG time-series charts of the sampled metrics (reference
+        performance_monitor.py:591-844 chart output). Returns written
+        paths; [] when matplotlib is unavailable or nothing numeric was
+        sampled."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            logger.info("matplotlib unavailable; skipping monitor charts")
+            return []
+        if not self.samples:
+            return []
+        t0 = self.samples[0]["timestamp"]
+        ts = [s["timestamp"] - t0 for s in self.samples]
+        groups = {
+            "host": ["cpu_pct", "mem_pct", "proc_rss_mb"],
+            "service": ["svc_detection_count", "svc_avg_detection_time_ms",
+                        "svc_active_alerts"],
+        }
+        out = []
+        for gname, keys in groups.items():
+            series = {k: [s.get(k) for s in self.samples] for k in keys
+                      if any(isinstance(s.get(k), (int, float))
+                             for s in self.samples)}
+            if not series:
+                continue
+            fig, ax = plt.subplots(figsize=(8, 4.5))
+            for k, vals in series.items():
+                ax.plot(ts, [v if isinstance(v, (int, float)) else None
+                             for v in vals], label=k, lw=1.2)
+            ax.set_xlabel("time (s)")
+            ax.set_title(f"{gname} metrics")
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            p = f"{base}_{gname}.png"
+            fig.savefig(p, dpi=110)
+            plt.close(fig)
+            out.append(p)
+        return out

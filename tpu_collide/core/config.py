@@ -73,7 +73,10 @@ class DetectionConfig:
     # pairs per detection block (semantically identical: stage 3 is only
     # reachable through stage 2 in the reference, collision_detection.py:
     # 143-151; excess survivors beyond the cap are counted in overflow).
-    precise_survivor_cap: int = 4096
+    # None (default) scales with the fleet: max(4096, 4*num_objects) —
+    # measured survivor counts run ~1-1.5x num_objects at bench densities,
+    # so 4x holds dense transients without overflow.
+    precise_survivor_cap: int | None = None
     # Per-object stage-2 survivor slots kept by the fused kernel in precise
     # mode (kernels/fused_detect.py mode='survivors'); survivors beyond this
     # are counted in alert_overflow. 8 covers any plausible simultaneous
@@ -167,6 +170,12 @@ class SystemConfig:
     def num_cells(self) -> int:
         nx, ny, nz = self.grid_dims
         return nx * ny * nz
+
+    @property
+    def survivor_cap(self) -> int:
+        """Static stage-2 survivor compaction capacity (precise mode)."""
+        c = self.detect.precise_survivor_cap
+        return c if c is not None else max(4096, 4 * self.num_objects)
 
     @property
     def stencil_halfwidth(self) -> int:

@@ -215,7 +215,7 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
         # reaches stage 3 through stage 2, :143-151) — compact them and run
         # the T-step loop on [cap] pairs instead of [Q, K].
         q, k = pass2.shape
-        cap = min(det.precise_survivor_cap, q * k)
+        cap = min(cfg.survivor_cap, q * k)
         flat2 = pass2.reshape(-1)
         surv_overflow = jnp.maximum(
             jnp.sum(flat2, dtype=jnp.int32) - cap, 0)

@@ -64,16 +64,14 @@ def grid_overflow(index, cfg: SystemConfig) -> jax.Array:
     return jnp.sum(jnp.maximum(sizes - cfg.grid.cell_capacity, 0))
 
 
-def step(state: ObjectState, key: jax.Array,
-         cfg: SystemConfig) -> tuple[ObjectState, StepOutput]:
-    """One full scene step (the benchmark 'request' unit,
-    optimized_performance_test.py:850-981): physics + full index rebuild +
-    detection + prediction + alert extraction."""
-    state = integrate(state, key, cfg)
+def detect_and_alerts(state: ObjectState, cfg: SystemConfig) -> StepOutput:
+    """The non-physics tail of a step: full index rebuild + detection +
+    alert extraction + stats. Shared by `step` and the scenario steps
+    (sim/scenario.py), which differ only in their integrator."""
     index = build_grid(state.pos, state.alive, cfg)
     pairs = detect_pairs(state, index, cfg)
     alerts = extract_alerts(state, pairs, cfg)
-    out = StepOutput(
+    return StepOutput(
         alerts=alerts,
         num_pairs_checked=pairs.num_checked,
         num_risks=jnp.sum(pairs.valid, dtype=jnp.int32),
@@ -82,7 +80,15 @@ def step(state: ObjectState, key: jax.Array,
         overflow=grid_overflow(index, cfg).astype(jnp.int32),
         alert_overflow=pairs.survivor_overflow,
     )
-    return state, out
+
+
+def step(state: ObjectState, key: jax.Array,
+         cfg: SystemConfig) -> tuple[ObjectState, StepOutput]:
+    """One full scene step (the benchmark 'request' unit,
+    optimized_performance_test.py:850-981): physics + full index rebuild +
+    detection + prediction + alert extraction."""
+    state = integrate(state, key, cfg)
+    return state, detect_and_alerts(state, cfg)
 
 
 def _chunked_detect_extract(state: ObjectState, cfg: SystemConfig,
@@ -190,16 +196,25 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
     both directions of a pair may appear, exactly as the reference's
     AlertManager kept them). The scene list equals the XLA selection
     whenever out.alert_overflow == 0."""
+    state = integrate(state, key, cfg)
+    return state, detect_and_alerts_fused(state, cfg,
+                                          window_rows=window_rows,
+                                          interpret=interpret)
+
+
+def detect_and_alerts_fused(state: ObjectState, cfg: SystemConfig,
+                            window_rows: int | None = None,
+                            interpret: bool = False) -> StepOutput:
+    """Fused-kernel tail of a step (see step_fused)."""
     from tpu_collide.kernels.cell_list import build_cell_list
     from tpu_collide.kernels.refine import (fused_scene_fast,
                                             fused_scene_precise)
 
-    state = integrate(state, key, cfg)
     cl = build_cell_list(state, cfg, window_rows=window_rows)
     scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
                 else fused_scene_precise)
     res = scene_fn(cl, cfg, interpret=interpret)
-    out = StepOutput(
+    return StepOutput(
         alerts=res.alerts,
         num_pairs_checked=res.num_checked,
         num_risks=res.num_risks,
@@ -208,7 +223,6 @@ def step_fused(state: ObjectState, key: jax.Array, cfg: SystemConfig,
         overflow=cl.overflow,
         alert_overflow=res.alert_overflow,
     )
-    return state, out
 
 
 def make_step(cfg: SystemConfig, donate: bool = True,

@@ -24,8 +24,18 @@ Key packing (mode="hits", fast stage-3):
 2*priority + risk is EXACTLY the scene ranking key used by the XLA alert
 extractor (alerts/extract.py), so a scene top-A over raw slot keys equals
 the XLA scene selection; qualifying pairs always outrank sub-threshold ones
-so none is evicted while count_qualifying <= K. risk (and priority) are
-recoverable: risk = key - 2*floor(key/2) for every emitted key.
+so none is evicted while count_qualifying <= K.
+
+Slots physically store a SECOND packing that makes top-k extraction one
+reduce per iteration: combined = round(key*KEY_Q)*LANE + lane_column — an
+exact f32 integer (|combined| < 2^23), unique per block column, ordered
+lexicographically by (quantized key, column). The block max IS the best
+(key, column) pair; masking the extracted element is an exact value
+compare; and the column rides along for free. Ranking granularity is
+1/KEY_Q = 1.22e-4 in key units — selection-order noise only; alert VALUES
+are recomputed exactly in the refine pass. Decode: col = combined mod
+LANE, key = (combined div LANE)/KEY_Q, risk = key - 2*floor(key/2),
+sign(combined) == qualifying (kernels/refine.py decode_slot).
 
 mode="survivors" (precise stage-3 support, reference
 collision_detection.py:296-342): slots hold stage-2 survivors ranked by
@@ -72,6 +82,12 @@ ROWS = TILE // LANE     # 8 own storage rows per tile
 _BIG = 3.0e38
 KEY_NONE = -3.0         # slot/init key for "nothing here"
 KEY_SUB = -2.0          # sub-threshold hits live at risk + KEY_SUB
+KEY_Q = 8192.0          # key quantizer for the packed slot encoding
+PACKED_NONE = KEY_NONE * KEY_Q * LANE   # packed form of an empty slot
+# slots strictly above this hold a real pair (the lowest emitted key is
+# KEY_SUB + 0 risk); empty slots sit at PACKED_NONE (+ column noise from
+# no-op insertions of non-emitted block maxima)
+PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
 
 (_X, _Y, _Z, _VX, _VY, _VZ, _AX, _AY, _AZ,
  _SIZE, _HEAD, _TYPE, _OID, _VALID, _ROW) = range(NF)
@@ -107,7 +123,7 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
 
     zero = jnp.zeros((ROWS, LANE), jnp.float32)
     for j in range(k):
-        okey[j][:, :] = zero + KEY_NONE
+        okey[j][:, :] = zero + PACKED_NONE
         oidx[j][:, :] = zero - 1.0
     for j in range(3):
         ocnt[j][:, :] = zero
@@ -337,22 +353,28 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
                                 return kb, ib
 
                             def extract(keym, n_iter):
-                                """Top-n_iter (key, cand index) per own
-                                lane."""
+                                """Top-n_iter (packed key, cand index)
+                                per own lane. The packed encoding makes
+                                each iteration ONE reduce: block values
+                                are unique integers ordered by
+                                (quantized key, column), so the max IS
+                                the best pair, masking is an exact value
+                                compare, and the column decodes with a
+                                mod."""
                                 gbase = (gr * LANE).astype(jnp.float32)
+                                cm = (jnp.round(keym * KEY_Q) * LANE
+                                      + col_iota)
                                 out = []
                                 for _t in range(n_iter):
-                                    m2 = jnp.max(keym, axis=1,
+                                    m2 = jnp.max(cm, axis=1,
                                                  keepdims=True)
-                                    csel = jnp.min(
-                                        jnp.where(keym >= m2, col_iota,
-                                                  _BIG),
-                                        axis=1, keepdims=True)
                                     if _t + 1 < n_iter:
-                                        keym = jnp.where(col_iota == csel,
-                                                         -_BIG, keym)
-                                    out.append((m2[:, 0],
-                                                gbase + csel[:, 0]))
+                                        cm = jnp.where(cm == m2, -_BIG,
+                                                       cm)
+                                    m_v = m2[:, 0]
+                                    col = m_v - jnp.floor(
+                                        m_v * (1.0 / LANE)) * LANE
+                                    out.append((m_v, gbase + col))
                                 return out
 
                             @pl.when(cmax > 0.5)

@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from tpu_collide.core.config import SystemConfig
-from tpu_collide.kernels.cell_list import CellList, FIELD_NAMES
-from tpu_collide.kernels.fused_detect import fused_topk, KEY_NONE
+from tpu_collide.kernels.cell_list import CellList, FIELD_NAMES, LANE
+from tpu_collide.kernels.fused_detect import (fused_topk, KEY_Q,
+                                              PACKED_NONE, PACKED_OCC_MIN)
 from tpu_collide.detect.pipeline import (_pair_safe_distance, _dist_at_time,
                                          _fast_first_crossing,
                                          _precise_sweep, _risk_score)
@@ -37,11 +38,19 @@ NF = len(FIELD_NAMES)
 _FI = {name: i for i, name in enumerate(FIELD_NAMES)}
 
 
-def decode_risk(keys: jax.Array) -> jax.Array:
-    """risk from a packed slot key (valid only where the slot is occupied):
+def decode_key(slots: jax.Array) -> jax.Array:
+    """Ranking key (2*priority + risk, or risk - 2 for sub-threshold hits)
+    from a packed slot value (combined = round(key*KEY_Q)*LANE + column).
+    Quantized to 1/KEY_Q."""
+    return jnp.floor(slots * (1.0 / LANE)) * (1.0 / KEY_Q)
+
+
+def decode_risk(slots: jax.Array) -> jax.Array:
+    """risk from a packed slot value (valid only where occupied):
     qualifying keys are 2*priority + risk, sub-threshold keys are risk - 2;
-    both satisfy risk = key - 2*floor(key/2)."""
-    return keys - 2.0 * jnp.floor(keys * 0.5)
+    both satisfy risk = key - 2*floor(key/2). Quantized to 1/KEY_Q."""
+    key = decode_key(slots)
+    return key - 2.0 * jnp.floor(key * 0.5)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,8 +201,8 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     own = soid >= 0 if n_own_oid is None else (
         (soid >= 0) & (soid < n_own_oid))
 
-    occupied = idx >= 0
-    sel = jnp.where(own[:, None] & occupied, keys, KEY_NONE)
+    occupied = keys > PACKED_OCC_MIN
+    sel = jnp.where(own[:, None] & occupied, keys, PACKED_NONE)
     a = min(cfg.alerts.max_scene_alerts, m * k)
     top_key, top_flat = jax.lax.top_k(sel.reshape(-1), a)
     valid = top_key >= 0.0                       # qualifying keys only
@@ -231,11 +240,11 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
     own = soid >= 0 if n_own_oid is None else (
         (soid >= 0) & (soid < n_own_oid))
 
-    occupied = (idx >= 0) & own[:, None]
-    sel = jnp.where(occupied, keys, KEY_NONE)
-    cap = min(det.precise_survivor_cap, m * k)
+    occupied = (keys > PACKED_OCC_MIN) & own[:, None]
+    sel = jnp.where(occupied, keys, PACKED_NONE)
+    cap = min(cfg.survivor_cap, m * k)
     top_key, top_flat = jax.lax.top_k(sel.reshape(-1), cap)
-    svalid = top_key > -1.0                      # survivor keys are in [0,1]
+    svalid = top_key >= 0.0                 # packed survivor keys in [0, 1]
     own_slot = top_flat // k
     cand_idx = idx.reshape(-1)[top_flat]
     ref = refine_pairs(cl, own_slot, cand_idx, cfg, mode="precise")
