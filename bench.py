@@ -112,8 +112,24 @@ def main():
                             detect=DetectionConfig(mode="fast"))
     sps_fast, avg_fast, _, _ = bench_scan(cfg_f, args.steps, args.chunk)
 
+    # Tunnel dispatch overhead: a trivial jitted program, individually
+    # dispatched + scalar-fetched — the floor any per-step serving number
+    # pays on this box (~25-30 ms over the axon tunnel, ~0 on local chips).
+    tiny = jax.jit(lambda x: x + 1)
+    z = tiny(jnp.zeros(()))
+    int(np.asarray(z))
+    dl = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        z = tiny(z)
+        int(np.asarray(z))
+        dl.append((time.perf_counter() - t0) * 1e3)
+    dl.sort()
+    dispatch_ms = dl[len(dl) // 2]
+
     # per-step p99 (each step individually dispatched + synced, i.e. the
-    # serving-latency view; includes ~25 ms axon-tunnel dispatch overhead)
+    # SERVING-latency view; includes the tunnel dispatch measured above —
+    # the chunk-amortized numbers above are the DEVICE-rate view)
     from tpu_collide.sim import generate_fleet
     from tpu_collide.engine import step as _step
     from functools import partial as _partial
@@ -130,6 +146,7 @@ def main():
     lat.sort()
     p99_ms = lat[98]
     p95_ms = lat[94]
+    serving_avg_ms = sum(lat) / len(lat)
 
     extra = {}
     if args.full:
@@ -141,6 +158,10 @@ def main():
         a, p = bench_fused(cfg100k, steps=20)
         extra["fused_100k_2d_avg_ms"] = round(a, 2)
         extra["fused_100k_2d_p99_ms"] = round(p, 2)
+        # NEW in round 2: exact precise semantics at kernel scale
+        cfg100kp = cfg100k.replace(detect=DetectionConfig(mode="precise"))
+        a, p = bench_fused(cfg100kp, steps=10)
+        extra["fused_100k_2d_precise_avg_ms"] = round(a, 2)
         cfg1m = tc.SystemConfig(
             num_objects=1_000_000,
             world=WorldConfig(hi=(10000., 10000., 500.)),
@@ -157,8 +178,15 @@ def main():
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 2),
+        # DEVICE-rate view: 50-step scan chunks amortize host dispatch, so
+        # this is per-step device time + dispatch/chunk
         "avg_step_ms": round(avg_ms, 4),
         "worst_chunk_step_ms": round(worst_ms, 4),
+        # SERVING view: one dispatch + scalar sync per step over the axon
+        # tunnel; tunnel_dispatch_ms is the measured per-call floor, so
+        # device-only per-step ~ serving_avg_ms - tunnel_dispatch_ms
+        "tunnel_dispatch_ms": round(dispatch_ms, 2),
+        "serving_avg_ms": round(serving_avg_ms, 2),
         "per_step_p95_ms": round(p95_ms, 2),
         "per_step_p99_ms": round(p99_ms, 2),
         "p99_vs_baseline": round(BASELINE_P99_MS / p99_ms, 2),
