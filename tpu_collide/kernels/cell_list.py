@@ -112,11 +112,12 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     num_cells = cfg.num_cells
     n = state.n
     num_tiles = -(-n // TILE)
-    # oids ride through the sort and kernel as f32; they (and any halo
-    # offset the sharded path adds, up to 2*num_objects) must stay exact
-    assert 2 * cfg.num_objects < 2 ** 24, (
-        "fused kernel stores oids in f32: fleets past ~8.3M objects need "
-        "the oid fields widened (ROADMAP)")
+    # oids ride through the sort and kernel as f32 and must stay exact;
+    # the sharded path offsets halo oids by num_objects (so needs 2x)
+    oid_max = cfg.num_objects * (2 if cfg.shard.num_shards > 1 else 1)
+    assert oid_max < 2 ** 24, (
+        "fused kernel stores oids in f32: fleets past ~16.7M objects "
+        "(8.3M sharded) need the oid fields widened (ROADMAP)")
     if window_rows is None:
         window_rows = default_window_rows(cfg)
     assert window_rows % 8 == 0
