@@ -164,3 +164,79 @@ def test_scenario_step_full_pipeline():
     assert int(o1.num_pairs_checked) == int(o2.num_pairs_checked)
     np.testing.assert_allclose(np.asarray(st1.pos), np.asarray(st2.pos),
                                atol=1e-5)
+
+
+def test_sharded_scenario_matches_single_device():
+    """Movement modes inside shard_map: the per-object scenario state
+    (road assignment) migrates with objects across slab walls, and the
+    sharded scenario step matches the single-device one exactly under
+    deterministic dynamics."""
+    from tpu_collide.core.config import ShardConfig
+    from tpu_collide.shard import (make_mesh, make_sharded_scenario_step,
+                                   distribute_state, collect_state)
+    import jax.numpy as jnp
+
+    tmap = TrafficMap(seed=4).generate_grid_map(100, 100, 100.0)  # 10 km
+    n = 400
+    cfg = tc.SystemConfig(
+        num_objects=n,
+        world=WorldConfig(hi=(10000.0, 10000.0, 0.0)),
+        sim=SimConfig(accel_change_prob=0.0),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=256),
+        shard=ShardConfig(num_shards=8, halo_capacity=256,
+                          migrate_capacity=128))
+    roads, _ = build_road_table(tmap)
+    cities = build_city_table(tmap)
+    from tpu_collide.sim import generate_fleet
+    fleet = generate_fleet(jax.random.key(0), cfg)
+    scen = init_scenario(n, "road_constrained", roads, jax.random.key(1))
+    # snap onto roads away from the ends so no (randomized) road switch
+    # happens in-horizon; random fraction so x stays spread over shards
+    ridx = np.asarray(scen.road)
+    s = np.asarray(roads.start)[ridx]
+    d = np.asarray(roads.dirn)[ridx]
+    ln = np.asarray(roads.length)[ridx]
+    frac = np.random.default_rng(2).uniform(0.1, 0.9, n)
+    pos = np.asarray(fleet.pos).copy()
+    pos[:, :2] = s + (frac * ln)[:, None] * d
+    fleet = fleet.replace(pos=jnp.asarray(pos))
+
+    # single device
+    st1, sc1 = fleet, scen
+    step1 = make_scenario_step(cfg, roads, cities, donate=False)
+    for i in range(5):
+        st1, sc1, out1 = step1(st1, sc1, jax.random.key(100 + i))
+
+    # sharded
+    mesh = make_mesh(cfg)
+    extra = {"mode": np.asarray(scen.mode), "road": np.asarray(scen.road),
+             "target": np.asarray(scen.target),
+             "target_ok": np.asarray(scen.target_ok)}
+    st8, ex8 = distribute_state(fleet, cfg, mesh, extra=extra)
+    from tpu_collide.sim.scenario import ScenarioState
+    sc8 = ScenarioState(**ex8)
+    step8 = make_sharded_scenario_step(cfg, mesh, roads, cities,
+                                       donate=False)
+    total_dropped = 0
+    for i in range(5):
+        st8, sc8, out8, dropped = step8(st8, sc8, jax.random.key(100 + i))
+        total_dropped += int(np.asarray(dropped).sum())
+    assert total_dropped == 0
+    assert int(out8.num_alive) == n
+    assert int(out8.num_risks) == int(out1.num_risks)
+
+    # positions AND migrated scenario state agree by oid
+    host = collect_state(st8)
+    alive = np.asarray(host.alive)
+    oid8 = np.asarray(host.oid)[alive]
+    pos8 = np.asarray(host.pos)[alive]
+    road8 = np.asarray(jax.device_get(sc8.road))[alive]
+    pos1 = np.asarray(st1.pos)
+    road1 = np.asarray(sc1.road)
+    assert len(oid8) == n
+    for j in np.argsort(oid8)[:100]:
+        o = oid8[j]
+        np.testing.assert_allclose(pos8[j], pos1[o], atol=1e-3)
+        assert road8[j] == road1[o], f"road state lost in migration (oid {o})"

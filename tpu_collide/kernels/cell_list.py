@@ -45,9 +45,21 @@ FIELD_NAMES = ("x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
                "size", "heading", "otype", "oid", "valid", "row")
 
 
+# Packed SMEM guard-table encodings. The per-storage-row tables are the
+# kernel's SMEM bill (4 x R scalars blew the ~1 MB SMEM budget at 10M
+# objects, R=78k); packing each pair into one int32 halves it:
+#   rb  = (cell_row_lo) * ROW_PACK + (cell_row_hi + 2)      (rhi >= -1)
+#   x   = floor(xlo - world_lo) * X_PACK + ceil(xhi - world_lo) + 1
+# X bounds are quantized to whole meters RELATIVE to world lo (the guard
+# is a conservative pruning hint — 1 m slack vs a >= 1 m search radius).
+ROW_PACK = 32768     # cell-row ids must stay below ROW_PACK - 2
+X_PACK = 65536       # packed x-extent must stay below 32767 m
+X_MAX = 32765.0
+
+
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["fields", "w_row", "w_nrows", "w_rlo", "w_rhi",
-                      "row_rlo", "row_rhi", "row_xlo", "row_xhi",
+         data_fields=["fields", "w_rw", "w_rb",
+                      "row_rb", "row_x",
                       "cr_floor", "cr_ceil",
                       "n_alive", "overflow"],
          meta_fields=["num_tiles", "window_rows", "n_windows"])
@@ -60,23 +72,19 @@ class CellList:
             dead slots so window DMAs never read out of bounds).
     `valid` is 1.0 for alive objects; `row` is the (y + ny*z) cell-row id
     (-1 for dead/padding).
-    w_row/w_nrows: [T, W] int32 — window start storage row (8-aligned) and
-    storage-row count.
-    w_rlo/w_rhi: [T, W] int32 — inclusive CELL-row range the window must
-    match (alignment padding is masked by this).
-    row_rlo/row_rhi/row_xlo/row_xhi: per-STORAGE-row guard tables consumed
-    as scalar prefetch by the kernel so block pruning costs zero in-kernel
-    reductions.
+    w_rw: [T, W] int32 — window start storage row (8-aligned) * 4096 +
+    storage-row count (packed; count < 4096 asserted).
+    w_rb: [T, W] int32 — inclusive CELL-row range the window must match
+    (alignment padding is masked by this), ROW_PACK-packed.
+    row_rb/row_x: per-STORAGE-row guard tables (cell-row range, x range;
+    packed as documented above) consumed as scalar prefetch by the kernel
+    so block pruning costs zero in-kernel reductions.
     """
     fields: jax.Array
-    w_row: jax.Array
-    w_nrows: jax.Array
-    w_rlo: jax.Array
-    w_rhi: jax.Array
-    row_rlo: jax.Array   # [R] i32 min cell-row of alive objects in row
-    row_rhi: jax.Array   # [R] i32 max cell-row (-1/-2 when row empty)
-    row_xlo: jax.Array   # [R] f32 min x of alive objects in row
-    row_xhi: jax.Array   # [R] f32 max x
+    w_rw: jax.Array
+    w_rb: jax.Array
+    row_rb: jax.Array    # [R] i32 packed (min, max) cell-row of alive objs
+    row_x: jax.Array     # [R] i32 packed (min, max) x of alive objs
     cr_floor: jax.Array  # [nrows+1] i32 storage row where cell-row begins
     cr_ceil: jax.Array   # [nrows+1] i32 ceil storage row of cell-row start
     n_alive: jax.Array
@@ -121,6 +129,14 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     if window_rows is None:
         window_rows = default_window_rows(cfg)
     assert window_rows % 8 == 0
+    assert window_rows < 4096, "w_rw packing caps windows at 4095 rows"
+    nrows_chk = cfg.grid_dims[1] * cfg.grid_dims[2]
+    assert nrows_chk + 16 < ROW_PACK, (
+        f"{nrows_chk} cell-rows exceed the packed guard-table range; "
+        "use larger cells in y/z")
+    assert cfg.world.hi[0] - cfg.world.lo[0] <= X_MAX, (
+        "packed x-guard tables cap the world x-extent at ~32.7 km; "
+        "shard wider worlds")
     window_max = window_rows * LANE
     np_pad = num_tiles * TILE + window_max
     n_windows = 3 if cfg.world.is_3d else 1
@@ -215,6 +231,17 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     row_xhi = jnp.max(jnp.where(valid2d, x2d, -big), axis=1)
     # empty rows: (rlo, rhi) = (large, -1) so no guard ever passes
     row_rlo = jnp.where(row_rhi < 0, jnp.float32(nrows + 9), row_rlo)
+    row_rhi = jnp.maximum(row_rhi, -1.0)
+
+    # pack the guard tables (SMEM budget; see module constants). x bounds
+    # quantize to whole meters relative to world lo — conservative
+    # (floor lo / ceil hi), never wrong, >= half the SMEM.
+    row_rb = (row_rlo.astype(jnp.int32) * ROW_PACK
+              + row_rhi.astype(jnp.int32) + 2)
+    wlo = jnp.float32(cfg.world.lo[0])
+    xq_lo = jnp.clip(jnp.floor(row_xlo - wlo), 0.0, X_MAX).astype(jnp.int32)
+    xq_hi = jnp.clip(jnp.ceil(row_xhi - wlo), 0.0, X_MAX).astype(jnp.int32)
+    row_x = xq_lo * X_PACK + xq_hi + 1
 
     # cell-row -> storage-row boundary tables: candidate storage rows for
     # cell-rows [a, b] are [cr_floor[a], cr_ceil[b+1]) — the kernel iterates
@@ -222,17 +249,17 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     cr_floor = row_start // LANE
     cr_ceil = -(-row_start // LANE)
 
+    w_row = jnp.stack(wr, axis=1).astype(jnp.int32)
+    w_nrows = jnp.stack(wn, axis=1).astype(jnp.int32)
+    w_rlo = jnp.stack(rlo_l, axis=1).astype(jnp.int32)
+    w_rhi = jnp.stack(rhi_l, axis=1).astype(jnp.int32)
     return CellList(
         fields=fields,
-        row_rlo=row_rlo.astype(jnp.int32),
-        row_rhi=jnp.maximum(row_rhi, -1.0).astype(jnp.int32),
-        row_xlo=row_xlo, row_xhi=row_xhi,
+        row_rb=row_rb, row_x=row_x,
         cr_floor=cr_floor.astype(jnp.int32),
         cr_ceil=cr_ceil.astype(jnp.int32),
-        w_row=jnp.stack(wr, axis=1).astype(jnp.int32),
-        w_nrows=jnp.stack(wn, axis=1).astype(jnp.int32),
-        w_rlo=jnp.stack(rlo_l, axis=1).astype(jnp.int32),
-        w_rhi=jnp.stack(rhi_l, axis=1).astype(jnp.int32),
+        w_rw=w_row * 4096 + w_nrows,
+        w_rb=w_rlo * ROW_PACK + w_rhi + 2,
         n_alive=n_alive.astype(jnp.int32),
         overflow=excess.astype(jnp.int32),
         num_tiles=num_tiles, window_rows=window_rows, n_windows=n_windows)

@@ -93,8 +93,7 @@ PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
  _SIZE, _HEAD, _TYPE, _OID, _VALID, _ROW) = range(NF)
 
 
-def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
-            row_rlo_ref, row_rhi_ref, row_xlo_ref, row_xhi_ref,
+def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
             cr_floor_ref, cr_ceil_ref,
             *refs,
             cfg: SystemConfig, window_rows: int, n_windows: int,
@@ -134,18 +133,31 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
     dtt = det.time_step
     t_max = det.time_window - det.time_step + 1e-6
     ny_shift = cfg.grid_dims[1]   # cell-row id delta between z-layers
+    wlo_x = cfg.world.lo[0]       # packed x-guard values are lo-relative
     # tpu.iota only produces integers; cast to f32 for the select math
     col_iota = jax.lax.broadcasted_iota(
         jnp.int32, (LANE, LANE), 1).astype(jnp.float32)
+
+    def unpack_rb(v):
+        """(cell_row_lo, cell_row_hi) from a packed guard scalar."""
+        from tpu_collide.kernels.cell_list import ROW_PACK
+        return v // ROW_PACK, v % ROW_PACK - 2
+
+    def unpack_x(v):
+        """(x_lo, x_hi) f32 from a packed, lo-relative, meter-quantized
+        guard scalar (conservative bounds)."""
+        from tpu_collide.kernels.cell_list import X_PACK
+        return ((v // X_PACK).astype(jnp.float32) + wlo_x,
+                (v % X_PACK - 1).astype(jnp.float32) + wlo_x)
 
     def window_pass(w, _):
         # window tables are flattened [T*W] (2D SMEM operands pad to 128
         # lanes and blow the 1 MB SMEM budget at large T)
         wi = t * n_windows + w
-        wrow = pl.multiple_of(w_row_ref[wi], ROWS)
-        wn = w_nrows_ref[wi]
-        rlo_i = w_rlo_ref[wi]
-        rhi_i = w_rhi_ref[wi]
+        wrw = w_rw_ref[wi]
+        wrow = pl.multiple_of(wrw // 4096, ROWS)
+        wn = wrw % 4096
+        rlo_i, rhi_i = unpack_rb(w_rb_ref[wi])
         wn_eff = jnp.minimum(wn, window_rows)
 
         @pl.when(wn > 0)
@@ -161,10 +173,8 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
 
             def sub_pass(s, _):
                 go = base + s
-                sr_lo = row_rlo_ref[go]
-                sr_hi = row_rhi_ref[go]
-                ox_lo = row_xlo_ref[go]
-                ox_hi = row_xhi_ref[go]
+                sr_lo, sr_hi = unpack_rb(row_rb_ref[go])
+                ox_lo, ox_hi = unpack_x(row_x_ref[go])
                 ovalid = own[_VALID][s, :][:, None]
                 o_ok = ovalid > 0.5
                 colv = lambda f: own[f][s, :][:, None]
@@ -201,8 +211,7 @@ def _kernel(w_row_ref, w_nrows_ref, w_rlo_ref, w_rhi_ref,
                     # candidates twice
                     def crow_pass(c, _):
                         gr = wrow + c
-                        cx_lo = row_xlo_ref[gr]
-                        cx_hi = row_xhi_ref[gr]
+                        cx_lo, cx_hi = unpack_x(row_x_ref[gr])
 
                         # x-overlap guard (sorted order makes rows x-coherent)
                         @pl.when((cx_lo <= ox_hi + r_max)
@@ -461,7 +470,7 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
                              n_windows=cl.n_windows, k=k, emit=mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=6,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * NF,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
@@ -482,9 +491,8 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cl.w_row.reshape(-1), cl.w_nrows.reshape(-1),
-      cl.w_rlo.reshape(-1), cl.w_rhi.reshape(-1),
-      cl.row_rlo, cl.row_rhi, cl.row_xlo, cl.row_xhi,
+    )(cl.w_rw.reshape(-1), cl.w_rb.reshape(-1),
+      cl.row_rb, cl.row_x,
       cl.cr_floor, cl.cr_ceil, *field_list)
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)

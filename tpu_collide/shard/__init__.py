@@ -1,4 +1,5 @@
 from tpu_collide.shard.step import (make_mesh, make_sharded_step,
+                                    make_sharded_scenario_step,
                                     distribute_state, collect_state,
                                     shard_slots, equal_boundaries,
                                     check_boundaries)

@@ -49,18 +49,23 @@ def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array,
 
 
 def pack(state: ObjectState, mask: jax.Array, capacity: int,
-         boundary_x: jax.Array):
+         boundary_x: jax.Array, extra=None):
     """Compact up to `capacity` masked objects into a send buffer.
 
     When more than `capacity` objects match, those CLOSEST to the boundary
     win (they matter most for detection). Returns (buffer dict, valid [cap],
-    dropped count)."""
+    dropped count). `extra` (optional dict name -> [N,...] array) rides
+    along under 'x:'-prefixed keys — used by the scenario step to migrate
+    per-object mode/road/target state with the object."""
     # rank: masked objects first, nearest the boundary first
     d = jnp.abs(state.pos[:, 0] - boundary_x)
     key = jnp.where(mask, d, jnp.inf)
     idx = jnp.argsort(key)[:capacity]
     valid = mask[idx]
     buf = {f: getattr(state, f)[idx] for f in _XCHG_FIELDS}
+    if extra:
+        for f, a in extra.items():
+            buf["x:" + f] = a[idx]
     dropped = jnp.sum(mask, dtype=jnp.int32) - jnp.sum(valid, dtype=jnp.int32)
     return buf, valid, dropped
 
@@ -86,31 +91,42 @@ def kill(state: ObjectState, mask: jax.Array) -> ObjectState:
     return state.replace(alive=state.alive & ~mask)
 
 
-def place(state: ObjectState, buf, valid: jax.Array) -> Tuple[ObjectState, jax.Array]:
+def place(state: ObjectState, buf, valid: jax.Array, extra=None):
     """Scatter arriving objects into dead slots. Returns (state, dropped
-    count for arrivals that found no free slot)."""
+    count for arrivals that found no free slot) — plus the updated extra
+    dict when `extra` is given (its 'x:'-prefixed fields in `buf` land in
+    the same slots)."""
     cap = valid.shape[0]
     # free slots first (stable argsort of alive: False < True)
     slots = jnp.argsort(state.alive)[:cap]
     can = (~state.alive[slots]) & valid
-    upd = {}
-    for f in _XCHG_FIELDS:
-        cur = getattr(state, f)[slots]
-        mask = can.reshape((cap,) + (1,) * (buf[f].ndim - 1))
-        upd[f] = getattr(state, f).at[slots].set(jnp.where(mask, buf[f], cur))
+
+    def scatter(arr, new):
+        cur = arr[slots]
+        mask = can.reshape((cap,) + (1,) * (new.ndim - 1))
+        return arr.at[slots].set(jnp.where(mask, new, cur))
+
+    upd = {f: scatter(getattr(state, f), buf[f]) for f in _XCHG_FIELDS}
     alive = state.alive.at[slots].set(state.alive[slots] | can)
     dropped = jnp.sum(valid, dtype=jnp.int32) - jnp.sum(can, dtype=jnp.int32)
-    return state.replace(alive=alive, **upd), dropped
+    new_state = state.replace(alive=alive, **upd)
+    if extra is None:
+        return new_state, dropped
+    new_extra = {f: scatter(a, buf["x:" + f]) for f, a in extra.items()}
+    return new_state, new_extra, dropped
 
 
 def migrate(state: ObjectState, cfg: SystemConfig,
             shard_idx: jax.Array,
-            boundaries: jax.Array | None = None
-            ) -> Tuple[ObjectState, jax.Array]:
+            boundaries: jax.Array | None = None,
+            extra=None):
     """Move objects whose x left the local slab to the neighbor shard.
     Objects can only cross one slab per step when
     max_speed * dt < min slab width (checked statically at mesh build for
-    equal slabs; enforced via min_width at rebalance for dynamic ones)."""
+    equal slabs; enforced via min_width at rebalance for dynamic ones).
+
+    Returns (state, dropped) — or (state, extra, dropped) when `extra`
+    per-object arrays (e.g. scenario mode/road/target) migrate along."""
     slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries)
     d = cfg.shard.num_shards
     m = cfg.shard.migrate_capacity
@@ -118,17 +134,20 @@ def migrate(state: ObjectState, cfg: SystemConfig,
     go_l = state.alive & (state.pos[:, 0] < slab_lo) & (shard_idx > 0)
     go_r = state.alive & (state.pos[:, 0] >= slab_hi) & (shard_idx < d - 1)
 
-    buf_l, val_l, drop_l = pack(state, go_l, m, slab_lo)
-    buf_r, val_r, drop_r = pack(state, go_r, m, slab_hi)
+    buf_l, val_l, drop_l = pack(state, go_l, m, slab_lo, extra=extra)
+    buf_r, val_r, drop_r = pack(state, go_r, m, slab_hi, extra=extra)
     # emigrants leave regardless; a dropped emigrant is lost (counted)
     state = kill(state, go_l | go_r)
 
     (in_r, inval_r), (in_l, inval_l) = exchange_neighbors(
         buf_l, val_l, buf_r, val_r, cfg)
-    state, drop_pl = place(state, in_l, inval_l)
-    state, drop_pr = place(state, in_r, inval_r)
-    dropped = drop_l + drop_r + drop_pl + drop_pr
-    return state, dropped
+    if extra is None:
+        state, drop_pl = place(state, in_l, inval_l)
+        state, drop_pr = place(state, in_r, inval_r)
+        return state, drop_l + drop_r + drop_pl + drop_pr
+    state, extra, drop_pl = place(state, in_l, inval_l, extra=extra)
+    state, extra, drop_pr = place(state, in_r, inval_r, extra=extra)
+    return state, extra, drop_l + drop_r + drop_pl + drop_pr
 
 
 def halo_exchange(state: ObjectState, cfg: SystemConfig,

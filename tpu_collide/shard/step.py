@@ -51,6 +51,72 @@ def make_mesh(cfg: SystemConfig, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (cfg.shard.axis_name,))
 
 
+def _detect_tail_xla(state: ObjectState, cfg: SystemConfig,
+                     boundaries: jax.Array, s: jax.Array) -> StepOutput:
+    """Halo exchange + XLA detection over owned + halo rows; alerts
+    emitted only for owned rows; stats psum-reduced."""
+    ax = cfg.shard.axis_name
+    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
+                                                       boundaries)
+    ext = extend_with_halo(state, halo_buf, halo_valid)
+    index = build_grid(ext.pos, ext.alive, cfg)
+    pairs = detect_pairs(ext, index, cfg)
+    n_own = state.n
+    own_mask = jnp.arange(ext.n) < n_own
+    alerts = extract_alerts(ext, pairs, cfg, query_mask=own_mask)
+
+    own_valid = pairs.valid & own_mask[:, None]
+    # per-shard alert count becomes a [1] vector so shard_map can
+    # concatenate it to a global [D] vector
+    alerts = dataclasses.replace(alerts, count=alerts.count.reshape(1))
+    from tpu_collide.engine import grid_overflow
+    return StepOutput(
+        alerts=alerts,
+        num_pairs_checked=jax.lax.psum(pairs.num_checked, ax),
+        num_risks=jax.lax.psum(
+            jnp.sum(own_valid, dtype=jnp.int32), ax),
+        max_risk=jax.lax.pmax(jnp.max(pairs.risk), ax),
+        num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
+        overflow=jax.lax.psum(
+            grid_overflow(index, cfg).astype(jnp.int32), ax),
+        alert_overflow=jax.lax.psum(pairs.survivor_overflow, ax),
+    ), halo_dropped
+
+
+def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
+                       boundaries: jax.Array, s: jax.Array,
+                       interpret: bool) -> StepOutput:
+    """Halo exchange + fused-kernel detection (both modes). Halo mirrors
+    carry oid + num_objects so they are distinguishable after the
+    cell-list sort; only owner rows emit alerts."""
+    from tpu_collide.kernels.cell_list import build_cell_list
+    from tpu_collide.kernels.refine import (fused_scene_fast,
+                                            fused_scene_precise)
+    ax = cfg.shard.axis_name
+    n_glob = cfg.num_objects
+    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
+                                                       boundaries)
+    ext = extend_with_halo(state, halo_buf, halo_valid,
+                           halo_oid_offset=n_glob)
+    cl = build_cell_list(ext, cfg)
+    scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
+                else fused_scene_precise)
+    res = scene_fn(cl, cfg, interpret=interpret, n_own_oid=n_glob,
+                   decode_other=lambda o: jnp.where(o >= n_glob,
+                                                    o - n_glob, o))
+    alerts = dataclasses.replace(res.alerts,
+                                 count=res.alerts.count.reshape(1))
+    return StepOutput(
+        alerts=alerts,
+        num_pairs_checked=jax.lax.psum(res.num_checked, ax),
+        num_risks=jax.lax.psum(res.num_risks, ax),
+        max_risk=jax.lax.pmax(res.max_risk, ax),
+        num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
+        overflow=jax.lax.psum(cl.overflow, ax),
+        alert_overflow=jax.lax.psum(res.alert_overflow, ax),
+    ), halo_dropped
+
+
 def _local_step(state: ObjectState, key: jax.Array, boundaries: jax.Array,
                 cfg: SystemConfig
                 ) -> Tuple[ObjectState, StepOutput, jax.Array]:
@@ -67,34 +133,7 @@ def _local_step(state: ObjectState, key: jax.Array, boundaries: jax.Array,
     # migration: ownership follows position
     state, mig_dropped = migrate(state, cfg, s, boundaries)
 
-    # halo: mirror boundary bands from slab neighbors
-    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
-                                                       boundaries)
-    ext = extend_with_halo(state, halo_buf, halo_valid)
-
-    # detection over owned + halo rows; alerts emitted only for owned rows
-    index = build_grid(ext.pos, ext.alive, cfg)
-    pairs = detect_pairs(ext, index, cfg)
-    n_own = state.n
-    own_mask = jnp.arange(ext.n) < n_own
-    alerts = extract_alerts(ext, pairs, cfg, query_mask=own_mask)
-
-    own_valid = pairs.valid & own_mask[:, None]
-    # per-shard alert count becomes a [1] vector so shard_map can
-    # concatenate it to a global [D] vector
-    alerts = dataclasses.replace(alerts, count=alerts.count.reshape(1))
-    from tpu_collide.engine import grid_overflow
-    out = StepOutput(
-        alerts=alerts,
-        num_pairs_checked=jax.lax.psum(pairs.num_checked, ax),
-        num_risks=jax.lax.psum(
-            jnp.sum(own_valid, dtype=jnp.int32), ax),
-        max_risk=jax.lax.pmax(jnp.max(pairs.risk), ax),
-        num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
-        overflow=jax.lax.psum(
-            grid_overflow(index, cfg).astype(jnp.int32), ax),
-        alert_overflow=jax.lax.psum(pairs.survivor_overflow, ax),
-    )
+    out, halo_dropped = _detect_tail_xla(state, cfg, boundaries, s)
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
@@ -105,43 +144,43 @@ def _local_step_fused(state: ObjectState, key: jax.Array,
     """Per-shard body on the fused Pallas kernel (both 'fast' and 'precise'
     detection modes): integrate -> migrate -> halo -> cell-list build +
     fused broad/narrow top-k slots + XLA refine -> per-shard alert top-k.
-    Halo mirrors carry oid + num_objects so they are distinguishable after
-    the cell-list sort; only owner rows (oid < num_objects) emit alerts —
-    the other endpoint's shard emits its own direction, matching the
-    single-device fused path."""
-    from tpu_collide.kernels.cell_list import build_cell_list
-    from tpu_collide.kernels.refine import (fused_scene_fast,
-                                            fused_scene_precise)
-
+    The other endpoint's shard emits its own direction of each
+    cross-boundary pair, matching the single-device fused path."""
     ax = cfg.shard.axis_name
     s = jax.lax.axis_index(ax)
     key = jax.random.fold_in(key, s)
     state = integrate(state, key, cfg)
     state, mig_dropped = migrate(state, cfg, s, boundaries)
-    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
-                                                       boundaries)
-    n_glob = cfg.num_objects
-    ext = extend_with_halo(state, halo_buf, halo_valid,
-                           halo_oid_offset=n_glob)
-
-    cl = build_cell_list(ext, cfg)
-    scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
-                else fused_scene_precise)
-    res = scene_fn(cl, cfg, interpret=interpret, n_own_oid=n_glob,
-                   decode_other=lambda o: jnp.where(o >= n_glob,
-                                                    o - n_glob, o))
-    alerts = dataclasses.replace(res.alerts,
-                                 count=res.alerts.count.reshape(1))
-    out = StepOutput(
-        alerts=alerts,
-        num_pairs_checked=jax.lax.psum(res.num_checked, ax),
-        num_risks=jax.lax.psum(res.num_risks, ax),
-        max_risk=jax.lax.pmax(res.max_risk, ax),
-        num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
-        overflow=jax.lax.psum(cl.overflow, ax),
-        alert_overflow=jax.lax.psum(res.alert_overflow, ax),
-    )
+    out, halo_dropped = _detect_tail_fused(state, cfg, boundaries, s,
+                                           interpret)
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
+
+
+def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
+                         boundaries: jax.Array, cfg: SystemConfig,
+                         roads, cities, backend: str,
+                         interpret: bool = False):
+    """Per-shard body with device movement modes (sim/scenario.py):
+    scenario physics -> migration that CARRIES the per-object scenario
+    state (mode/road/target) with each migrating object -> halo ->
+    detection tail on either backend."""
+    from tpu_collide.sim.scenario import scenario_integrate, ScenarioState
+
+    ax = cfg.shard.axis_name
+    s = jax.lax.axis_index(ax)
+    key = jax.random.fold_in(key, s)
+    state, scen = scenario_integrate(state, scen, key, cfg, roads, cities)
+    extra = {"mode": scen.mode, "road": scen.road,
+             "target": scen.target, "target_ok": scen.target_ok}
+    state, extra, mig_dropped = migrate(state, cfg, s, boundaries,
+                                        extra=extra)
+    scen = ScenarioState(**extra)
+    if backend == "fused":
+        out, halo_dropped = _detect_tail_fused(state, cfg, boundaries, s,
+                                               interpret)
+    else:
+        out, halo_dropped = _detect_tail_xla(state, cfg, boundaries, s)
+    return state, scen, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
 def equal_boundaries(cfg: SystemConfig):
@@ -217,11 +256,62 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
     return step
 
 
+def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
+                               donate: bool = True, backend: str = "xla",
+                               interpret: bool = False):
+    """Sharded step with device movement modes: per-object scenario state
+    (mode/road/target) is sharded alongside the fleet and MIGRATES with
+    objects across slab walls; road/city tables are replicated. Returned
+    callable: step(state, scen, key, boundaries=None) ->
+    (state, scen, StepOutput, dropped[D])."""
+    from tpu_collide.sim.scenario import ScenarioState
+
+    ax = cfg.shard.axis_name
+    spec_state = ObjectState(
+        pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
+        otype=P(ax), alive=P(ax), oid=P(ax))
+    spec_scen = ScenarioState(mode=P(ax), road=P(ax), target=P(ax),
+                              target_ok=P(ax))
+    spec_alerts = AlertBatch(
+        vehicle_oid=P(ax), other_oid=P(ax), risk=P(ax), ttc=P(ax),
+        distance=P(ax), rel_speed=P(ax), priority=P(ax), col_pos=P(ax),
+        valid=P(ax), count=P(ax))
+    spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
+                          num_risks=P(), max_risk=P(), num_alive=P(),
+                          overflow=P(), alert_overflow=P())
+    spec_tables = jax.tree.map(lambda _: P(), (roads, cities))
+
+    body = partial(_local_step_scenario, cfg=cfg, backend=backend,
+                   interpret=interpret)
+
+    def wrapped(state, scen, key, boundaries, roads_, cities_):
+        return body(state, scen, key, boundaries, roads=roads_,
+                    cities=cities_)
+
+    f = jax.shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(spec_state, spec_scen, P(), P()) + spec_tables,
+        out_specs=(spec_state, spec_scen, spec_out, P(ax)),
+        # fused pallas outputs carry no VMA metadata (see make_sharded_step)
+        check_vma=(backend != "fused"),
+    )
+    jf = jax.jit(f, donate_argnums=(0, 1) if donate else ())
+    default_b = equal_boundaries(cfg)
+
+    def step(state, scen, key, boundaries=None):
+        return jf(state, scen, key,
+                  default_b if boundaries is None else boundaries,
+                  roads, cities)
+
+    return step
+
+
 def distribute_state(state_global: ObjectState, cfg: SystemConfig,
-                     mesh: Mesh, boundaries=None) -> ObjectState:
+                     mesh: Mesh, boundaries=None, extra=None):
     """Host-side: scatter a globally-generated fleet into per-shard slots by
     slab (equal slabs, or the given [D+1] dynamic walls). Returns the
-    mesh-sharded state ([D * slots] leading dim).
+    mesh-sharded state ([D * slots] leading dim) — plus the identically
+    distributed `extra` dict (e.g. scenario arrays) when given.
 
     (This is ingest/bootstrap, not the hot path — plain numpy.)"""
     import numpy as np
@@ -242,8 +332,9 @@ def distribute_state(state_global: ObjectState, cfg: SystemConfig,
     fields = {f: np.asarray(getattr(state_global, f))
               for f in ("pos", "vel", "acc", "heading", "size", "otype",
                         "alive", "oid")}
+    xfields = {("x:" + f): np.asarray(v) for f, v in (extra or {}).items()}
     out = {f: np.zeros((d * slots,) + v.shape[1:], v.dtype)
-           for f, v in fields.items()}
+           for f, v in {**fields, **xfields}.items()}
     out["oid"][:] = -1
     for sh in range(d):
         idx = np.flatnonzero((shard_of == sh) & alive)
@@ -254,14 +345,19 @@ def distribute_state(state_global: ObjectState, cfg: SystemConfig,
         dst = sh * slots + np.arange(len(idx))
         for f in fields:
             out[f][dst] = fields[f][idx]
+        for f, v in xfields.items():
+            out[f][dst] = v[idx]
         out["alive"][sh * slots:(sh + 1) * slots][len(idx):] = False
 
     from jax.sharding import NamedSharding
     sharding = NamedSharding(mesh, P(cfg.shard.axis_name))
-    arrs = {f: jax.device_put(jnp.asarray(v), sharding)
-            for f, v in out.items()}
+    put = lambda v: jax.device_put(jnp.asarray(v), sharding)
+    arrs = {f: put(v) for f, v in out.items() if not f.startswith("x:")}
     arrs["alive"] = arrs["alive"].astype(bool)
-    return ObjectState(**arrs)
+    state = ObjectState(**arrs)
+    if extra is None:
+        return state
+    return state, {f: put(out["x:" + f]) for f in extra}
 
 
 def collect_state(state_sharded: ObjectState) -> ObjectState:

@@ -49,7 +49,8 @@ class CollisionSystem:
                  checkpoint_dir: Optional[str] = None,
                  detection_hz: float = 2.0,
                  checkpoint_every_s: float = 30.0,
-                 api_port: Optional[int] = None):
+                 api_port: Optional[int] = None,
+                 backend: str = "xla"):
         self.cfg = cfg or SystemConfig()
         self.node_id = node_id
         self.detection_hz = detection_hz
@@ -64,7 +65,7 @@ class CollisionSystem:
 
         # layer 2: device engine + alerts
         self.scene = Scene(self.cfg, checkpoint_dir=checkpoint_dir,
-                           broker=self.broker)
+                           broker=self.broker, backend=backend)
 
         # layer 3: scheduling
         self.scheduler = Scheduler(self.broker)
@@ -241,6 +242,12 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--objects", type=int, default=1000)
     ap.add_argument("--detection-hz", type=float, default=2.0)
+    ap.add_argument("--backend", choices=("xla", "fused"), default="xla",
+                    help="step engine: exact XLA pipeline or the fused "
+                         "Pallas kernel (big fleets)")
+    ap.add_argument("--detect-mode", choices=("precise", "fast"),
+                    default=None,
+                    help="override DetectionConfig.mode")
     ap.add_argument("--log-level", default="INFO")
     ap.add_argument("--config", default=None,
                     help="JSON SystemConfig file (overrides --objects)")
@@ -252,12 +259,17 @@ def main(argv=None) -> None:
             cfg = SystemConfig.from_json(fh.read())
     else:
         cfg = SystemConfig(num_objects=args.objects)
+    if args.detect_mode:
+        import dataclasses as _dc
+        cfg = cfg.replace(detect=_dc.replace(cfg.detect,
+                                             mode=args.detect_mode))
 
     system = CollisionSystem(cfg, node_id=args.node_id,
                              storage_url=args.storage_url,
                              checkpoint_dir=args.checkpoint_dir,
                              detection_hz=args.detection_hz,
-                             api_port=args.api_port)
+                             api_port=args.api_port,
+                             backend=args.backend)
 
     async def run():
         await system.start()
