@@ -3,8 +3,6 @@
 (host rng stubbed, device accel_change_prob=0) the dynamics are
 deterministic, so host and device trajectories must agree to float
 tolerance for every mode."""
-import math
-
 import numpy as np
 import jax
 import pytest
@@ -17,7 +15,7 @@ from tpu_collide.sim.traffic import TrafficMap, VehicleSimulator
 from tpu_collide.sim.scenario import (build_road_table, build_city_table,
                                       scenario_from_simulator,
                                       scenario_integrate, init_scenario,
-                                      make_scenario_step, MODE_ROAD)
+                                      make_scenario_step)
 
 DT = 0.1
 

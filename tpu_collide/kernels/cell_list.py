@@ -173,10 +173,10 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
                                  stacked[oid_idx], -1.0)
     fields = jnp.stack(stacked, axis=0).reshape(len(FIELD_NAMES), -1, LANE)
 
-    # bucket offsets + cell-row table
-    starts = jnp.searchsorted(
-        sflat, jnp.arange(num_cells + 2, dtype=jnp.int32),
-        side="left").astype(jnp.int32)
+    # bucket offsets + cell-row table (scatter-histogram: >2x faster than
+    # TPU searchsorted at 1M/400k — index/grid.bucket_starts)
+    from tpu_collide.index.grid import bucket_starts
+    starts = bucket_starts(flat, num_cells)
     n_alive = starts[num_cells]
     row_start = starts[jnp.arange(nrows + 1, dtype=jnp.int32) * nx]
 
