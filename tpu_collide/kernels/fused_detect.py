@@ -252,170 +252,181 @@ def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
                                          & (ts >= 0.0) & (ts <= det.time_window)
                                          & (cd2 <= safe2))
 
-                            if emit == "hits":
-                                # stage 3 (fast): first |p + v t| = safe
-                                # crossing, snapped to the dt lattice
-                                bq = 2.0 * dot
-                                cq = d2 - safe2
-                                disc = bq * bq - 4.0 * rs2 * cq
-                                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                                t_en = (-bq - sq) / (2.0 * rs2s)
-                                t_ex = (-bq + sq) / (2.0 * rs2s)
-                                inside = cq <= 0.0
-                                t_fi = jnp.where(inside, 0.0,
-                                                 jnp.maximum(t_en, 0.0))
-                                t_sn = jnp.ceil(t_fi / dtt - 1e-6) * dtt
-                                sok = inside | ((t_sn >= t_en - 1e-6)
-                                                & (t_sn <= t_ex + 1e-6))
-                                hit = (ok2 & (disc >= 0.0) & (rs2 > 1e-12)
-                                       & sok & (t_sn <= t_max))
-                                t_hit = jnp.where(inside, 0.0, t_sn)
-                                hdx = dxp + dvx * t_hit
-                                hdy = dyp + dvy * t_hit
-                                hdz = dzp + dvz * t_hit
-                                d_hit = jnp.sqrt(hdx * hdx + hdy * hdy
-                                                 + hdz * hdz)
-
-                                # stage 4: weighted risk
-                                risk = (
-                                    det.weight_distance * (1.0 - d_hit / safe)
-                                    + det.weight_time
-                                    * (1.0 - jnp.minimum(
-                                        1.0, t_hit / det.max_warning_time))
-                                    + det.weight_speed
-                                    * jnp.minimum(1.0, jnp.sqrt(rs2)
-                                                  / det.max_relative_speed)
-                                    + det.weight_angle
-                                    * jnp.sin(jnp.abs(ohead - chead))
-                                    + det.weight_type
-                                    * jnp.where(ctype == otype,
-                                                det.same_type_factor,
-                                                det.diff_type_factor))
-                                risk = jnp.clip(risk, 0.0, 1.0)
-
-                                # priority rules (warning_system.py:287-311) —
-                                # the packed key 2*prio + risk IS the XLA scene
-                                # ranking key (alerts/extract.py)
-                                crit = ((risk >= al.risk_high)
-                                        & (t_hit < al.ttc_critical))
-                                high = ((risk >= al.risk_high)
-                                        | (t_hit < al.ttc_high))
-                                med = risk >= al.risk_medium
-                                prio = jnp.where(
-                                    crit, 3.0, jnp.where(high, 2.0,
-                                                         jnp.where(med, 1.0,
-                                                                   0.0)))
-                                qual = hit & (risk >= al.risk_low)
-                                key = jnp.where(
-                                    qual, 2.0 * prio + risk,
-                                    jnp.where(hit, risk + KEY_SUB, KEY_NONE))
-                                emitted = hit
-                            else:
-                                # stage-2 survivors for the XLA precise sweep;
-                                # rank by closest-approach proximity
-                                key = jnp.where(ok2, 1.0 - cd2 / safe2,
-                                                KEY_NONE)
-                                emitted = ok2
-                                qual = ok2
-
                             # stage-1 counter (read-modify-write VMEM row)
                             ocnt[0][pl.ds(s, 1), :] = (
                                 ocnt[0][s, :] + jnp.sum(
                                     jnp.where(ok1, 1.0, 0.0), axis=1)
                             )[None, :]
 
-                            # per-lane emitted counts drive the remaining
-                            # counters and the extraction sparsity switch.
-                            # Measured at 100k/TPU: skipping extraction
-                            # for hit-free blocks (the common case) saves
-                            # ~20% despite the scalar/vector sync a
-                            # vector-derived pl.when costs; the 1-vs-k
-                            # twin path adds a little more.
-                            emitted_row = jnp.sum(
-                                jnp.where(emitted, 1.0, 0.0), axis=1)
-                            cmax = jnp.max(emitted_row)
+                            # Everything downstream — stage 3/4, priority,
+                            # key packing, the remaining counters, slot
+                            # insertion — only matters for stage-2
+                            # SURVIVORS, the rare class. Gating the block
+                            # on having any survivor skips ~half the block
+                            # math most of the time; measured a clear win
+                            # despite the vector->scalar sync the branch
+                            # costs (widened from the earlier
+                            # extraction-only guard).
+                            s2max = jnp.max(jnp.where(ok2, 1.0, 0.0))
 
-                            def insert_cands(kb, ib, cands):
-                                """Insert (m_v, i_v) candidates into the
-                                descending slot lists (pure registers)."""
-                                for m_v, i_v in cands:
-                                    g = [m_v > kb[j] for j in range(k)]
-                                    nkb, nib = [], []
-                                    for j in range(k):
-                                        at_j = g[j] if j == 0 else (
-                                            g[j] & ~g[j - 1])
-                                        if j == 0:
-                                            nk = jnp.where(at_j, m_v, kb[0])
-                                            ni = jnp.where(at_j, i_v, ib[0])
-                                        else:
-                                            nk = jnp.where(
-                                                at_j, m_v,
-                                                jnp.where(g[j - 1],
-                                                          kb[j - 1], kb[j]))
-                                            ni = jnp.where(
-                                                at_j, i_v,
-                                                jnp.where(g[j - 1],
-                                                          ib[j - 1], ib[j]))
-                                        nkb.append(nk)
-                                        nib.append(ni)
-                                    kb, ib = nkb, nib
-                                return kb, ib
-
-                            def extract(keym, n_iter):
-                                """Top-n_iter (packed key, cand index)
-                                per own lane. The packed encoding makes
-                                each iteration ONE reduce: block values
-                                are unique integers ordered by
-                                (quantized key, column), so the max IS
-                                the best pair, masking is an exact value
-                                compare, and the column decodes with a
-                                mod."""
-                                gbase = (gr * LANE).astype(jnp.float32)
-                                cm = (jnp.round(keym * KEY_Q) * LANE
-                                      + col_iota)
-                                out = []
-                                for _t in range(n_iter):
-                                    m2 = jnp.max(cm, axis=1,
-                                                 keepdims=True)
-                                    if _t + 1 < n_iter:
-                                        cm = jnp.where(cm == m2, -_BIG,
-                                                       cm)
-                                    m_v = m2[:, 0]
-                                    col = m_v - jnp.floor(
-                                        m_v * (1.0 / LANE)) * LANE
-                                    out.append((m_v, gbase + col))
-                                return out
-
-                            @pl.when(cmax > 0.5)
+                            @pl.when(s2max > 0.5)
                             def _():
-                                ocnt[1][pl.ds(s, 1), :] = (
-                                    ocnt[1][s, :] + emitted_row)[None, :]
-                                ocnt[2][pl.ds(s, 1), :] = (
-                                    ocnt[2][s, :] + jnp.sum(
-                                        jnp.where(qual, 1.0, 0.0), axis=1)
-                                )[None, :]
-                                kb = [okey[j][s, :] for j in range(k)]
-                                ib = [oidx[j][s, :] for j in range(k)]
+                                if emit == "hits":
+                                    # stage 3 (fast): first |p + v t| = safe
+                                    # crossing, snapped to the dt lattice
+                                    bq = 2.0 * dot
+                                    cq = d2 - safe2
+                                    disc = bq * bq - 4.0 * rs2 * cq
+                                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                                    t_en = (-bq - sq) / (2.0 * rs2s)
+                                    t_ex = (-bq + sq) / (2.0 * rs2s)
+                                    inside = cq <= 0.0
+                                    t_fi = jnp.where(inside, 0.0,
+                                                     jnp.maximum(t_en, 0.0))
+                                    t_sn = jnp.ceil(t_fi / dtt - 1e-6) * dtt
+                                    sok = inside | ((t_sn >= t_en - 1e-6)
+                                                    & (t_sn <= t_ex + 1e-6))
+                                    hit = (ok2 & (disc >= 0.0) & (rs2 > 1e-12)
+                                           & sok & (t_sn <= t_max))
+                                    t_hit = jnp.where(inside, 0.0, t_sn)
+                                    hdx = dxp + dvx * t_hit
+                                    hdy = dyp + dvy * t_hit
+                                    hdz = dzp + dvz * t_hit
+                                    d_hit = jnp.sqrt(hdx * hdx + hdy * hdy
+                                                     + hdz * hdz)
 
-                                @pl.when(cmax <= 1.5)
-                                def _():
-                                    nkb, nib = insert_cands(
-                                        kb, ib, extract(key, 1))
-                                    for j in range(k):
-                                        okey[j][pl.ds(s, 1), :] = \
-                                            nkb[j][None, :]
-                                        oidx[j][pl.ds(s, 1), :] = \
-                                            nib[j][None, :]
+                                    # stage 4: weighted risk
+                                    risk = (
+                                        det.weight_distance * (1.0 - d_hit / safe)
+                                        + det.weight_time
+                                        * (1.0 - jnp.minimum(
+                                            1.0, t_hit / det.max_warning_time))
+                                        + det.weight_speed
+                                        * jnp.minimum(1.0, jnp.sqrt(rs2)
+                                                      / det.max_relative_speed)
+                                        + det.weight_angle
+                                        * jnp.sin(jnp.abs(ohead - chead))
+                                        + det.weight_type
+                                        * jnp.where(ctype == otype,
+                                                    det.same_type_factor,
+                                                    det.diff_type_factor))
+                                    risk = jnp.clip(risk, 0.0, 1.0)
 
-                                @pl.when(cmax > 1.5)
+                                    # priority rules (warning_system.py:287-311) —
+                                    # the packed key 2*prio + risk IS the XLA scene
+                                    # ranking key (alerts/extract.py)
+                                    crit = ((risk >= al.risk_high)
+                                            & (t_hit < al.ttc_critical))
+                                    high = ((risk >= al.risk_high)
+                                            | (t_hit < al.ttc_high))
+                                    med = risk >= al.risk_medium
+                                    prio = jnp.where(
+                                        crit, 3.0, jnp.where(high, 2.0,
+                                                             jnp.where(med, 1.0,
+                                                                       0.0)))
+                                    qual = hit & (risk >= al.risk_low)
+                                    key = jnp.where(
+                                        qual, 2.0 * prio + risk,
+                                        jnp.where(hit, risk + KEY_SUB, KEY_NONE))
+                                    emitted = hit
+                                else:
+                                    # stage-2 survivors for the XLA precise sweep;
+                                    # rank by closest-approach proximity
+                                    key = jnp.where(ok2, 1.0 - cd2 / safe2,
+                                                    KEY_NONE)
+                                    emitted = ok2
+                                    qual = ok2
+
+                                # per-lane emitted counts drive the
+                                # remaining counters and the extraction
+                                # sparsity switch (in 'hits' mode a
+                                # survivor block can still have zero
+                                # stage-3 hits)
+                                emitted_row = jnp.sum(
+                                    jnp.where(emitted, 1.0, 0.0), axis=1)
+                                cmax = jnp.max(emitted_row)
+
+                                def insert_cands(kb, ib, cands):
+                                    """Insert (m_v, i_v) candidates into the
+                                    descending slot lists (pure registers)."""
+                                    for m_v, i_v in cands:
+                                        g = [m_v > kb[j] for j in range(k)]
+                                        nkb, nib = [], []
+                                        for j in range(k):
+                                            at_j = g[j] if j == 0 else (
+                                                g[j] & ~g[j - 1])
+                                            if j == 0:
+                                                nk = jnp.where(at_j, m_v, kb[0])
+                                                ni = jnp.where(at_j, i_v, ib[0])
+                                            else:
+                                                nk = jnp.where(
+                                                    at_j, m_v,
+                                                    jnp.where(g[j - 1],
+                                                              kb[j - 1], kb[j]))
+                                                ni = jnp.where(
+                                                    at_j, i_v,
+                                                    jnp.where(g[j - 1],
+                                                              ib[j - 1], ib[j]))
+                                            nkb.append(nk)
+                                            nib.append(ni)
+                                        kb, ib = nkb, nib
+                                    return kb, ib
+
+                                def extract(keym, n_iter):
+                                    """Top-n_iter (packed key, cand index)
+                                    per own lane. The packed encoding makes
+                                    each iteration ONE reduce: block values
+                                    are unique integers ordered by
+                                    (quantized key, column), so the max IS
+                                    the best pair, masking is an exact value
+                                    compare, and the column decodes with a
+                                    mod."""
+                                    gbase = (gr * LANE).astype(jnp.float32)
+                                    cm = (jnp.round(keym * KEY_Q) * LANE
+                                          + col_iota)
+                                    out = []
+                                    for _t in range(n_iter):
+                                        m2 = jnp.max(cm, axis=1,
+                                                     keepdims=True)
+                                        if _t + 1 < n_iter:
+                                            cm = jnp.where(cm == m2, -_BIG,
+                                                           cm)
+                                        m_v = m2[:, 0]
+                                        col = m_v - jnp.floor(
+                                            m_v * (1.0 / LANE)) * LANE
+                                        out.append((m_v, gbase + col))
+                                    return out
+
+                                @pl.when(cmax > 0.5)
                                 def _():
-                                    nkb, nib = insert_cands(
-                                        kb, ib, extract(key, k))
-                                    for j in range(k):
-                                        okey[j][pl.ds(s, 1), :] = \
-                                            nkb[j][None, :]
-                                        oidx[j][pl.ds(s, 1), :] = \
-                                            nib[j][None, :]
+                                    ocnt[1][pl.ds(s, 1), :] = (
+                                        ocnt[1][s, :] + emitted_row)[None, :]
+                                    ocnt[2][pl.ds(s, 1), :] = (
+                                        ocnt[2][s, :] + jnp.sum(
+                                            jnp.where(qual, 1.0, 0.0), axis=1)
+                                    )[None, :]
+                                    kb = [okey[j][s, :] for j in range(k)]
+                                    ib = [oidx[j][s, :] for j in range(k)]
+
+                                    @pl.when(cmax <= 1.5)
+                                    def _():
+                                        nkb, nib = insert_cands(
+                                            kb, ib, extract(key, 1))
+                                        for j in range(k):
+                                            okey[j][pl.ds(s, 1), :] = \
+                                                nkb[j][None, :]
+                                            oidx[j][pl.ds(s, 1), :] = \
+                                                nib[j][None, :]
+
+                                    @pl.when(cmax > 1.5)
+                                    def _():
+                                        nkb, nib = insert_cands(
+                                            kb, ib, extract(key, k))
+                                        for j in range(k):
+                                            okey[j][pl.ds(s, 1), :] = \
+                                                nkb[j][None, :]
+                                            oidx[j][pl.ds(s, 1), :] = \
+                                                nib[j][None, :]
 
                         return 0
                     return crow_pass
