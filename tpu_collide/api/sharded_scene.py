@@ -26,6 +26,7 @@ from tpu_collide.core.utils import Timer, get_logger
 from tpu_collide.alerts.manager import AlertManager
 from tpu_collide.ckpt.checkpoint import CheckpointManager
 from tpu_collide.shard.step import (make_mesh, make_sharded_step,
+                                    make_sharded_ingest,
                                     distribute_state, collect_state,
                                     shard_slots)
 from tpu_collide.shard.balance import LoadBalancer, shard_occupancy
@@ -36,9 +37,11 @@ logger = get_logger(__name__)
 class ShardedScene:
     """Mesh-sharded fleet with the Scene surface (step/alerts/stats/ckpt).
 
-    Ingest differs from the single-device Scene: sharded fleets are bulk
-    simulations, so state enters via `adopt_fleet` (generator / checkpoint /
-    collected host state), not per-vehicle REST ingest."""
+    Fleets enter in bulk via `adopt_fleet` (generator / checkpoint /
+    collected host state) AND per-vehicle via `ingest`/`flush` (the
+    reference's POST /vehicles/location path): buffered reports apply in
+    one replicated batch + per-shard scatter — update-in-place, ownership
+    migration across slab walls, free-slot insertion, overflow counted."""
 
     def __init__(self, cfg: SystemConfig,
                  fleet: Optional[ObjectState] = None,
@@ -54,6 +57,10 @@ class ShardedScene:
         self.slots = shard_slots(cfg)
         self._step = make_sharded_step(cfg, self.mesh, donate=True,
                                        backend=backend)
+        self._apply = make_sharded_ingest(cfg, self.mesh)
+        self._pending: Dict[int, tuple] = {}      # oid -> update tuple
+        self._id_to_oid: Dict[str, int] = {}
+        self._oid_to_id: Dict[int, str] = {}
         self.alert_manager = AlertManager(cfg, broker=broker)
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
@@ -82,11 +89,79 @@ class ShardedScene:
         with self._lock:
             return collect_state(self.state)
 
+    # ---- per-vehicle ingest (POST /vehicles/location analog) ----
+
+    _TYPE_INDEX = {"car": 0, "truck": 1, "bus": 2, "motorcycle": 3}
+
+    def ingest(self, location, size: float = 2.0,
+               vtype: str = "car") -> None:
+        """Buffer one location report; applied on the next flush()/step()."""
+        vid = location.vehicle_id
+        with self._lock:
+            oid = self._id_to_oid.get(vid)
+            if oid is None:
+                oid = len(self._id_to_oid)
+                if oid >= self.cfg.num_objects:
+                    raise ValueError(
+                        f"fleet capacity {self.cfg.num_objects} exhausted")
+                self._id_to_oid[vid] = oid
+                self._oid_to_id[oid] = vid
+            p, v, a = location.position, location.velocity, \
+                location.acceleration
+            self._pending[oid] = (
+                (p.x, p.y, p.z), (v.x, v.y, v.z), (a.x, a.y, a.z),
+                location.heading, size,
+                self._TYPE_INDEX.get(vtype, 0))
+
+    def flush(self) -> int:
+        """Apply buffered reports in one sharded scatter; returns how many
+        applied (overflowed inserts count into dropped_total)."""
+        with self._lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> int:
+        if not self._pending:
+            return 0
+        if self.state is None:
+            from tpu_collide.core.state import empty_state
+            self.state = distribute_state(
+                empty_state(self.cfg.num_objects), self.cfg, self.mesh,
+                boundaries=self.boundaries)
+        oids = sorted(self._pending)
+        nb = len(oids)
+        b = 16
+        while b < nb:
+            b *= 2
+        upd = {"oid": np.full(b, -1, np.int32),
+               "pos": np.zeros((b, 3), np.float32),
+               "vel": np.zeros((b, 3), np.float32),
+               "acc": np.zeros((b, 3), np.float32),
+               "heading": np.zeros(b, np.float32),
+               "size": np.full(b, 2.0, np.float32),
+               "otype": np.zeros(b, np.int32)}
+        for i, oid in enumerate(oids):
+            pos, vel, acc, heading, size, otype = self._pending[oid]
+            upd["oid"][i] = oid
+            upd["pos"][i] = pos
+            upd["vel"][i] = vel
+            upd["acc"][i] = acc
+            upd["heading"][i] = heading
+            upd["size"][i] = size
+            upd["otype"][i] = otype
+        self._pending.clear()
+        self.state, dropped = self._apply(self.state, upd, self.boundaries)
+        self.dropped_total += int(np.asarray(dropped).sum())
+        return nb
+
+    def vehicle_id_of(self, oid: int) -> str:
+        return self._oid_to_id.get(int(oid), str(int(oid)))
+
     # ---- stepping ----
 
     def step(self, n: int = 1) -> Any:
         out = None
         with self._lock:
+            self._flush_locked()
             for _ in range(n):
                 self._key, sub = jax.random.split(self._key)
                 with Timer() as t:
@@ -102,7 +177,8 @@ class ShardedScene:
                 if self.balancer and self.balancer.should_rebalance(self.state):
                     self.state, self.boundaries = self.balancer.rebalance(
                         self.state, self.mesh)
-            self.alert_manager.process_batch(out.alerts)
+            self.alert_manager.process_batch(out.alerts,
+                                             resolver=self.vehicle_id_of)
         return out
 
     # ---- queries ----

@@ -1,5 +1,6 @@
 from tpu_collide.shard.step import (make_mesh, make_sharded_step,
                                     make_sharded_scenario_step,
+                                    make_sharded_ingest,
                                     distribute_state, collect_state,
                                     shard_slots, equal_boundaries,
                                     check_boundaries)

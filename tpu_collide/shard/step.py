@@ -306,6 +306,91 @@ def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
     return step
 
 
+def _local_apply_updates(state: ObjectState, upd: dict,
+                         boundaries: jax.Array, cfg: SystemConfig):
+    """Per-shard body for sharded ingest: apply a replicated batch of
+    location updates (SORTED by oid, -1-padded) to whichever shard owns
+    each update's position. Existing copies update in place; copies now
+    owned by a different shard are killed there; new/migrated objects
+    insert into free slots. Returns (state, dropped)."""
+    ax = cfg.shard.axis_name
+    s = jax.lax.axis_index(ax)
+    d = cfg.shard.num_shards
+    b_oid = upd["oid"]                               # [B] i32 sorted, -1 pad
+    bsz = b_oid.shape[0]
+    owner = jnp.clip(
+        jnp.searchsorted(boundaries, upd["pos"][:, 0], side="right") - 1,
+        0, d - 1)
+    valid_upd = b_oid >= 0
+    mine = valid_upd & (owner == s)
+
+    # match local slots against the batch (batch is oid-sorted)
+    pos_in_b = jnp.clip(jnp.searchsorted(b_oid, state.oid), 0, bsz - 1)
+    found = state.alive & (b_oid[pos_in_b] == state.oid)
+
+    # 1) in-place update of slots whose oid is in the batch and stays mine
+    upd_here = found & (owner[pos_in_b] == s)
+    fields = ("pos", "vel", "acc", "heading", "size", "otype")
+    new_fields = {}
+    for f in fields:
+        cur = getattr(state, f)
+        new = upd[f][pos_in_b]
+        m = upd_here.reshape((-1,) + (1,) * (cur.ndim - 1))
+        new_fields[f] = jnp.where(m, new, cur)
+    # 2) kill copies that moved to another shard via this ingest
+    alive = state.alive & ~(found & (owner[pos_in_b] != s))
+    state = state.replace(alive=alive, **new_fields)
+
+    # 3) insert entries owned here but not present in any local slot
+    present = jnp.zeros(bsz, bool).at[
+        jnp.where(found, pos_in_b, bsz)].set(True, mode="drop")
+    ins = mine & ~present
+    rank = jnp.cumsum(ins.astype(jnp.int32)) - 1
+    free = jnp.argsort(state.alive)[:bsz]            # dead slots first
+    n_free = jnp.sum(~state.alive, dtype=jnp.int32)
+    can = ins & (rank < n_free) & (rank < bsz)
+    slot = free[jnp.clip(rank, 0, bsz - 1)]
+    tgt = jnp.where(can, slot, state.n)              # n = dropped sentinel
+    ins_fields = {}
+    for f in fields:
+        cur = getattr(state, f)
+        ins_fields[f] = cur.at[tgt].set(upd[f], mode="drop")
+    oid_new = state.oid.at[tgt].set(b_oid, mode="drop")
+    alive_new = state.alive.at[tgt].set(True, mode="drop")
+    state = state.replace(oid=oid_new, alive=alive_new, **ins_fields)
+    dropped = jnp.sum(ins & ~can, dtype=jnp.int32)
+    return state, dropped.reshape(1)
+
+
+def make_sharded_ingest(cfg: SystemConfig, mesh: Mesh):
+    """Compile the sharded per-vehicle ingest: apply(state, upd,
+    boundaries=None) -> (state, dropped [D]). `upd` is a dict of
+    oid-SORTED, -1-padded host arrays (oid [B] i32, pos [B,3], vel, acc,
+    heading, size, otype). The reference's POST /vehicles/location path
+    for mesh fleets — the broker hop becomes one replicated batch + a
+    per-shard scatter."""
+    ax = cfg.shard.axis_name
+    spec_state = ObjectState(
+        pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
+        otype=P(ax), alive=P(ax), oid=P(ax))
+    spec_upd = {f: P() for f in ("oid", "pos", "vel", "acc", "heading",
+                                 "size", "otype")}
+    f = jax.shard_map(
+        partial(_local_apply_updates, cfg=cfg), mesh=mesh,
+        in_specs=(spec_state, spec_upd, P()),
+        out_specs=(spec_state, P(ax)),
+        check_vma=True,
+    )
+    jf = jax.jit(f, donate_argnums=(0,))
+    default_b = equal_boundaries(cfg)
+
+    def apply(state, upd, boundaries=None):
+        return jf(state, upd,
+                  default_b if boundaries is None else boundaries)
+
+    return apply
+
+
 def distribute_state(state_global: ObjectState, cfg: SystemConfig,
                      mesh: Mesh, boundaries=None, extra=None):
     """Host-side: scatter a globally-generated fleet into per-shard slots by
