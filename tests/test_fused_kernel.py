@@ -133,6 +133,52 @@ def test_fused_step_alert_set_equality(mode):
             "fleet too tame: precise == fast, test would not discriminate"
 
 
+@pytest.mark.parametrize("dim,bc", [("2d", 4), ("2d", 0), ("3d", 3),
+                                    ("3d", 0)])
+def test_fused_banded_matches_xla(dim, bc):
+    """x-banded cell ordering (GridConfig.band_cells; 0 = auto) changes
+    only evaluation order/coverage — per-object results and the stage-1
+    checked counter must match the XLA path exactly, including tiles that
+    straddle band boundaries (a 500-object fleet is one tile spanning
+    every band)."""
+    if dim == "2d":
+        cfg = cfg2d()
+        st = generate_fleet(jax.random.key(0), cfg)
+    else:
+        cfg, st = fleet3d()
+    cfg = cfg.replace(grid=GridConfig(cell_size=100.0, cell_capacity=64,
+                                      band_cells=bc))
+    want_r, want_c, want_checked = xla_ref(st, cfg)
+    got_r, got_c, got_checked, overflow = fused_ref(st, cfg)
+    assert overflow == 0
+    assert got_checked == want_checked
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_allclose(got_r, want_r, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["fast", "precise"])
+def test_fused_banded_alert_set_equality(mode):
+    """Scene alert set equality holds under the banded layout too."""
+    cfg = cfg2d(mode=mode)
+    cfg = cfg.replace(grid=GridConfig(cell_size=100.0, cell_capacity=64,
+                                      band_cells=4))
+    st = generate_fleet(jax.random.key(0), cfg)
+    if mode == "precise":
+        st = st.replace(
+            acc=jax.random.normal(jax.random.key(7), st.acc.shape) * 0.8)
+    key = jax.random.key(1)
+    _, o_x = make_step(cfg, donate=False)(st, key)
+    _, o_f = step_fused(st, key, cfg, interpret=True)
+    assert int(o_f.num_risks) == int(o_x.num_risks)
+    assert int(o_f.num_pairs_checked) == int(o_x.num_pairs_checked)
+    assert int(o_f.alert_overflow) == 0
+    ax = _alert_map(o_x)
+    af = _alert_map(o_f)
+    assert set(af) == set(ax)
+    for k in af:
+        np.testing.assert_allclose(ax[k], af[k], rtol=1e-5, atol=1e-5)
+
+
 def test_fused_alert_overflow_counted():
     """An object with more qualifying pairs than slots must report
     alert_overflow > 0 instead of silently shortening the scene list:

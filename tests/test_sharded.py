@@ -233,3 +233,36 @@ def test_sharded_fused_matches_sharded_xla():
     assert int(out_f.alert_overflow) == 0
     assert pf == px
     assert int(out_f.num_pairs_checked) == int(out_x.num_pairs_checked)
+
+
+def test_sharded_scene_auto_window_regrow():
+    """ShardedScene(backend='fused') watches the window-overflow counter and
+    doubles window_rows between steps (ROADMAP r2 #9: the adaptive sizing
+    the single-device Scene already had). A fleet crammed into one slab
+    column overflows window_rows=8; after the regrow the next step reports
+    overflow 0 and the alert list is certified complete."""
+    from tpu_collide.api import ShardedScene
+    from tpu_collide.core.state import state_from_numpy
+
+    n = 1200
+    cfg = base_cfg(n=n, shards=2, deterministic=True).replace(
+        detect=tc.SystemConfig().detect.__class__(mode="fast"))
+    # everything inside ONE grid cell of slab 0 -> its cell-row needs ~10
+    # storage rows of window, overflowing the configured 8
+    rng = np.random.default_rng(0)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = 10.0 + rng.uniform(0, 80, n)
+    pos[:, 1] = 10.0 + rng.uniform(0, 80, n)
+    fleet = state_from_numpy(pos, np.zeros((n, 3), np.float32),
+                             np.zeros((n, 3), np.float32),
+                             np.zeros(n, np.float32),
+                             np.full(n, 2.0, np.float32),
+                             np.zeros(n, np.int32))
+    sc = ShardedScene(cfg, fleet=fleet, backend="fused", interpret=True,
+                      window_rows=8, auto_rebalance=False)
+    out1 = sc.step()
+    assert int(out1.overflow) > 0          # counted, never silent
+    assert sc.window_regrows >= 1
+    out2 = sc.step()
+    assert int(out2.overflow) == 0
+    assert sc.stats()["window_regrows"] == sc.window_regrows

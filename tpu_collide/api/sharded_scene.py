@@ -48,15 +48,32 @@ class ShardedScene:
                  devices=None,
                  checkpoint_dir: Optional[str] = None,
                  auto_rebalance: bool = True,
-                 broker=None, backend: str = "xla"):
+                 broker=None, backend: str = "xla",
+                 window_rows: Optional[int] = None,
+                 auto_window: bool = True, interpret: bool = False):
         """backend='fused' runs the Pallas cell-list kernel per shard
-        (fast-mode semantics)."""
+        (both detection modes; interpret=True for CPU meshes).
+
+        auto_window (fused backend): when a step reports broad-phase window
+        overflow, double window_rows and recompile between steps — same
+        adaptive-resolution policy as the single-device Scene
+        (ROADMAP r2 #9; the reference's density-driven grid splits,
+        spatial_index.py:80-160)."""
         assert cfg.shard.num_shards > 1, "use Scene for a single device"
         self.cfg = cfg
         self.mesh = make_mesh(cfg, devices)
         self.slots = shard_slots(cfg)
+        self._backend = backend
+        self._interpret = interpret
+        self._auto_window = auto_window and backend == "fused"
+        if window_rows is None and backend == "fused":
+            from tpu_collide.kernels.cell_list import default_window_rows
+            window_rows = default_window_rows(cfg)
+        self._window_rows = window_rows
+        self.window_regrows = 0     # times auto_window resized the kernel
         self._step = make_sharded_step(cfg, self.mesh, donate=True,
-                                       backend=backend)
+                                       backend=backend, interpret=interpret,
+                                       window_rows=window_rows)
         self._apply = make_sharded_ingest(cfg, self.mesh)
         self._pending: Dict[int, tuple] = {}      # oid -> update tuple
         self._id_to_oid: Dict[str, int] = {}
@@ -177,9 +194,24 @@ class ShardedScene:
                 if self.balancer and self.balancer.should_rebalance(self.state):
                     self.state, self.boundaries = self.balancer.rebalance(
                         self.state, self.mesh)
+                if self._auto_window and int(out.overflow) > 0:
+                    self._grow_window(int(out.overflow))
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
         return out
+
+    def _grow_window(self, overflow: int) -> None:
+        """Density outgrew the kernel's candidate windows on some shard:
+        double them and recompile (a host decision between steps; the
+        overflowing step's missed candidates were counted, never silent)."""
+        self._window_rows = self._window_rows * 2
+        self.window_regrows += 1
+        logger.warning(
+            "sharded broad-phase window overflow (%d slots): growing "
+            "window_rows to %d and recompiling", overflow, self._window_rows)
+        self._step = make_sharded_step(
+            self.cfg, self.mesh, donate=True, backend=self._backend,
+            interpret=self._interpret, window_rows=self._window_rows)
 
     # ---- queries ----
 
@@ -208,6 +240,7 @@ class ShardedScene:
             "alerts": self.alert_manager.get_stats(),
             "rebalances": (self.balancer.stats["rebalances"]
                            if self.balancer else 0),
+            "window_regrows": self.window_regrows,
         }
 
     # ---- reliability (checkpointed failover, BASELINE config 5) ----

@@ -6,19 +6,25 @@ pure-XLA detection path at scale). The cell list removes gathers entirely:
 
   * ONE multi-operand `lax.sort` (key = flat cell id) co-sorts every field —
     no argsort + per-field gather round-trips;
-  * because flat cell id is row-major (x fastest), a (y, z) cell-row is
-    contiguous in sorted order and rows y-1, y, y+1 of one z are adjacent —
-    each tile's broad-phase candidates are 1 contiguous window (2D) or 3
-    disjoint windows (3D, one per z-layer);
+  * cells are ordered band-major: the x axis splits into bands of
+    `band_cells` cells and the sort key is (band, z, y, x-within-band). A
+    "brow" (band-local cell-row: one y, one z, one band) is contiguous in
+    sorted order, so each tile's broad-phase candidates are a small static
+    set of contiguous windows — one per (band shift, z shift) combination.
+    With one band this is exactly the classic (z, y, x) order (windows:
+    1 in 2D, 3 in 3D). With ~square bands (auto_band_cells) each 128-object
+    storage row covers a compact patch instead of a kilometers-long x strip,
+    so row-granularity pruning in the kernel evaluates far fewer dead pairs
+    — the dominant win at 1M+ densities (ROADMAP #1);
   * fields are laid out 2D as [R, LANE] so every Mosaic DMA is a statically
     8-row-aligned 2D slice, and every compute access is a FULL dynamic row —
     Mosaic crashes on dynamic 1D offsets and on lane sub-slices of
     dynamically-indexed rows (found empirically); tiles are TILE = 8*LANE
     objects = 8 rows (see the LANE/TILE constants below);
-  * per-tile window tables (start row, row count, cell-row range) are
-    computed here; the kernel masks alignment padding exactly using each
-    candidate's cell-row id (carried as a field), so no phantom pairs and
-    no double counting.
+  * per-tile window tables (start row, row count, brow range) are computed
+    here; the kernel masks alignment padding exactly using each candidate's
+    brow id (carried as a field), so no phantom pairs and no double
+    counting.
 
 Capacity: windows are clamped to `window_max` elements; the excess is
 counted in `overflow` (never silently dropped — SURVEY.md hard part #1).
@@ -41,28 +47,38 @@ LANE = 128          # elements per storage row (1 VPU lane-group)
 TILE = 1024         # objects per kernel tile = 8 storage rows (DMA aligned)
 ALIGN = 1024
 
+
 FIELD_NAMES = ("x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
                "size", "heading", "otype", "oid", "valid", "row")
 
 
-# Packed SMEM guard-table encodings. The per-storage-row tables are the
-# kernel's SMEM bill (4 x R scalars blew the ~1 MB SMEM budget at 10M
-# objects, R=78k); packing each pair into one int32 halves it:
-#   rb  = (cell_row_lo) * ROW_PACK + (cell_row_hi + 2)      (rhi >= -1)
+# Packed SMEM guard-table encodings (tables_packed=True). The per-storage-row
+# tables are the kernel's SMEM bill; at 10M objects (R=78k rows) separate
+# lo/hi tables blow the ~1 MB SMEM budget, so each pair packs into one int32:
+#   rb  = (brow_lo) * ROW_PACK + (brow_hi + 2)                (rhi >= -1)
 #   x   = floor(xlo - world_lo) * X_PACK + ceil(xhi - world_lo) + 1
-# X bounds are quantized to whole meters RELATIVE to world lo (the guard
-# is a conservative pruning hint — 1 m slack vs a >= 1 m search radius).
-ROW_PACK = 32768     # cell-row ids must stay below ROW_PACK - 2
+# Packing caps brow ids below ROW_PACK - 2, so banded layouts (whose brow
+# count is nbands * ny * nz) use separate lo/hi tables whenever they fit the
+# budget — chosen automatically in build_cell_list. X bounds are quantized
+# to whole meters RELATIVE to world lo in BOTH modes (the x guard is a
+# conservative pruning hint — 1 m slack vs a >= 1 m search radius).
+ROW_PACK = 32768     # packed mode: brow ids must stay below ROW_PACK - 2
 X_PACK = 65536       # packed x-extent must stay below 32767 m
 X_MAX = 32765.0
+# SMEM spend (bytes) above which the per-row tables switch to the packed
+# encoding; beyond what even packing can fit, build_cell_list raises with
+# remediation guidance. The ~1 MB figure is the empirical Mosaic budget.
+_SMEM_UNPACKED_MAX = 600_000
+_SMEM_TOTAL_MAX = 980_000
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["fields", "w_rw", "w_rb",
-                      "row_rb", "row_x",
-                      "cr_floor", "cr_ceil",
+         data_fields=["fields", "w_rw", "w_rb_a", "w_rb_b",
+                      "row_rb_a", "row_rb_b", "row_x",
+                      "cr_start",
                       "n_alive", "overflow"],
-         meta_fields=["num_tiles", "window_rows", "n_windows"])
+         meta_fields=["num_tiles", "window_rows", "n_windows", "shifts",
+                      "tables_packed"])
 @dataclasses.dataclass(frozen=True)
 class CellList:
     """Sorted SoA fleet + per-tile candidate windows.
@@ -70,28 +86,37 @@ class CellList:
     fields: [15, R, LANE] f32 in FIELD_NAMES order;
             R = (num_tiles*TILE + window_rows*LANE) / LANE (guard tail of
             dead slots so window DMAs never read out of bounds).
-    `valid` is 1.0 for alive objects; `row` is the (y + ny*z) cell-row id
-    (-1 for dead/padding).
+    `valid` is 1.0 for alive objects; `row` is the brow id
+    (band * ny * nz + y + ny * z; -1 for dead/padding).
     w_rw: [T, W] int32 — window start storage row (8-aligned) * 4096 +
     storage-row count (packed; count < 4096 asserted).
-    w_rb: [T, W] int32 — inclusive CELL-row range the window must match
-    (alignment padding is masked by this), ROW_PACK-packed.
-    row_rb/row_x: per-STORAGE-row guard tables (cell-row range, x range;
-    packed as documented above) consumed as scalar prefetch by the kernel
-    so block pruning costs zero in-kernel reductions.
+    w_rb_a/w_rb_b: [T, W] int32 — inclusive BROW range the window must match
+    (alignment padding is masked by this). tables_packed=True packs the pair
+    ROW_PACK-style into w_rb_a (w_rb_b is a dummy).
+    row_rb_a/row_rb_b, row_x: per-STORAGE-row guard tables (brow range,
+    x range) consumed as scalar prefetch by the kernel so block pruning
+    costs zero in-kernel reductions. Same packing convention.
+    cr_start: [nbrows+1] int32 — sorted ELEMENT index where each brow
+    begins; the kernel derives storage-row floors/ceils from it (one table
+    instead of separate floor/ceil tables — SMEM).
+    shifts: static ascending brow-id deltas, one candidate window per shift
+    ((band shift)*ny*nz + (z shift)*ny over the +-1 neighborhoods).
     """
     fields: jax.Array
     w_rw: jax.Array
-    w_rb: jax.Array
-    row_rb: jax.Array    # [R] i32 packed (min, max) cell-row of alive objs
+    w_rb_a: jax.Array
+    w_rb_b: jax.Array
+    row_rb_a: jax.Array
+    row_rb_b: jax.Array
     row_x: jax.Array     # [R] i32 packed (min, max) x of alive objs
-    cr_floor: jax.Array  # [nrows+1] i32 storage row where cell-row begins
-    cr_ceil: jax.Array   # [nrows+1] i32 ceil storage row of cell-row start
+    cr_start: jax.Array  # [nbrows+1] i32 sorted element index of brow start
     n_alive: jax.Array
     overflow: jax.Array
     num_tiles: int
     window_rows: int
     n_windows: int
+    shifts: tuple
+    tables_packed: bool
 
     @property
     def oid_flat(self) -> jax.Array:
@@ -101,12 +126,72 @@ class CellList:
             jnp.int32)
 
 
-def default_window_rows(cfg: SystemConfig) -> int:
-    """Static window capacity in storage rows: ~ (tile span + 3 cell-rows of
+def resolve_band_cells(cfg: SystemConfig) -> int:
+    """The configured band width in cells: None -> one band (classic
+    (z, y, x) order), 0 -> auto (square-ish storage rows), else verbatim."""
+    bc = cfg.grid.band_cells
+    nx = cfg.grid_dims[0]
+    if bc is None:
+        return nx
+    if bc == 0:
+        return auto_band_cells(cfg)
+    assert 1 <= bc, f"band_cells must be >= 1, got {bc}"
+    return min(bc, nx)
+
+
+def auto_band_cells(cfg: SystemConfig) -> int:
+    """Band width that makes a 128-object storage row cover a ~square patch.
+
+    A row of LANE objects spans area LANE/rho (rho = per-z-layer 2D density),
+    so width W = sqrt(LANE/rho) balances x slack against y slack when the
+    kernel prunes at row granularity. Widened if needed until the guard
+    tables fit the SMEM budget."""
+    nx, ny, nz = cfg.grid_dims
+    ex = max(1.0, cfg.world.extent[0])
+    ey = max(1.0, cfg.world.extent[1])
+    rho = cfg.num_objects / max(1, nz) / (ex * ey)
+    if rho <= 0:
+        return nx
+    w_m = (LANE / rho) ** 0.5
+    bc = max(1, min(nx, round(w_m / cfg.grid.cell_size)))
+    # SMEM: brow tables scale with nbands = nx/bc; widen bands until the
+    # budget holds (R-sized tables are the other, band-independent term)
+    n = cfg.num_objects
+    r_rows = -(-n // LANE) + 512
+    while bc < nx:
+        nbrows = (-(-nx // bc)) * ny * nz
+        smem = 4 * (3 * r_rows + nbrows + 1) + 12 * (-(-n // TILE)) * 9
+        if smem <= _SMEM_UNPACKED_MAX:
+            break
+        bc *= 2
+    return min(bc, nx)
+
+
+def band_shifts(cfg: SystemConfig, band_cells: int) -> tuple:
+    """Static ascending brow-id deltas of the candidate neighborhoods:
+    (band +-1) x (z +-1) around an object's own brow. One contiguous
+    candidate window per shift."""
+    nx, ny, nz = cfg.grid_dims
+    nrows = ny * nz
+    nbands = -(-nx // band_cells)
+    sb_list = (-1, 0, 1) if nbands > 1 else (0,)
+    sz_list = (-1, 0, 1) if cfg.world.is_3d else (0,)
+    return tuple(sorted({sb * nrows + sz * ny
+                         for sb in sb_list for sz in sz_list}))
+
+
+def default_window_rows(cfg: SystemConfig,
+                        band_cells: int | None = None) -> int:
+    """Static window capacity in storage rows: ~ (tile span + 3 brows of
     mean density + alignment slack), rounded up to 8 rows."""
     nx, ny, nz = cfg.grid_dims
-    mean_per_row = cfg.num_objects / max(1, ny * nz)
-    elems = int(4 * mean_per_row) + TILE + 2 * ALIGN
+    if band_cells is None:
+        band_cells = resolve_band_cells(cfg)
+    nbrows = (-(-nx // band_cells)) * ny * nz
+    mean_per_brow = cfg.num_objects / max(1, nbrows)
+    # tile span + ~4 brows of mean density + start-alignment slack (< ALIGN)
+    # + end rounding (< LANE)
+    elems = int(4 * mean_per_brow) + TILE + ALIGN + LANE
     rows = -(-elems // LANE)
     return -(-rows // 8) * 8
 
@@ -117,7 +202,6 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     assert cfg.stencil_halfwidth == 1, (
         "fused kernel path requires cell_size >= search_radius "
         f"(stencil halfwidth 1, got {cfg.stencil_halfwidth})")
-    num_cells = cfg.num_cells
     n = state.n
     num_tiles = -(-n // TILE)
     # oids ride through the sort and kernel as f32 and must stay exact;
@@ -126,27 +210,50 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     assert oid_max < 2 ** 24, (
         "fused kernel stores oids in f32: fleets past ~16.7M objects "
         "(8.3M sharded) need the oid fields widened (ROADMAP)")
+    bandc = resolve_band_cells(cfg)
+    nbands = -(-nx // bandc)
+    nrows = ny * nz
+    nbrows = nbands * nrows
+    shifts = band_shifts(cfg, bandc)
+    n_windows = len(shifts)
     if window_rows is None:
-        window_rows = default_window_rows(cfg)
+        window_rows = default_window_rows(cfg, bandc)
     assert window_rows % 8 == 0
     assert window_rows < 4096, "w_rw packing caps windows at 4095 rows"
-    nrows_chk = cfg.grid_dims[1] * cfg.grid_dims[2]
-    assert nrows_chk + 16 < ROW_PACK, (
-        f"{nrows_chk} cell-rows exceed the packed guard-table range; "
-        "use larger cells in y/z")
+    window_max = window_rows * LANE
+    np_pad = num_tiles * TILE + window_max
+    R = np_pad // LANE
+
+    # Guard-table encoding: separate lo/hi tables unless SMEM pressure
+    # demands the packed pairs (which cap brow ids at ROW_PACK - 2).
+    smem_unpacked = 4 * (3 * R + (nbrows + 1)
+                         + 3 * num_tiles * n_windows + num_tiles)
+    tables_packed = smem_unpacked > _SMEM_UNPACKED_MAX
+    if tables_packed:
+        assert nbrows + 16 < ROW_PACK, (
+            f"{nbrows} brows need packed guard tables at this scale but "
+            f"exceed the ROW_PACK range; use larger band_cells / larger "
+            "cells in y/z, or shard the world")
+        smem = 4 * (2 * R + (nbrows + 1)
+                    + 2 * num_tiles * n_windows + num_tiles)
+    else:
+        smem = smem_unpacked
+    assert smem < _SMEM_TOTAL_MAX, (
+        f"guard tables need ~{smem} B of SMEM (> {_SMEM_TOTAL_MAX}); use "
+        "larger band_cells / larger cells, or shard the world")
     assert cfg.world.hi[0] - cfg.world.lo[0] <= X_MAX, (
         "packed x-guard tables cap the world x-extent at ~32.7 km; "
         "shard wider worlds")
-    window_max = window_rows * LANE
-    np_pad = num_tiles * TILE + window_max
-    n_windows = 3 if cfg.world.is_3d else 1
 
     lo = jnp.asarray(cfg.world.lo, jnp.float32)
     nd = jnp.asarray((nx, ny, nz), jnp.int32)
     c3 = jnp.clip(jnp.floor((state.pos - lo) / cfg.grid.cell_size
                             ).astype(jnp.int32), 0, nd - 1)
-    flat = c3[:, 0] + nx * (c3[:, 1] + ny * c3[:, 2])
-    flat = jnp.where(state.alive, flat, num_cells)
+    bx = c3[:, 0] // bandc
+    brow = bx * nrows + (c3[:, 1] + ny * c3[:, 2])
+    flat = brow * bandc + (c3[:, 0] - bx * bandc)
+    num_ids = nbrows * bandc            # >= num_cells (x padding in last band)
+    flat = jnp.where(state.alive, flat, num_ids)
 
     # one co-sort of every field (no gathers)
     ops = (flat,
@@ -159,9 +266,9 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
            state.alive.astype(jnp.float32))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False, dimension=0)
     sflat = sorted_ops[0]
-    nrows = ny * nz
     srow_f = jnp.where(sorted_ops[14] > 0.5,
-                       jnp.clip(sflat // nx, 0, nrows - 1).astype(jnp.float32),
+                       jnp.clip(sflat // bandc, 0,
+                                nbrows - 1).astype(jnp.float32),
                        -1.0)
 
     def pad(a, fill=0.0):
@@ -173,44 +280,48 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
                                  stacked[oid_idx], -1.0)
     fields = jnp.stack(stacked, axis=0).reshape(len(FIELD_NAMES), -1, LANE)
 
-    # bucket offsets + cell-row table (scatter-histogram: >2x faster than
+    # bucket offsets + brow start table (scatter-histogram: >2x faster than
     # TPU searchsorted at 1M/400k — index/grid.bucket_starts)
     from tpu_collide.index.grid import bucket_starts
-    starts = bucket_starts(flat, num_cells)
-    n_alive = starts[num_cells]
-    row_start = starts[jnp.arange(nrows + 1, dtype=jnp.int32) * nx]
+    starts = bucket_starts(flat, num_ids)
+    n_alive = starts[num_ids]
+    row_start = starts[jnp.arange(nbrows + 1, dtype=jnp.int32) * bandc]
 
-    # per-tile window tables
-    srow_i = jnp.clip(sflat // nx, 0, nrows - 1)
-    spad = jnp.pad(srow_i, (0, np_pad - n), constant_values=nrows - 1)
+    # per-tile window tables: one contiguous window per static brow shift,
+    # chain-clipped in ascending shift order so windows never overlap (a
+    # candidate row is visited through exactly one window)
+    srow_i = jnp.clip(sflat // bandc, 0, nbrows - 1)
+    spad = jnp.pad(srow_i, (0, np_pad - n), constant_values=nbrows - 1)
     t_first = jnp.arange(num_tiles, dtype=jnp.int32) * TILE
     t_last = jnp.minimum(t_first + TILE - 1, n - 1)
     r_lo = spad[t_first]
     r_hi = spad[t_last]
     tile_dead = t_first >= n_alive
 
-    # 3D: three DISJOINT cell-row ranges (overlapping shifted ranges would
-    # double-count pairs when a tile spans z-layers)
-    if cfg.world.is_3d:
-        lo1, hi1 = r_lo - 1 - ny, r_hi + 1 - ny
-        lo2 = jnp.maximum(r_lo - 1, hi1 + 1)
-        hi2 = jnp.maximum(r_hi + 1, hi1)
-        lo3 = jnp.maximum(r_lo - 1 + ny, hi2 + 1)
-        hi3 = jnp.maximum(r_hi + 1 + ny, hi2)
-        ranges = ((lo1, hi1), (lo2, hi2), (lo3, hi3))
-    else:
-        ranges = ((r_lo - 1, r_hi + 1),)
+    ranges = []
+    prev_hi = None
+    for s in shifts:
+        lo_s = r_lo + s - 1
+        hi_s = r_hi + s + 1
+        if prev_hi is not None:
+            lo_s = jnp.maximum(lo_s, prev_hi + 1)
+            hi_s = jnp.maximum(hi_s, prev_hi)
+        prev_hi = hi_s
+        ranges.append((lo_s, hi_s))
 
     wr, wn, rlo_l, rhi_l = [], [], [], []
     excess = jnp.int32(0)
     for lo_r, hi_r in ranges:
-        a = jnp.clip(lo_r, 0, nrows)
-        b = jnp.clip(hi_r + 1, 0, nrows)
+        a = jnp.clip(lo_r, 0, nbrows)
+        b = jnp.clip(hi_r + 1, 0, nbrows)
         b = jnp.maximum(b, a)
         st_ = row_start[a]
         en_ = row_start[b]
+        # only DMA STARTS need 8-row (ALIGN-element) alignment; ends just
+        # round up to whole storage rows (the DMA length is the static
+        # window_rows either way — wn only drives the in-kernel guards)
         st_a = (st_ // ALIGN) * ALIGN
-        en_a = jnp.minimum(-(-en_ // ALIGN) * ALIGN, num_tiles * TILE)
+        en_a = jnp.minimum(-(-en_ // LANE) * LANE, num_tiles * TILE)
         en_a = jnp.maximum(en_a, st_a)
         ln = jnp.where(tile_dead, 0, en_a - st_a)
         excess = excess + jnp.sum(jnp.maximum(ln - window_max, 0))
@@ -230,36 +341,39 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     row_xlo = jnp.min(jnp.where(valid2d, x2d, big), axis=1)
     row_xhi = jnp.max(jnp.where(valid2d, x2d, -big), axis=1)
     # empty rows: (rlo, rhi) = (large, -1) so no guard ever passes
-    row_rlo = jnp.where(row_rhi < 0, jnp.float32(nrows + 9), row_rlo)
+    row_rlo = jnp.where(row_rhi < 0, jnp.float32(nbrows + 9), row_rlo)
     row_rhi = jnp.maximum(row_rhi, -1.0)
 
-    # pack the guard tables (SMEM budget; see module constants). x bounds
-    # quantize to whole meters relative to world lo — conservative
-    # (floor lo / ceil hi), never wrong, >= half the SMEM.
-    row_rb = (row_rlo.astype(jnp.int32) * ROW_PACK
-              + row_rhi.astype(jnp.int32) + 2)
+    # x guards quantize to whole meters relative to world lo — conservative
+    # (floor lo / ceil hi), never wrong
     wlo = jnp.float32(cfg.world.lo[0])
     xq_lo = jnp.clip(jnp.floor(row_xlo - wlo), 0.0, X_MAX).astype(jnp.int32)
     xq_hi = jnp.clip(jnp.ceil(row_xhi - wlo), 0.0, X_MAX).astype(jnp.int32)
     row_x = xq_lo * X_PACK + xq_hi + 1
 
-    # cell-row -> storage-row boundary tables: candidate storage rows for
-    # cell-rows [a, b] are [cr_floor[a], cr_ceil[b+1]) — the kernel iterates
-    # exactly that span instead of guard-branching over the whole window
-    cr_floor = row_start // LANE
-    cr_ceil = -(-row_start // LANE)
-
     w_row = jnp.stack(wr, axis=1).astype(jnp.int32)
     w_nrows = jnp.stack(wn, axis=1).astype(jnp.int32)
     w_rlo = jnp.stack(rlo_l, axis=1).astype(jnp.int32)
     w_rhi = jnp.stack(rhi_l, axis=1).astype(jnp.int32)
+    row_rlo_i = row_rlo.astype(jnp.int32)
+    row_rhi_i = row_rhi.astype(jnp.int32)
+    dummy = jnp.zeros((1,), jnp.int32)
+    if tables_packed:
+        row_rb_a = row_rlo_i * ROW_PACK + row_rhi_i + 2
+        row_rb_b = dummy
+        w_rb_a = w_rlo * ROW_PACK + w_rhi + 2
+        w_rb_b = dummy
+    else:
+        row_rb_a, row_rb_b = row_rlo_i, row_rhi_i
+        w_rb_a, w_rb_b = w_rlo, w_rhi.reshape(-1)
     return CellList(
         fields=fields,
-        row_rb=row_rb, row_x=row_x,
-        cr_floor=cr_floor.astype(jnp.int32),
-        cr_ceil=cr_ceil.astype(jnp.int32),
         w_rw=w_row * 4096 + w_nrows,
-        w_rb=w_rlo * ROW_PACK + w_rhi + 2,
+        w_rb_a=w_rb_a.reshape(-1), w_rb_b=w_rb_b.reshape(-1),
+        row_rb_a=row_rb_a, row_rb_b=row_rb_b,
+        row_x=row_x,
+        cr_start=row_start.astype(jnp.int32),
         n_alive=n_alive.astype(jnp.int32),
         overflow=excess.astype(jnp.int32),
-        num_tiles=num_tiles, window_rows=window_rows, n_windows=n_windows)
+        num_tiles=num_tiles, window_rows=window_rows, n_windows=n_windows,
+        shifts=shifts, tables_packed=tables_packed)

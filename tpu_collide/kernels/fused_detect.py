@@ -49,13 +49,17 @@ search radius — the cross-backend `num_pairs_checked` definition), pairs
 emitted-class (hits / survivors), and qualifying hits (risk >= risk_low;
 == emitted in survivor mode).
 
-Loop nest per tile:   window (1 or 3 z-layers, disjoint cell-row ranges)
+Loop nest per tile:   window (one per static brow shift: (band +-1) x
+                      (z +-1) — 1 in 2D unbanded, 3 in 3D unbanded, up to
+                      9 banded; disjoint brow ranges)
                     -> own storage row (8)
                     -> EXACTLY the candidate storage rows that own row needs
-Each own row's candidate span ([its cell-rows +-1] mapped through
-prefetched cell-row -> storage-row tables) is computed in SMEM scalars, so
-there is no per-row adjacency branching at all; an x-overlap pl.when prunes
-the remaining far blocks.
+Each own row's candidate span ([its brows +-1, per shift] mapped through
+the prefetched brow -> sorted-element-start table) is computed in SMEM
+scalars, so there is no per-row adjacency branching at all; an x-overlap
+pl.when prunes the remaining far blocks — with the banded layout
+(cell_list.auto_band_cells) rows are ~square patches, so this row-granular
+pruning removes most dead pair math (the 1M step's dominant cost).
 
 Mosaic constraints honored (found empirically, see repo history): HBM DMA
 slices are 2D with 8-aligned dynamic row starts hinted via pl.multiple_of;
@@ -93,11 +97,13 @@ PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
  _SIZE, _HEAD, _TYPE, _OID, _VALID, _ROW) = range(NF)
 
 
-def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
-            cr_floor_ref, cr_ceil_ref,
+def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
+            row_rb_a_ref, row_rb_b_ref, row_x_ref,
+            cr_start_ref,
             *refs,
-            cfg: SystemConfig, window_rows: int, n_windows: int,
-            k: int, emit: str):
+            cfg: SystemConfig, window_rows: int, shifts: tuple,
+            tables_packed: bool, k: int, emit: str):
+    n_windows = len(shifts)
     n_out = 2 * k + 3
     hbm = refs[:NF]
     outs = refs[NF:NF + n_out]
@@ -132,16 +138,18 @@ def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
     r2_max = r_max * r_max
     dtt = det.time_step
     t_max = det.time_window - det.time_step + 1e-6
-    ny_shift = cfg.grid_dims[1]   # cell-row id delta between z-layers
     wlo_x = cfg.world.lo[0]       # packed x-guard values are lo-relative
     # tpu.iota only produces integers; cast to f32 for the select math
     col_iota = jax.lax.broadcasted_iota(
         jnp.int32, (LANE, LANE), 1).astype(jnp.float32)
 
-    def unpack_rb(v):
-        """(cell_row_lo, cell_row_hi) from a packed guard scalar."""
-        from tpu_collide.kernels.cell_list import ROW_PACK
-        return v // ROW_PACK, v % ROW_PACK - 2
+    def unpack_rb(a_ref, b_ref, i):
+        """(brow_lo, brow_hi) guard pair at index i (packed or split)."""
+        if tables_packed:
+            from tpu_collide.kernels.cell_list import ROW_PACK
+            v = a_ref[i]
+            return v // ROW_PACK, v % ROW_PACK - 2
+        return a_ref[i], b_ref[i]
 
     def unpack_x(v):
         """(x_lo, x_hi) f32 from a packed, lo-relative, meter-quantized
@@ -157,7 +165,7 @@ def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
         wrw = w_rw_ref[wi]
         wrow = pl.multiple_of(wrw // 4096, ROWS)
         wn = wrw % 4096
-        rlo_i, rhi_i = unpack_rb(w_rb_ref[wi])
+        rlo_i, rhi_i = unpack_rb(w_rb_a_ref, w_rb_b_ref, wi)
         wn_eff = jnp.minimum(wn, window_rows)
 
         @pl.when(wn > 0)
@@ -173,7 +181,7 @@ def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
 
             def sub_pass(s, _):
                 go = base + s
-                sr_lo, sr_hi = unpack_rb(row_rb_ref[go])
+                sr_lo, sr_hi = unpack_rb(row_rb_a_ref, row_rb_b_ref, go)
                 ox_lo, ox_hi = unpack_x(row_x_ref[go])
                 ovalid = own[_VALID][s, :][:, None]
                 o_ok = ovalid > 0.5
@@ -185,23 +193,27 @@ def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
                 otype, ooid = colv(_TYPE), colv(_OID)
 
                 # exact candidate storage-row spans for this sub-block:
-                # the cell-rows [sr_lo-1, sr_hi+1] PLUS their z-layer
-                # shifted copies (+-ny in cell-row id space; round-1 bug:
-                # the shifts were missing, so cross-z-layer candidates
-                # were only seen when a tile happened to span a layer),
-                # disjointified so no candidate row is visited twice,
-                # clipped to this window's range and mapped through the
-                # cr_floor/cr_ceil tables — no per-row adjacency branching
-                tab_max = jnp.int32(cr_floor_ref.shape[0] - 1)
+                # the brows [sr_lo-1, sr_hi+1] PLUS their shifted copies
+                # (one per static shift: (band +-1) x (z +-1) deltas in
+                # brow-id space; round-1 bug: the z shifts were missing, so
+                # cross-z-layer candidates were only seen when a tile
+                # happened to span a layer), chain-disjointified in shift
+                # order so no candidate row is visited twice, clipped to
+                # this window's range and mapped through the cr_start
+                # table — no per-row adjacency branching
+                tab_max = jnp.int32(cr_start_ref.shape[0] - 1)
                 sa = sr_lo - 1
                 sb = sr_hi + 1
-                if n_windows == 1:
-                    spans = ((sa, sb),)
-                else:
-                    spans = ((sa - ny_shift, sb - ny_shift),
-                             (jnp.maximum(sa, sb - ny_shift + 1), sb),
-                             (jnp.maximum(sa + ny_shift, sb + 1),
-                              sb + ny_shift))
+                spans = []
+                prev = None
+                for sft in shifts:
+                    s_lo = sa + sft
+                    s_hi = sb + sft
+                    if prev is not None:
+                        s_lo = jnp.maximum(s_lo, prev + 1)
+                        s_hi = jnp.maximum(s_hi, prev)
+                    prev = s_hi
+                    spans.append((s_lo, s_hi))
 
                 def make_crow_pass(a_f, b_f):
                     # a_f/b_f: THIS span's cell-row bounds — the guard must
@@ -436,8 +448,12 @@ def _kernel(w_rw_ref, w_rb_ref, row_rb_ref, row_x_ref,
                     b = jnp.minimum(shi, rhi_i)
                     a_c = jnp.clip(a, 0, tab_max)
                     b_c = jnp.clip(b + 1, 0, tab_max)
-                    c_lo = jnp.clip(cr_floor_ref[a_c] - wrow, 0, wn_eff)
-                    c_hi = jnp.clip(cr_ceil_ref[b_c] - wrow, 0, wn_eff)
+                    # storage floor/ceil of a brow boundary from its sorted
+                    # element index (one SMEM table serves both)
+                    c_lo = jnp.clip(cr_start_ref[a_c] // LANE - wrow,
+                                    0, wn_eff)
+                    c_hi = jnp.clip((cr_start_ref[b_c] + LANE - 1) // LANE
+                                    - wrow, 0, wn_eff)
                     c_hi = jnp.where(b < a, c_lo, c_hi)
                     jax.lax.fori_loop(
                         c_lo, c_hi,
@@ -479,9 +495,11 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     wr = cl.window_rows
     n_out = 2 * k + 3
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
-                             n_windows=cl.n_windows, k=k, emit=mode)
+                             shifts=cl.shifts,
+                             tables_packed=cl.tables_packed,
+                             k=k, emit=mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * NF,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
@@ -502,9 +520,9 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cl.w_rw.reshape(-1), cl.w_rb.reshape(-1),
-      cl.row_rb, cl.row_x,
-      cl.cr_floor, cl.cr_ceil, *field_list)
+    )(cl.w_rw.reshape(-1), cl.w_rb_a, cl.w_rb_b,
+      cl.row_rb_a, cl.row_rb_b, cl.row_x,
+      cl.cr_start, *field_list)
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
     idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)

@@ -85,7 +85,8 @@ def _detect_tail_xla(state: ObjectState, cfg: SystemConfig,
 
 def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
                        boundaries: jax.Array, s: jax.Array,
-                       interpret: bool) -> StepOutput:
+                       interpret: bool,
+                       window_rows: int | None = None) -> StepOutput:
     """Halo exchange + fused-kernel detection (both modes). Halo mirrors
     carry oid + num_objects so they are distinguishable after the
     cell-list sort; only owner rows emit alerts."""
@@ -98,7 +99,7 @@ def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
                                                        boundaries)
     ext = extend_with_halo(state, halo_buf, halo_valid,
                            halo_oid_offset=n_glob)
-    cl = build_cell_list(ext, cfg)
+    cl = build_cell_list(ext, cfg, window_rows=window_rows)
     scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
                 else fused_scene_precise)
     res = scene_fn(cl, cfg, interpret=interpret, n_own_oid=n_glob,
@@ -139,7 +140,8 @@ def _local_step(state: ObjectState, key: jax.Array, boundaries: jax.Array,
 
 def _local_step_fused(state: ObjectState, key: jax.Array,
                       boundaries: jax.Array, cfg: SystemConfig,
-                      interpret: bool = False
+                      interpret: bool = False,
+                      window_rows: int | None = None
                       ) -> Tuple[ObjectState, StepOutput, jax.Array]:
     """Per-shard body on the fused Pallas kernel (both 'fast' and 'precise'
     detection modes): integrate -> migrate -> halo -> cell-list build +
@@ -152,14 +154,15 @@ def _local_step_fused(state: ObjectState, key: jax.Array,
     state = integrate(state, key, cfg)
     state, mig_dropped = migrate(state, cfg, s, boundaries)
     out, halo_dropped = _detect_tail_fused(state, cfg, boundaries, s,
-                                           interpret)
+                                           interpret, window_rows)
     return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
 def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
                          boundaries: jax.Array, cfg: SystemConfig,
                          roads, cities, backend: str,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         window_rows: int | None = None):
     """Per-shard body with device movement modes (sim/scenario.py):
     scenario physics -> migration that CARRIES the per-object scenario
     state (mode/road/target) with each migrating object -> halo ->
@@ -177,7 +180,7 @@ def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
     scen = ScenarioState(**extra)
     if backend == "fused":
         out, halo_dropped = _detect_tail_fused(state, cfg, boundaries, s,
-                                               interpret)
+                                               interpret, window_rows)
     else:
         out, halo_dropped = _detect_tail_xla(state, cfg, boundaries, s)
     return state, scen, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
@@ -208,7 +211,8 @@ def check_boundaries(cfg: SystemConfig, boundaries) -> None:
 
 
 def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
-                      backend: str = "xla", interpret: bool = False):
+                      backend: str = "xla", interpret: bool = False,
+                      window_rows: int | None = None):
     """Compile the SPMD step. State layout: every array's leading dim is
     num_shards * shard_slots(cfg), sharded along the mesh axis; each shard
     owns the slots of its slab. backend='fused' runs the Pallas cell-list
@@ -231,7 +235,8 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
                           overflow=P(), alert_overflow=P())
 
     if backend == "fused":
-        body = partial(_local_step_fused, cfg=cfg, interpret=interpret)
+        body = partial(_local_step_fused, cfg=cfg, interpret=interpret,
+                       window_rows=window_rows)
         # pallas_call outputs carry no varying-manual-axes metadata, which
         # trips shard_map's VMA checker — disable it for the kernel body
         # (the XLA body keeps the check; it caught real bugs)
@@ -258,7 +263,8 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
 
 def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
                                donate: bool = True, backend: str = "xla",
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               window_rows: int | None = None):
     """Sharded step with device movement modes: per-object scenario state
     (mode/road/target) is sharded alongside the fleet and MIGRATES with
     objects across slab walls; road/city tables are replicated. Returned
@@ -282,7 +288,7 @@ def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
     spec_tables = jax.tree.map(lambda _: P(), (roads, cities))
 
     body = partial(_local_step_scenario, cfg=cfg, backend=backend,
-                   interpret=interpret)
+                   interpret=interpret, window_rows=window_rows)
 
     def wrapped(state, scen, key, boundaries, roads_, cities_):
         return body(state, scen, key, boundaries, roads=roads_,
