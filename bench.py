@@ -172,6 +172,23 @@ def main():
         extra["fused_1m_3d_avg_ms"] = round(a, 2)
         extra["fused_1m_3d_p99_ms"] = round(p, 2)
 
+        # prediction path at 100k (ROADMAP r2 #12): trajectory ring ticks +
+        # one device-compacted predict (grid + 20-offset re-detection +
+        # top-k merge) through the public Scene surface
+        from tpu_collide.api import Scene
+        from tpu_collide.sim import generate_fleet as _gen
+        sc = Scene(cfg100k, state=_gen(jax.random.key(5), cfg100k))
+        for _ in range(3):
+            sc.record_trajectories()
+        sc.predict()                               # compile + warm
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            risks = sc.predict()
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        extra["predict_100k_ms"] = round(best, 2)
+        extra["predict_100k_risks"] = len(risks)
+
     print(json.dumps({
         "metric": "full-scene steps/s (1000 vehicles, precise 4-stage "
                   "detection, TPU v5e-1)",

@@ -179,6 +179,23 @@ def test_fused_banded_alert_set_equality(mode):
         np.testing.assert_allclose(ax[k], af[k], rtol=1e-5, atol=1e-5)
 
 
+def test_fused_packed_guard_tables_match_xla(monkeypatch):
+    """The packed guard-table encoding (chosen automatically at 10M-scale
+    SMEM pressure) must decode to the same results as the split tables.
+    Force it at small N by zeroing the SMEM threshold."""
+    from tpu_collide.kernels import cell_list as cl_mod
+    monkeypatch.setattr(cl_mod, "_SMEM_UNPACKED_MAX", 0)
+    cfg, st = fleet3d()
+    want_r, want_c, want_checked = xla_ref(st, cfg)
+    got_r, got_c, got_checked, overflow = fused_ref(st, cfg)
+    from tpu_collide.kernels.cell_list import build_cell_list as _b
+    assert _b(st, cfg).tables_packed
+    assert overflow == 0
+    assert got_checked == want_checked
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_allclose(got_r, want_r, atol=2e-4)
+
+
 def test_fused_alert_overflow_counted():
     """An object with more qualifying pairs than slots must report
     alert_overflow > 0 instead of silently shortening the scene list:

@@ -48,8 +48,11 @@ TILE = 1024         # objects per kernel tile = 8 storage rows (DMA aligned)
 ALIGN = 1024
 
 
+# `row` is the brow id, -1 for dead/padding objects — it doubles as the
+# validity flag (row >= 0 <=> alive), so no separate `valid` field rides
+# through the sort/DMA path.
 FIELD_NAMES = ("x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
-               "size", "heading", "otype", "oid", "valid", "row")
+               "size", "heading", "otype", "oid", "row")
 
 
 # Packed SMEM guard-table encodings (tables_packed=True). The per-storage-row
@@ -83,11 +86,11 @@ _SMEM_TOTAL_MAX = 980_000
 class CellList:
     """Sorted SoA fleet + per-tile candidate windows.
 
-    fields: [15, R, LANE] f32 in FIELD_NAMES order;
+    fields: [14, R, LANE] f32 in FIELD_NAMES order;
             R = (num_tiles*TILE + window_rows*LANE) / LANE (guard tail of
             dead slots so window DMAs never read out of bounds).
-    `valid` is 1.0 for alive objects; `row` is the brow id
-    (band * ny * nz + y + ny * z; -1 for dead/padding).
+    `row` is the brow id (band * ny * nz + y + ny * z; -1 for
+    dead/padding — the validity flag).
     w_rw: [T, W] int32 — window start storage row (8-aligned) * 4096 +
     storage-row count (packed; count < 4096 asserted).
     w_rb_a/w_rb_b: [T, W] int32 — inclusive BROW range the window must match
@@ -255,18 +258,18 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     num_ids = nbrows * bandc            # >= num_cells (x padding in last band)
     flat = jnp.where(state.alive, flat, num_ids)
 
-    # one co-sort of every field (no gathers)
+    # one co-sort of every field (no gathers); dead objects carry the
+    # num_ids sentinel key, so aliveness post-sort is sflat < num_ids
     ops = (flat,
            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
            state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
            state.size, state.heading,
            state.otype.astype(jnp.float32),
-           state.oid.astype(jnp.float32),
-           state.alive.astype(jnp.float32))
+           state.oid.astype(jnp.float32))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False, dimension=0)
     sflat = sorted_ops[0]
-    srow_f = jnp.where(sorted_ops[14] > 0.5,
+    srow_f = jnp.where(sflat < num_ids,
                        jnp.clip(sflat // bandc, 0,
                                 nbrows - 1).astype(jnp.float32),
                        -1.0)
@@ -280,12 +283,17 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
                                  stacked[oid_idx], -1.0)
     fields = jnp.stack(stacked, axis=0).reshape(len(FIELD_NAMES), -1, LANE)
 
-    # bucket offsets + brow start table (scatter-histogram: >2x faster than
-    # TPU searchsorted at 1M/400k — index/grid.bucket_starts)
-    from tpu_collide.index.grid import bucket_starts
-    starts = bucket_starts(flat, num_ids)
-    n_alive = starts[num_ids]
-    row_start = starts[jnp.arange(nbrows + 1, dtype=jnp.int32) * bandc]
+    # brow start table: only BROW boundaries are needed (not per-cell
+    # starts), and the keys are already sorted — ~nbrows searchsorted
+    # queries (~20 gathers of [nbrows+1]) beat both the 400k-query
+    # searchsorted (79 ms at 1M) and the scatter histogram (33 ms) that
+    # earlier rounds used. Dead objects sort to the tail with brow sentinel
+    # nbrows, so row_start[nbrows] is n_alive.
+    srow_sorted = jnp.minimum(sflat // bandc, nbrows)
+    row_start = jnp.searchsorted(
+        srow_sorted, jnp.arange(nbrows + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    n_alive = row_start[nbrows]
 
     # per-tile window tables: one contiguous window per static brow shift,
     # chain-clipped in ascending shift order so windows never overlap (a
@@ -333,7 +341,7 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     # per-storage-row guard tables (vector reductions here are ~free; the
     # kernel reads them as SMEM scalars)
     srow2d = fields[FIELD_NAMES.index("row")]
-    valid2d = fields[FIELD_NAMES.index("valid")] > 0.5
+    valid2d = srow2d >= 0.0
     x2d = fields[FIELD_NAMES.index("x")]
     big = jnp.float32(3.0e38)
     row_rlo = jnp.min(jnp.where(valid2d, srow2d, big), axis=1)

@@ -44,10 +44,14 @@ constant-acceleration sampled sweep then runs in XLA on the compacted
 survivor list (detect/pipeline._precise_sweep), which is how 'precise'
 semantics scale past the chunked-XLA path.
 
-Counters per object: pairs checked (stage-1 pass: alive, non-self, within
-search radius — the cross-backend `num_pairs_checked` definition), pairs
-emitted-class (hits / survivors), and qualifying hits (risk >= risk_low;
-== emitted in survivor mode).
+Counters: pairs checked (stage-1 pass: alive, non-self, within search
+radius — the cross-backend `num_pairs_checked` definition) is a SCENE
+total, accumulated as a sublane-reduced broadcast (every row of the
+counter buffer carries the same partial; fused_topk divides the buffer sum
+by ROWS — ~2x cheaper per block than a per-own-row RMW, measured). Pairs
+emitted-class (hits / survivors) and qualifying hits (risk >= risk_low;
+== emitted in survivor mode) stay per object — the alert-overflow
+accounting needs them row-accurate.
 
 Loop nest per tile:   window (one per static brow shift: (band +-1) x
                       (z +-1) — 1 in 2D unbanded, 3 in 3D unbanded, up to
@@ -60,6 +64,11 @@ scalars, so there is no per-row adjacency branching at all; an x-overlap
 pl.when prunes the remaining far blocks — with the banded layout
 (cell_list.auto_band_cells) rows are ~square patches, so this row-granular
 pruning removes most dead pair math (the 1M step's dominant cost).
+
+Window DMAs are DOUBLE-BUFFERED: the window loop unrolls statically (the
+shift list is static) so the buffer slot is a python parity bit, and
+window w+1's 14-field DMA is issued before window w's compute — the
+probe-measured ~28 ms of DMA wait at 1M overlaps block math.
 
 Mosaic constraints honored (found empirically, see repo history): HBM DMA
 slices are 2D with 8-aligned dynamic row starts hinted via pl.multiple_of;
@@ -81,7 +90,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_collide.core.config import SystemConfig
 from tpu_collide.kernels.cell_list import CellList, TILE, LANE, FIELD_NAMES
 
-NF = len(FIELD_NAMES)   # 15
+NF = len(FIELD_NAMES)   # 14
 ROWS = TILE // LANE     # 8 own storage rows per tile
 _BIG = 3.0e38
 KEY_NONE = -3.0         # slot/init key for "nothing here"
@@ -94,7 +103,7 @@ PACKED_NONE = KEY_NONE * KEY_Q * LANE   # packed form of an empty slot
 PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
 
 (_X, _Y, _Z, _VX, _VY, _VZ, _AX, _AY, _AZ,
- _SIZE, _HEAD, _TYPE, _OID, _VALID, _ROW) = range(NF)
+ _SIZE, _HEAD, _TYPE, _OID, _ROW) = range(NF)
 
 
 def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
@@ -108,12 +117,12 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     hbm = refs[:NF]
     outs = refs[NF:NF + n_out]
     rest = refs[NF + n_out:]
-    own = rest[:NF]                        # 15 x VMEM (ROWS, LANE)
-    win = rest[NF:2 * NF]                  # 15 x VMEM (window_rows, LANE)
-    okey = rest[2 * NF:2 * NF + k]         # k x VMEM (ROWS, LANE) slot keys
-    oidx = rest[2 * NF + k:2 * NF + 2 * k]  # k x VMEM slot cand indices
-    ocnt = rest[2 * NF + 2 * k:2 * NF + 2 * k + 3]  # checked/emitted/qual
-    sem_own, sem_win, sem_out = rest[2 * NF + n_out:]
+    own = rest[:NF]                        # 14 x VMEM (ROWS, LANE)
+    win = rest[NF:3 * NF]                  # 2 x 14 VMEM (window_rows, LANE)
+    okey = rest[3 * NF:3 * NF + k]         # k x VMEM (ROWS, LANE) slot keys
+    oidx = rest[3 * NF + k:3 * NF + 2 * k]  # k x VMEM slot cand indices
+    ocnt = rest[3 * NF + 2 * k:3 * NF + 2 * k + 3]  # checked/emitted/qual
+    sem_own, sem_win, sem_out = rest[3 * NF + n_out:]
     det = cfg.detect
     al = cfg.alerts
     t = pl.program_id(0)
@@ -122,6 +131,24 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     for f in range(NF):
         pltpu.make_async_copy(hbm[f].at[pl.ds(base, ROWS), :],
                               own[f], sem_own.at[f]).start()
+
+    def win_meta(w):
+        wrw = w_rw_ref[t * n_windows + w]
+        return pl.multiple_of(wrw // 4096, ROWS), wrw % 4096
+
+    def issue_window(w, slot):
+        """Start the window-w DMA into buffer `slot` (double buffering:
+        window w+1 streams in while window w computes)."""
+        wrow, wn = win_meta(w)
+
+        @pl.when(wn > 0)
+        def _():
+            for f in range(NF):
+                pltpu.make_async_copy(
+                    hbm[f].at[pl.ds(wrow, window_rows), :],
+                    win[slot * NF + f], sem_win.at[slot * NF + f]).start()
+
+    issue_window(0, 0)
     for f in range(NF):
         pltpu.make_async_copy(hbm[f].at[pl.ds(base, ROWS), :],
                               own[f], sem_own.at[f]).wait()
@@ -158,33 +185,27 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
         return ((v // X_PACK).astype(jnp.float32) + wlo_x,
                 (v % X_PACK - 1).astype(jnp.float32) + wlo_x)
 
-    def window_pass(w, _):
+    def window_pass(w, slot):
         # window tables are flattened [T*W] (2D SMEM operands pad to 128
         # lanes and blow the 1 MB SMEM budget at large T)
         wi = t * n_windows + w
-        wrw = w_rw_ref[wi]
-        wrow = pl.multiple_of(wrw // 4096, ROWS)
-        wn = wrw % 4096
+        wrow, wn = win_meta(w)
         rlo_i, rhi_i = unpack_rb(w_rb_a_ref, w_rb_b_ref, wi)
         wn_eff = jnp.minimum(wn, window_rows)
+        wbuf = win[slot * NF:(slot + 1) * NF]
 
         @pl.when(wn > 0)
         def _():
             for f in range(NF):
                 pltpu.make_async_copy(
                     hbm[f].at[pl.ds(wrow, window_rows), :],
-                    win[f], sem_win.at[f]).start()
-            for f in range(NF):
-                pltpu.make_async_copy(
-                    hbm[f].at[pl.ds(wrow, window_rows), :],
-                    win[f], sem_win.at[f]).wait()
+                    wbuf[f], sem_win.at[slot * NF + f]).wait()
 
             def sub_pass(s, _):
                 go = base + s
                 sr_lo, sr_hi = unpack_rb(row_rb_a_ref, row_rb_b_ref, go)
                 ox_lo, ox_hi = unpack_x(row_x_ref[go])
-                ovalid = own[_VALID][s, :][:, None]
-                o_ok = ovalid > 0.5
+                o_ok = own[_ROW][s, :][:, None] >= 0.0   # row -1 = dead
                 colv = lambda f: own[f][s, :][:, None]
                 ox, oy, oz = colv(_X), colv(_Y), colv(_Z)
                 ovx, ovy, ovz = colv(_VX), colv(_VY), colv(_VZ)
@@ -229,15 +250,17 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                         @pl.when((cx_lo <= ox_hi + r_max)
                                  & (cx_hi >= ox_lo - r_max))
                         def _():
-                            rowv = lambda f: win[f][c, :][None, :]
+                            rowv = lambda f: wbuf[f][c, :][None, :]
                             cx, cy, cz = rowv(_X), rowv(_Y), rowv(_Z)
                             cvx, cvy, cvz = rowv(_VX), rowv(_VY), rowv(_VZ)
                             cax, cay, caz = rowv(_AX), rowv(_AY), rowv(_AZ)
                             csize, chead = rowv(_SIZE), rowv(_HEAD)
                             ctype, coid = rowv(_TYPE), rowv(_OID)
-                            cvalid, crow = rowv(_VALID), rowv(_ROW)
-                            c_ok = ((cvalid > 0.5) & (crow >= a_f)
-                                    & (crow <= b_f))
+                            # span bounds are clipped to >= 0, so the
+                            # brow range test alone rejects dead/padding
+                            # rows (their brow is -1)
+                            crow = rowv(_ROW)
+                            c_ok = (crow >= a_f) & (crow <= b_f)
 
                             # stage 1: exact radius + alive + no self
                             dxp, dyp, dzp = cx - ox, cy - oy, cz - oz
@@ -264,11 +287,14 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                          & (ts >= 0.0) & (ts <= det.time_window)
                                          & (cd2 <= safe2))
 
-                            # stage-1 counter (read-modify-write VMEM row)
-                            ocnt[0][pl.ds(s, 1), :] = (
-                                ocnt[0][s, :] + jnp.sum(
-                                    jnp.where(ok1, 1.0, 0.0), axis=1)
-                            )[None, :]
+                            # stage-1 counter: a sublane reduce +
+                            # broadcast add (all ROWS rows get the same
+                            # partial, so the scene total is the buffer
+                            # sum / ROWS — exact in f32, and ~2x cheaper
+                            # than the old per-own-row RMW, measured)
+                            ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
+                                jnp.where(ok1, 1.0, 0.0), axis=0,
+                                keepdims=True)
 
                             # Everything downstream — stage 3/4, priority,
                             # key packing, the remaining counters, slot
@@ -465,7 +491,13 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, n_windows, window_pass, 0)
+    # windows unroll statically so the double-buffer slot is a python
+    # int (scratch lists cannot be indexed by traced values); window w+1's
+    # DMA is issued before window w computes
+    for w in range(n_windows):
+        if w + 1 < n_windows:
+            issue_window(w + 1, (w + 1) % 2)
+        window_pass(w, w % 2)
 
     bufs = list(okey) + list(oidx) + list(ocnt)
     for f in range(n_out):
@@ -483,10 +515,12 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     """Run the kernel. N = num_tiles*TILE sorted-object slots; K slots each.
 
     Returns (keys [N, K] f32 packed, idx [N, K] i32 candidate sorted index
-    (-1 = empty slot), checked [N] i32, emitted [N] i32, qual [N] i32).
-    mode='hits' emits fast stage-3 hits; mode='survivors' emits stage-2
-    survivors for the XLA precise sweep. interpret=True uses the Pallas
-    interpreter (CPU tests)."""
+    (-1 = empty slot), checked [] i32 SCENE-TOTAL stage-1 pairs (the kernel
+    accumulates it broadcast across sublanes — a plain sum of the raw
+    buffer is ROWS x the true count, corrected here), emitted [N] i32,
+    qual [N] i32). mode='hits' emits fast stage-3 hits; mode='survivors'
+    emits stage-2 survivors for the XLA precise sweep. interpret=True uses
+    the Pallas interpreter (CPU tests)."""
     assert mode in ("hits", "survivors")
     k = (cfg.alerts.max_alerts_per_object if mode == "hits"
          else cfg.detect.survivor_k)
@@ -505,10 +539,10 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
         scratch_shapes=(
             [pltpu.VMEM((ROWS, LANE), jnp.float32)] * NF    # own
-            + [pltpu.VMEM((wr, LANE), jnp.float32)] * NF    # window
+            + [pltpu.VMEM((wr, LANE), jnp.float32)] * (2 * NF)  # windows x2
             + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * n_out  # slots+cnts
             + [pltpu.SemaphoreType.DMA((NF,)),
-               pltpu.SemaphoreType.DMA((NF,)),
+               pltpu.SemaphoreType.DMA((2 * NF,)),
                pltpu.SemaphoreType.DMA((n_out,))]
         ),
     )
@@ -526,6 +560,9 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
     idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)
-    checked, emitted, qual = (outs[2 * k + j].reshape(n).astype(jnp.int32)
-                              for j in range(3))
+    # per-slot partials are small exact f32 ints; sum in int32 (the total
+    # times ROWS can pass 2^24, where f32 summation would round)
+    checked = jnp.sum(outs[2 * k].astype(jnp.int32)) // ROWS
+    emitted, qual = (outs[2 * k + j].reshape(n).astype(jnp.int32)
+                     for j in (1, 2))
     return keys, idx.astype(jnp.int32), checked, emitted, qual

@@ -97,8 +97,8 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     type_c = flat[_FI["otype"]][ci]
     oid_o = flat[_FI["oid"]][oi].astype(jnp.int32)
     oid_c = flat[_FI["oid"]][ci].astype(jnp.int32)
-    alive_o = flat[_FI["valid"]][oi] > 0.5
-    alive_c = flat[_FI["valid"]][ci] > 0.5
+    alive_o = flat[_FI["row"]][oi] >= 0.0    # row -1 = dead/padding
+    alive_c = flat[_FI["row"]][ci] >= 0.0
 
     # stage 1
     rel_pos = pos_c - pos_o
@@ -215,7 +215,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     slot_risk = jnp.where(occupied, decode_risk(keys), 0.0)
     return FusedSceneResult(
         alerts=alerts,
-        num_checked=jnp.sum(checked, dtype=jnp.int32),
+        num_checked=checked,
         num_risks=jnp.sum(jnp.where(own, emitted, 0), dtype=jnp.int32),
         max_risk=jnp.max(slot_risk),
         alert_overflow=jnp.sum(
@@ -275,7 +275,7 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
         jnp.where(own, jnp.maximum(emitted - k, 0), 0), dtype=jnp.int32)
     return FusedSceneResult(
         alerts=alerts,
-        num_checked=jnp.sum(checked, dtype=jnp.int32),
+        num_checked=checked,
         num_risks=jnp.sum(hit, dtype=jnp.int32),
         max_risk=jnp.max(jnp.where(hit, ref.risk, 0.0)),
         alert_overflow=(slot_overflow
