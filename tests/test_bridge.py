@@ -159,3 +159,40 @@ def test_hub_relays_between_spokes():
         await hub_b.stop()
 
     run(go())
+
+
+def test_two_collision_systems_bridged():
+    """Two full CollisionSystem nodes (tiny fleets) joined only by the TCP
+    bridge: each node's HeartbeatMonitor must see the other, and election
+    must agree on one leader — the reference's multi-node deployment story
+    (collision_system.py:224-310) on a real transport."""
+    from tpu_collide.system import CollisionSystem
+    import tpu_collide as tc
+    from tpu_collide.core.config import WorldConfig
+
+    async def go():
+        cfg = tc.SystemConfig(num_objects=8,
+                              world=WorldConfig(hi=(500.0, 500.0, 0.0)))
+        a = CollisionSystem(cfg, node_id="ha", detection_hz=0.1,
+                            known_nodes=["ha", "hb"],
+                            bridge_listen=("127.0.0.1", 0))
+        await a.start()
+        b = CollisionSystem(cfg, node_id="hb", detection_hz=0.1,
+                            known_nodes=["ha", "hb"],
+                            bridge_peers=[("127.0.0.1",
+                                           a.bridge.bound_port)])
+        await b.start()
+        ok_hb = await _wait_for(
+            lambda: "hb" in a.heartbeat.nodes and "ha" in b.heartbeat.nodes)
+        ok_ldr = await _wait_for(
+            lambda: a.election.leader_id is not None
+            and a.election.leader_id == b.election.leader_id)
+        sa, sb = a.get_stats(), b.get_stats()
+        await b.stop()
+        await a.stop()
+        return ok_hb, ok_ldr, sa, sb
+
+    ok_hb, ok_ldr, sa, sb = run(go())
+    assert ok_hb, "heartbeats did not cross the bridge"
+    assert ok_ldr, "election did not converge across the bridge"
+    assert sa["bridge"]["links"] == 1 and sb["bridge"]["links"] == 1

@@ -273,3 +273,40 @@ def test_window_overflow_counted():
                           np.zeros(n, np.int32))
     cl = build_cell_list(st, cfg, window_rows=8)
     assert int(cl.overflow) > 0
+
+
+def test_scene_auto_slot_regrow():
+    """Scene(backend='fused') watches alert_overflow and doubles the
+    per-object slot capacity between steps: the ring scene that overflows
+    k=4 becomes provably complete (aoflow 0, alert set == XLA) after one
+    regrow."""
+    from tpu_collide.api import Scene
+
+    n = 9
+    pos = np.zeros((n, 3), np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    for i in range(8):
+        ang = 2 * np.pi * i / 8
+        pos[i + 1] = [40 * np.cos(ang), 40 * np.sin(ang), 0.0]
+        vel[i + 1] = [-15 * np.cos(ang), -15 * np.sin(ang), 0.0]
+    pos += 500.0
+    pos[:, 2] = 0.0
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    cfg = cfg2d(n=n, world=1000.0)
+    sc = Scene(cfg, interpret=True, backend="fused")
+    sc.adopt_fleet(st)
+    out1 = sc.step()
+    assert int(out1.alert_overflow) > 0
+    assert sc.window_regrows >= 1
+    assert sc.cfg.alerts.max_alerts_per_object == 8
+    out2 = sc.step()
+    assert int(out2.alert_overflow) == 0
+    # provably complete now: matches the XLA path on the SAME state
+    # (both stepped twice from the same fleet with the Scene's keys —
+    # instead re-detect statically for a state-independent check)
+    pairs = make_detect(sc.cfg)(sc.state)
+    n_x = int(jnp.sum(pairs.valid))
+    assert int(out2.num_risks) == n_x

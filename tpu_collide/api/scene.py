@@ -268,9 +268,44 @@ class Scene:
                                               t.elapsed_ms)
             if self._auto_window and int(out.overflow) > 0:
                 self._grow_window(int(out.overflow))
+            if (self._auto_window and self._backend == "fused"
+                    and int(out.alert_overflow) > 0):
+                self._grow_slots(int(out.alert_overflow))
         self._num_alive = int(out.num_alive)
         self.alert_manager.process_batch(out.alerts, resolver=self.vehicle_id_of)
         return out
+
+    def _grow_slots(self, aoflow: int) -> None:
+        """Some object had more qualifying pairs (fast) / stage-2 survivors
+        (precise) than its top-k slots — alert_overflow > 0 means the scene
+        list may be missing pairs (counted, never silent). Double the
+        mode-relevant per-object capacity and recompile so the NEXT step's
+        list is provably complete again — the same adaptive self-healing as
+        window regrow, for alert-slot capacity."""
+        import dataclasses as _dc
+        if self.cfg.detect.mode == "fast":
+            a = self.cfg.alerts
+            new_k = a.max_alerts_per_object * 2
+            self.cfg = self.cfg.replace(
+                alerts=_dc.replace(a, max_alerts_per_object=new_k))
+            knob = "max_alerts_per_object"
+        else:
+            d = self.cfg.detect
+            new_k = d.survivor_k * 2
+            cap = (d.precise_survivor_cap * 2
+                   if d.precise_survivor_cap is not None else None)
+            self.cfg = self.cfg.replace(
+                detect=_dc.replace(d, survivor_k=new_k,
+                                   precise_survivor_cap=cap))
+            knob = "survivor_k"
+        self.window_regrows += 1
+        logger.warning(
+            "per-object alert-slot overflow (%d beyond capacity): growing "
+            "%s to %d and recompiling", aoflow, knob, new_k)
+        self._step = make_step(self.cfg, donate=True, backend=self._backend,
+                               chunk_size=self._chunk_size,
+                               window_rows=self._window_rows,
+                               interpret=self._interpret)
 
     def _grow_window(self, overflow: int) -> None:
         """Density outgrew the kernel's candidate windows: double them and

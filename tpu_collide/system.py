@@ -50,15 +50,26 @@ class CollisionSystem:
                  detection_hz: float = 2.0,
                  checkpoint_every_s: float = 30.0,
                  api_port: Optional[int] = None,
-                 backend: str = "xla"):
+                 backend: str = "xla",
+                 bridge_listen: Optional[tuple] = None,
+                 bridge_peers: Optional[list] = None,
+                 bridge_relay: bool = False):
         self.cfg = cfg or SystemConfig()
         self.node_id = node_id
         self.detection_hz = detection_hz
         self.checkpoint_every_s = checkpoint_every_s
         self.api_port = api_port
 
-        # layer 1: messaging + storage
+        # layer 1: messaging + storage (+ optional multi-host bridge:
+        # the control plane of a multi-machine deployment, runtime/bridge.py)
         self.broker = MessageBroker()
+        self.bridge = None
+        if bridge_listen or bridge_peers:
+            from tpu_collide.runtime.bridge import BrokerBridge
+            self.bridge = BrokerBridge(self.broker, node_id,
+                                       listen=bridge_listen,
+                                       peers=bridge_peers or (),
+                                       relay=bridge_relay)
         self.storage = StorageFactory.create_storage(storage_url)
         self.location_storage = VehicleLocationStorage(self.storage)
         self.risk_storage = CollisionRiskStorage(self.storage)
@@ -104,6 +115,8 @@ class CollisionSystem:
     async def start(self) -> None:
         self._started_at = time.time()
         await self.broker.start()
+        if self.bridge is not None:
+            await self.bridge.start()
         await self.storage.connect()
         await self.scheduler.start()
         self.scheduler.register_node(NodeInfo(node_id=self.node_id))
@@ -137,6 +150,8 @@ class CollisionSystem:
         await self.heartbeat.stop()
         await self.scheduler.stop()
         await self.storage.disconnect()
+        if self.bridge is not None:
+            await self.bridge.stop()
         await self.broker.stop()
         logger.info("collision system %s stopped", self.node_id)
 
@@ -227,6 +242,7 @@ class CollisionSystem:
             "scene": self.scene.stats(),
             "scheduler": self.scheduler.get_stats(),
             "broker": self.broker.get_stats(),
+            "bridge": (self.bridge.get_stats() if self.bridge else None),
             "throttling": dict(self.throttling.stats),
             "heartbeat": dict(self.heartbeat.status),
         }
@@ -248,6 +264,15 @@ def main(argv=None) -> None:
     ap.add_argument("--detect-mode", choices=("precise", "fast"),
                     default=None,
                     help="override DetectionConfig.mode")
+    ap.add_argument("--bridge-listen", default=None, metavar="HOST:PORT",
+                    help="accept multi-host broker links on this address "
+                         "(runtime/bridge.py)")
+    ap.add_argument("--bridge-peer", action="append", default=[],
+                    metavar="HOST:PORT",
+                    help="dial a peer node's bridge (repeatable)")
+    ap.add_argument("--bridge-relay", action="store_true",
+                    help="hub mode: re-forward bridged messages between "
+                         "links (star topologies)")
     ap.add_argument("--log-level", default="INFO")
     ap.add_argument("--config", default=None,
                     help="JSON SystemConfig file (overrides --objects)")
@@ -264,12 +289,20 @@ def main(argv=None) -> None:
         cfg = cfg.replace(detect=_dc.replace(cfg.detect,
                                              mode=args.detect_mode))
 
+    def addr(s_):
+        host, port = s_.rsplit(":", 1)
+        return (host, int(port))
+
     system = CollisionSystem(cfg, node_id=args.node_id,
                              storage_url=args.storage_url,
                              checkpoint_dir=args.checkpoint_dir,
                              detection_hz=args.detection_hz,
                              api_port=args.api_port,
-                             backend=args.backend)
+                             backend=args.backend,
+                             bridge_listen=(addr(args.bridge_listen)
+                                            if args.bridge_listen else None),
+                             bridge_peers=[addr(a) for a in args.bridge_peer],
+                             bridge_relay=args.bridge_relay)
 
     async def run():
         await system.start()
