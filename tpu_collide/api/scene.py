@@ -283,15 +283,28 @@ class Scene:
         list is provably complete again — the same adaptive self-healing as
         window regrow, for alert-slot capacity."""
         import dataclasses as _dc
+        _K_MAX = 16      # largest Mosaic-validated slot count (kernel doc)
         if self.cfg.detect.mode == "fast":
             a = self.cfg.alerts
-            new_k = a.max_alerts_per_object * 2
+            if a.max_alerts_per_object >= _K_MAX:
+                logger.warning(
+                    "alert-slot overflow (%d) persists at the k=%d Mosaic "
+                    "ceiling; the scene list stays overflow-flagged — "
+                    "shard the world or thin the fleet", aoflow, _K_MAX)
+                return
+            new_k = min(a.max_alerts_per_object * 2, _K_MAX)
             self.cfg = self.cfg.replace(
                 alerts=_dc.replace(a, max_alerts_per_object=new_k))
             knob = "max_alerts_per_object"
         else:
             d = self.cfg.detect
-            new_k = d.survivor_k * 2
+            if d.survivor_k >= _K_MAX:
+                logger.warning(
+                    "survivor-slot overflow (%d) persists at the k=%d "
+                    "Mosaic ceiling; the alert list stays overflow-flagged",
+                    aoflow, _K_MAX)
+                return
+            new_k = min(d.survivor_k * 2, _K_MAX)
             cap = (d.precise_survivor_cap * 2
                    if d.precise_survivor_cap is not None else None)
             self.cfg = self.cfg.replace(

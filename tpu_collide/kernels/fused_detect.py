@@ -525,6 +525,13 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     k = (cfg.alerts.max_alerts_per_object if mode == "hits"
          else cfg.detect.survivor_k)
     assert k >= 1
+    # k = 32 crashes the Mosaic compiler with no diagnostic (remote
+    # tpu_compile_helper exit 1 — the insert/extract chains unroll k-fold);
+    # k = 16 is the largest empirically-validated slot count on real TPUs.
+    assert k <= 16, (
+        f"per-object slot count {k} exceeds the Mosaic-validated maximum "
+        "of 16; densities needing more should raise max_scene_alerts and "
+        "accept the counted alert_overflow, or shard the world")
     T = cl.num_tiles
     wr = cl.window_rows
     n_out = 2 * k + 3
