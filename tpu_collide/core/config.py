@@ -47,13 +47,12 @@ class GridConfig:
     cell_capacity: int = 16
     # Fused-kernel cell ordering: split the x axis into bands of `band_cells`
     # cells and sort band-major ((band, z, y, x) instead of (z, y, x)). Each
-    # 128-object storage row then covers a compact ~square patch instead of a
-    # kilometers-long x strip, so the kernel's row-granularity pruning kills
-    # far more dead pair math (ROADMAP #1: x-banded layout). None = unbanded
-    # (one band); 0 = auto (kernels/cell_list.auto_band_cells picks a width
-    # that makes rows ~square for the configured density). Semantics are
-    # unchanged either way — only evaluation order/coverage of the identical
-    # pair set.
+    # 128-object storage row then covers a compact ~square patch instead of
+    # a kilometers-long x strip. Measured a WASH at 1M (see BENCH_NOTES
+    # "Kernel v3" for why row granularity floors the pruning either way);
+    # kept as a parity-tested option. None = unbanded (one band); 0 = auto
+    # (kernels/cell_list.auto_band_cells). Semantics are unchanged either
+    # way — only evaluation order/coverage of the identical pair set.
     band_cells: int | None = None
 
 

@@ -13,9 +13,12 @@ pure-XLA detection path at scale). The cell list removes gathers entirely:
     set of contiguous windows — one per (band shift, z shift) combination.
     With one band this is exactly the classic (z, y, x) order (windows:
     1 in 2D, 3 in 3D). With ~square bands (auto_band_cells) each 128-object
-    storage row covers a compact patch instead of a kilometers-long x strip,
-    so row-granularity pruning in the kernel evaluates far fewer dead pairs
-    — the dominant win at 1M+ densities (ROADMAP #1);
+    storage row covers a compact patch instead of a kilometers-long x strip.
+    NB: measured a WASH at 1M (BENCH_NOTES "Kernel v3") — a row's x-extent
+    equals the band width, so the x-guard cannot prune adjacent bands and
+    the unbanded layout was already at its row-granularity pruning floor.
+    Kept as a parity-tested option for density regimes where candidate
+    geometry differs;
   * fields are laid out 2D as [R, LANE] so every Mosaic DMA is a statically
     8-row-aligned 2D slice, and every compute access is a FULL dynamic row —
     Mosaic crashes on dynamic 1D offsets and on lane sub-slices of
