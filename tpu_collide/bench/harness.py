@@ -92,10 +92,18 @@ class PerformanceTester:
             cpu_usage=cpu, memory_usage=mem)
 
     def run_test(self, target_tps: int, duration: float,
-                 save: bool = True) -> PerformanceMetrics:
+                 save: bool = True,
+                 profile_dir: str | None = None) -> PerformanceMetrics:
         """Open-loop step loop at target_tps for `duration` seconds
         (reference :850-981: per-request = one full-scene step; metrics
-        snapshot every 10 requests)."""
+        snapshot every 10 requests).
+
+        profile_dir: capture a jax.profiler trace of the measured window
+        (ROADMAP r2 #11) — viewable with TensorBoard/XProf/Perfetto. Not
+        every platform supports device tracing (the experimental axon
+        tunnel may emit host-only events); failures log and the run
+        proceeds unprofiled."""
+        import contextlib
         import tpu_collide as tc
         from tpu_collide.sim import generate_fleet
 
@@ -107,27 +115,32 @@ class PerformanceTester:
         state, out = stepf(state, jax.random.key(1))
         int(np.asarray(out.num_risks))
 
+        prof = contextlib.nullcontext()
+        if profile_dir:
+            prof = _SafeTrace(profile_dir)
+
         interval = 1.0 / target_tps if target_tps > 0 else 0.0
         self.start_time = time.perf_counter()
         deadline = self.start_time + duration
         i = 0
-        while time.perf_counter() < deadline:
-            t0 = time.perf_counter()
-            try:
-                state, out = stepf(state, jax.random.key(2 + i))
-                self.total_risks += int(np.asarray(out.num_risks))
-            except Exception as e:  # noqa: BLE001
-                self.error_count += 1
-                logger.error("step error: %s", e)
-            self.latencies.append((time.perf_counter() - t0) * 1e3)
-            self.request_count += 1
-            i += 1
-            if self.request_count % 10 == 0:
-                self.end_time = time.perf_counter()
-                self.metrics_history.append(self._calculate_metrics())
-            sleep = interval - (time.perf_counter() - t0)
-            if sleep > 0:
-                time.sleep(sleep)
+        with prof:
+            while time.perf_counter() < deadline:
+                t0 = time.perf_counter()
+                try:
+                    state, out = stepf(state, jax.random.key(2 + i))
+                    self.total_risks += int(np.asarray(out.num_risks))
+                except Exception as e:  # noqa: BLE001
+                    self.error_count += 1
+                    logger.error("step error: %s", e)
+                self.latencies.append((time.perf_counter() - t0) * 1e3)
+                self.request_count += 1
+                i += 1
+                if self.request_count % 10 == 0:
+                    self.end_time = time.perf_counter()
+                    self.metrics_history.append(self._calculate_metrics())
+                sleep = interval - (time.perf_counter() - t0)
+                if sleep > 0:
+                    time.sleep(sleep)
         self.end_time = time.perf_counter()
         final = self._calculate_metrics()
         if save:
@@ -191,6 +204,34 @@ class PerformanceTester:
         return base
 
 
+class _SafeTrace:
+    """jax.profiler.trace that degrades to a no-op where tracing is
+    unsupported (e.g. some experimental platforms) instead of failing
+    the perf run."""
+
+    def __init__(self, directory):
+        self.directory = directory
+        self._cm = None
+
+    def __enter__(self):
+        try:
+            self._cm = jax.profiler.trace(self.directory,
+                                          create_perfetto_trace=True)
+            self._cm.__enter__()
+        except Exception as e:  # noqa: BLE001
+            logger.warning("profiler unavailable: %s", e)
+            self._cm = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            try:
+                return self._cm.__exit__(*exc)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("profiler stop failed: %s", e)
+        return False
+
+
 def main(argv=None):
     """CLI mirroring the reference tester (optimized_performance_test.py:
     1152-1194)."""
@@ -207,6 +248,9 @@ def main(argv=None):
     ap.add_argument("--backend", default="xla", choices=["xla", "fused"])
     ap.add_argument("--distribution", default="city_skew",
                     choices=["city_skew", "uniform"])
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the measured "
+                         "window into this directory")
     args = ap.parse_args(argv)
 
     cfg = tc.SystemConfig(num_objects=args.vehicles,
@@ -214,7 +258,8 @@ def main(argv=None):
     tester = PerformanceTester(cfg, output_dir=args.output_dir,
                                backend=args.backend,
                                distribution=args.distribution)
-    m = tester.run_test(args.tps, args.duration)
+    m = tester.run_test(args.tps, args.duration,
+                        profile_dir=args.profile_dir)
     print(f"throughput={m.throughput:.2f} req/s avg={m.avg_latency:.2f} ms "
           f"p95={m.p95_latency:.2f} p99={m.p99_latency:.2f} "
           f"max={m.max_latency:.2f} err={m.error_rate:.2f}%")
