@@ -182,12 +182,13 @@ def main():
             sc.record_trajectories()
         sc.predict()                               # compile + warm
         best = 1e30
+        pred_risks = []
         for _ in range(3):
             t0 = time.perf_counter()
-            risks = sc.predict()
+            pred_risks = sc.predict()
             best = min(best, (time.perf_counter() - t0) * 1e3)
         extra["predict_100k_ms"] = round(best, 2)
-        extra["predict_100k_risks"] = len(risks)
+        extra["predict_100k_risks"] = len(pred_risks)
 
     print(json.dumps({
         "metric": "full-scene steps/s (1000 vehicles, precise 4-stage "
