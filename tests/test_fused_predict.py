@@ -1,0 +1,104 @@
+"""Fused-kernel trajectory prediction (kernels/refine.fused_predict,
+ROADMAP r2 #13) vs the canonical XLA predict path — interpret mode on CPU.
+Selection rides the kernel; values are recomputed with the XLA helpers, so
+per-pair risks/ttc must match predict_collisions bit-for-bit whenever both
+paths keep the pair."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tpu_collide as tc
+from tpu_collide.core.config import (WorldConfig, GridConfig,
+                                     DetectionConfig, AlertConfig)
+from tpu_collide.sim import generate_fleet
+from tpu_collide.index.grid import build_grid
+from tpu_collide.detect.predict import (empty_history, update_history,
+                                        predict_collisions)
+from tpu_collide.kernels.refine import fused_predict
+
+
+def _fleet_with_history(n=300, world=1500.0, seed=0, ticks=4):
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(world, world, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=96),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=512))
+    st = generate_fleet(jax.random.key(seed), cfg)
+    hist = empty_history(n)
+    t = 0.0
+    for _ in range(ticks):
+        t += 0.1
+        hist = update_history(hist, st, t)
+        st = st.replace(pos=st.pos + st.vel * 0.1)
+    return cfg, st, hist
+
+
+def _risk_map(other, valid, risk, ttc):
+    v = np.asarray(valid)
+    o = np.asarray(other)
+    r = np.asarray(risk)
+    t = np.asarray(ttc)
+    out = {}
+    for i in range(v.shape[0]):
+        for kk in np.nonzero(v[i])[0]:
+            out[(i, int(o[i, kk]))] = (float(r[i, kk]), float(t[i, kk]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_predict_matches_xla(seed):
+    cfg, st, hist = _fleet_with_history(seed=seed)
+    # oids are arange, so the XLA path's indices ARE oids
+    assert np.array_equal(np.asarray(st.oid), np.arange(st.n))
+
+    index = build_grid(st.pos, st.alive, cfg)
+    want = predict_collisions(st, hist, index, cfg, horizon=5.0, step=0.5)
+    got = fused_predict(st, hist, cfg, horizon=5.0, step=0.5,
+                        interpret=True)
+    assert int(got[5]) == 0, "window overflow would make coverage partial"
+
+    wm = _risk_map(*want[:4])
+    gm = _risk_map(*got[:4])
+    assert wm, "fleet produced no predicted risks; test is vacuous"
+    assert set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6, atol=1e-6)
+
+
+def test_fused_predict_rejects_3d():
+    cfg = tc.SystemConfig(
+        num_objects=64, world=WorldConfig(hi=(500.0, 500.0, 300.0)),
+        grid=GridConfig(cell_size=100.0))
+    st = generate_fleet(jax.random.key(0), cfg, distribution="uniform")
+    hist = empty_history(64)
+    hist = update_history(hist, st, 0.1)
+    with pytest.raises(AssertionError):
+        fused_predict(st, hist, cfg, interpret=True)
+
+
+def test_scene_predict_fused_backend():
+    """Scene(backend='fused').predict rides the kernel path and returns the
+    same CollisionRisks as the canonical Scene path."""
+    from tpu_collide.api import Scene
+
+    cfg, st, hist = _fleet_with_history(n=200, seed=2)
+
+    def run(backend):
+        sc = Scene(cfg, backend=backend, interpret=True)
+        sc.adopt_fleet(st)
+        t = 0.0
+        for _ in range(4):
+            t += 0.1
+            sc.record_trajectories(dt=0.1)
+            sc.state = sc.state.replace(pos=sc.state.pos + sc.state.vel * 0.1)
+        return sc.predict(horizon=5.0, step=0.5)
+
+    want = run("xla")
+    got = run("fused")
+    wm = {(r.vehicle_id, r.other_vehicle_id): r.risk_level for r in want}
+    gm = {(r.vehicle_id, r.other_vehicle_id): r.risk_level for r in got}
+    assert wm, "no predicted risks; vacuous"
+    assert set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6)

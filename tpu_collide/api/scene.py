@@ -71,6 +71,26 @@ def _apply_updates(state: ObjectState, slot: jax.Array, pos: jax.Array,
         alive=alive)
 
 
+def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
+                          interpret=False):
+    """Fused-kernel variant of _predict_device (kernels/refine.fused_predict
+    — ROADMAP r2 #13): candidate selection rides the cell-list kernel; the
+    [N, merge_k] merged risks compact to r_cap on device. `other` entries
+    are already oids."""
+    from tpu_collide.kernels.refine import fused_predict
+    a = cfg.alerts
+    other, valid, risk, ttc, dist, overflow = fused_predict(
+        state, traj, cfg, horizon=horizon, step=step, interpret=interpret)
+    nn, kk = risk.shape
+    keep = valid & (risk >= a.risk_low)
+    keyv = jnp.where(keep, risk, -1.0).reshape(-1)
+    top_r, top_i = jax.lax.top_k(keyv, min(r_cap, keyv.size))
+    rows = top_i // kk
+    sel = lambda x: x.reshape(-1)[top_i]
+    return (top_r, state.oid[rows], sel(other), sel(ttc), sel(dist),
+            jnp.sum(keep, dtype=jnp.int32))
+
+
 def _predict_device(state, traj, cfg, horizon, step, r_cap):
     """Device half of Scene.predict as one jittable program: grid build +
     trajectory prediction (detect/predict.py) + top-r_cap compaction of the
@@ -377,10 +397,26 @@ class Scene:
             if fn is None:
                 # ONE compiled program for grid + prediction + device
                 # compaction (eager per-op dispatch costs ~25 ms per op
-                # over remote-TPU tunnels)
-                fn = jax.jit(partial(_predict_device, cfg=self.cfg,
-                                     horizon=key2[0], step=key2[1],
-                                     r_cap=r_cap))
+                # over remote-TPU tunnels). The fused backend selects
+                # candidates through the cell-list kernel — ~50x the
+                # gather path at 100k (BENCH_NOTES) — falling back to the
+                # canonical path where the kernel variant doesn't apply
+                # (3D / banded layouts).
+                from tpu_collide.kernels.cell_list import resolve_band_cells
+                use_fused = (self._backend == "fused"
+                             and not self.cfg.world.is_3d
+                             and resolve_band_cells(self.cfg)
+                             == self.cfg.grid_dims[0])
+                if use_fused:
+                    fn = jax.jit(partial(_predict_device_fused,
+                                         cfg=self.cfg,
+                                         horizon=key2[0], step=key2[1],
+                                         r_cap=r_cap,
+                                         interpret=self._interpret))
+                else:
+                    fn = jax.jit(partial(_predict_device, cfg=self.cfg,
+                                         horizon=key2[0], step=key2[1],
+                                         r_cap=r_cap))
                 self._predict_cache[key2] = fn
             fetched = jax.device_get(fn(self.state, self._traj))
         top_r, voids, ooids, t_sel, d_sel, total = fetched

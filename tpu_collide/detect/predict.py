@@ -200,9 +200,16 @@ def predict_collisions(state: ObjectState, hist: TrajectoryHistory,
     # [P, N, K] -> [N, P*K]
     swap = lambda x: jnp.swapaxes(x, 0, 1).reshape(n, -1)
     cand, hit, risk, ttc, dist = map(swap, (cand, hit, risk, ttc, dist))
+    return merge_pair_risks(cand, hit, risk, ttc, dist, merge_k)
 
-    # top merge_k by risk per object, then dedup by other-id keeping the
-    # first (= highest-risk) occurrence (reference _merge_collision_risks)
+
+def merge_pair_risks(cand, hit, risk, ttc, dist, merge_k: int):
+    """Top merge_k by risk per object, then dedup by other-id keeping the
+    max-risk occurrence (reference _merge_collision_risks,
+    collision_detection.py:848-865). Inputs are [N, M] per-object candidate
+    records; shared by the XLA predict path and the fused-kernel predict
+    path (kernels/refine.fused_predict)."""
+    n = cand.shape[0]
     top_risk, top_i = jax.lax.top_k(jnp.where(hit, risk, -1.0), merge_k)
     rows = jnp.arange(n)[:, None]
     top_other = cand[rows, top_i]

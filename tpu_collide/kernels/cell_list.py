@@ -203,7 +203,22 @@ def default_window_rows(cfg: SystemConfig,
 
 
 def build_cell_list(state: ObjectState, cfg: SystemConfig,
-                    window_rows: int | None = None) -> CellList:
+                    window_rows: int | None = None,
+                    extra: jax.Array | None = None,
+                    brow_widen=0) -> CellList:
+    """See module docstring. Two optional knobs serve the fused PREDICT
+    path (kernels/fused_detect.py emit='predict'):
+
+    extra: [N] f32 per-object scalar co-sorted with the fields and appended
+    as fields[NF] (the trajectory class for prediction). The detection
+    kernels read exactly NF field rows, so the extra row is invisible to
+    them.
+    brow_widen: widen every tile's candidate window by this many brows on
+    each side (python int or traced scalar) — prediction queries TODAY's
+    layout at PREDICTED positions, which can sit up to
+    ceil(max_displacement / cell) brows away from the object's current
+    brow. The in-kernel spans widen symmetrically (the widen rides the
+    scalar-prefetch parameters)."""
     nx, ny, nz = cfg.grid_dims
     assert cfg.stencil_halfwidth == 1, (
         "fused kernel path requires cell_size >= search_radius "
@@ -270,6 +285,8 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
            state.size, state.heading,
            state.otype.astype(jnp.float32),
            state.oid.astype(jnp.float32))
+    if extra is not None:
+        ops = ops + (extra.astype(jnp.float32),)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False, dimension=0)
     sflat = sorted_ops[0]
     srow_f = jnp.where(sflat < num_ids,
@@ -280,11 +297,14 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     def pad(a, fill=0.0):
         return jnp.pad(a, (0, np_pad - n), constant_values=fill)
 
-    stacked = [pad(a) for a in sorted_ops[1:]] + [pad(srow_f, -1.0)]
+    n_core = len(FIELD_NAMES) - 1        # sorted fields before `row`
+    stacked = ([pad(a) for a in sorted_ops[1:1 + n_core]]
+               + [pad(srow_f, -1.0)]
+               + [pad(a) for a in sorted_ops[1 + n_core:]])
     oid_idx = FIELD_NAMES.index("oid")
     stacked[oid_idx] = jnp.where(jnp.arange(np_pad) < n,
                                  stacked[oid_idx], -1.0)
-    fields = jnp.stack(stacked, axis=0).reshape(len(FIELD_NAMES), -1, LANE)
+    fields = jnp.stack(stacked, axis=0).reshape(len(stacked), -1, LANE)
 
     # brow start table: only BROW boundaries are needed (not per-cell
     # starts), and the keys are already sorted — ~nbrows searchsorted
@@ -312,8 +332,8 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     ranges = []
     prev_hi = None
     for s in shifts:
-        lo_s = r_lo + s - 1
-        hi_s = r_hi + s + 1
+        lo_s = r_lo + s - 1 - brow_widen
+        hi_s = r_hi + s + 1 + brow_widen
         if prev_hi is not None:
             lo_s = jnp.maximum(lo_s, prev_hi + 1)
             hi_s = jnp.maximum(hi_s, prev_hi)

@@ -108,27 +108,34 @@ PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
 
 def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
             row_rb_a_ref, row_rb_b_ref, row_x_ref,
-            cr_start_ref,
+            cr_start_ref, pred_ref,
             *refs,
             cfg: SystemConfig, window_rows: int, shifts: tuple,
-            tables_packed: bool, k: int, emit: str):
+            tables_packed: bool, k: int, emit: str, sub_steps: int = 0):
     n_windows = len(shifts)
     n_out = 2 * k + 3
-    hbm = refs[:NF]
-    outs = refs[NF:NF + n_out]
-    rest = refs[NF + n_out:]
-    own = rest[:NF]                        # 14 x VMEM (ROWS, LANE)
-    win = rest[NF:3 * NF]                  # 2 x 14 VMEM (window_rows, LANE)
-    okey = rest[3 * NF:3 * NF + k]         # k x VMEM (ROWS, LANE) slot keys
-    oidx = rest[3 * NF + k:3 * NF + 2 * k]  # k x VMEM slot cand indices
-    ocnt = rest[3 * NF + 2 * k:3 * NF + 2 * k + 3]  # checked/emitted/qual
-    sem_own, sem_win, sem_out = rest[3 * NF + n_out:]
+    # predict mode carries one extra sorted field (trajectory class);
+    # pred_ref = [offset_s, brow_widen, max_disp_m] scalars (zeros in the
+    # detection modes)
+    NFK = NF + 1 if emit == "predict" else NF
+    hbm = refs[:NFK]
+    outs = refs[NFK:NFK + n_out]
+    rest = refs[NFK + n_out:]
+    own = rest[:NFK]                       # NFK x VMEM (ROWS, LANE)
+    win = rest[NFK:3 * NFK]                # 2 x NFK VMEM (window_rows, LANE)
+    okey = rest[3 * NFK:3 * NFK + k]       # k x VMEM (ROWS, LANE) slot keys
+    oidx = rest[3 * NFK + k:3 * NFK + 2 * k]  # k x VMEM slot cand indices
+    ocnt = rest[3 * NFK + 2 * k:3 * NFK + 2 * k + 3]  # checked/emitted/qual
+    sem_own, sem_win, sem_out = rest[3 * NFK + n_out:]
     det = cfg.detect
     al = cfg.alerts
     t = pl.program_id(0)
+    t_off = pred_ref[0]                    # prediction offset (s)
+    widen_i = pred_ref[1].astype(jnp.int32)
+    max_disp = pred_ref[2]
 
     base = pl.multiple_of(t * ROWS, ROWS)
-    for f in range(NF):
+    for f in range(NFK):
         pltpu.make_async_copy(hbm[f].at[pl.ds(base, ROWS), :],
                               own[f], sem_own.at[f]).start()
 
@@ -143,13 +150,13 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
         @pl.when(wn > 0)
         def _():
-            for f in range(NF):
+            for f in range(NFK):
                 pltpu.make_async_copy(
                     hbm[f].at[pl.ds(wrow, window_rows), :],
-                    win[slot * NF + f], sem_win.at[slot * NF + f]).start()
+                    win[slot * NFK + f], sem_win.at[slot * NFK + f]).start()
 
     issue_window(0, 0)
-    for f in range(NF):
+    for f in range(NFK):
         pltpu.make_async_copy(hbm[f].at[pl.ds(base, ROWS), :],
                               own[f], sem_own.at[f]).wait()
 
@@ -192,14 +199,14 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
         wrow, wn = win_meta(w)
         rlo_i, rhi_i = unpack_rb(w_rb_a_ref, w_rb_b_ref, wi)
         wn_eff = jnp.minimum(wn, window_rows)
-        wbuf = win[slot * NF:(slot + 1) * NF]
+        wbuf = win[slot * NFK:(slot + 1) * NFK]
 
         @pl.when(wn > 0)
         def _():
-            for f in range(NF):
+            for f in range(NFK):
                 pltpu.make_async_copy(
                     hbm[f].at[pl.ds(wrow, window_rows), :],
-                    wbuf[f], sem_win.at[slot * NF + f]).wait()
+                    wbuf[f], sem_win.at[slot * NFK + f]).wait()
 
             def sub_pass(s, _):
                 go = base + s
@@ -223,8 +230,8 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                 # this window's range and mapped through the cr_start
                 # table — no per-row adjacency branching
                 tab_max = jnp.int32(cr_start_ref.shape[0] - 1)
-                sa = sr_lo - 1
-                sb = sr_hi + 1
+                sa = sr_lo - 1 - widen_i
+                sb = sr_hi + 1 + widen_i
                 spans = []
                 prev = None
                 for sft in shifts:
@@ -246,9 +253,96 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                         gr = wrow + c
                         cx_lo, cx_hi = unpack_x(row_x_ref[gr])
 
+                        def insert_cands(kb, ib, cands):
+                            """Insert (m_v, i_v) candidates into the
+                            descending slot lists (pure registers)."""
+                            for m_v, i_v in cands:
+                                g = [m_v > kb[j] for j in range(k)]
+                                nkb, nib = [], []
+                                for j in range(k):
+                                    at_j = g[j] if j == 0 else (
+                                        g[j] & ~g[j - 1])
+                                    if j == 0:
+                                        nk = jnp.where(at_j, m_v, kb[0])
+                                        ni = jnp.where(at_j, i_v, ib[0])
+                                    else:
+                                        nk = jnp.where(
+                                            at_j, m_v,
+                                            jnp.where(g[j - 1],
+                                                      kb[j - 1], kb[j]))
+                                        ni = jnp.where(
+                                            at_j, i_v,
+                                            jnp.where(g[j - 1],
+                                                      ib[j - 1], ib[j]))
+                                    nkb.append(nk)
+                                    nib.append(ni)
+                                kb, ib = nkb, nib
+                            return kb, ib
+
+                        def extract(keym, n_iter):
+                            """Top-n_iter (packed key, cand index) per own
+                            lane. The packed encoding makes each iteration
+                            ONE reduce: block values are unique integers
+                            ordered by (quantized key, column), so the max
+                            IS the best pair, masking is an exact value
+                            compare, and the column decodes with a mod."""
+                            gbase = (gr * LANE).astype(jnp.float32)
+                            cm = (jnp.round(keym * KEY_Q) * LANE
+                                  + col_iota)
+                            out = []
+                            for _t in range(n_iter):
+                                m2 = jnp.max(cm, axis=1,
+                                             keepdims=True)
+                                if _t + 1 < n_iter:
+                                    cm = jnp.where(cm == m2, -_BIG,
+                                                   cm)
+                                m_v = m2[:, 0]
+                                col = m_v - jnp.floor(
+                                    m_v * (1.0 / LANE)) * LANE
+                                out.append((m_v, gbase + col))
+                            return out
+
+                        def emit_slots(key, emitted, qual):
+                            """Shared tail: emitted/qualifying counters +
+                            sparsity-switched top-k slot insertion."""
+                            emitted_row = jnp.sum(
+                                jnp.where(emitted, 1.0, 0.0), axis=1)
+                            cmax = jnp.max(emitted_row)
+
+                            @pl.when(cmax > 0.5)
+                            def _():
+                                ocnt[1][pl.ds(s, 1), :] = (
+                                    ocnt[1][s, :] + emitted_row)[None, :]
+                                ocnt[2][pl.ds(s, 1), :] = (
+                                    ocnt[2][s, :] + jnp.sum(
+                                        jnp.where(qual, 1.0, 0.0), axis=1)
+                                )[None, :]
+                                kb = [okey[j][s, :] for j in range(k)]
+                                ib = [oidx[j][s, :] for j in range(k)]
+
+                                @pl.when(cmax <= 1.5)
+                                def _():
+                                    nkb, nib = insert_cands(
+                                        kb, ib, extract(key, 1))
+                                    for j in range(k):
+                                        okey[j][pl.ds(s, 1), :] = \
+                                            nkb[j][None, :]
+                                        oidx[j][pl.ds(s, 1), :] = \
+                                            nib[j][None, :]
+
+                                @pl.when(cmax > 1.5)
+                                def _():
+                                    nkb, nib = insert_cands(
+                                        kb, ib, extract(key, k))
+                                    for j in range(k):
+                                        okey[j][pl.ds(s, 1), :] = \
+                                            nkb[j][None, :]
+                                        oidx[j][pl.ds(s, 1), :] = \
+                                            nib[j][None, :]
+
                         # x-overlap guard (sorted order makes rows x-coherent)
-                        @pl.when((cx_lo <= ox_hi + r_max)
-                                 & (cx_hi >= ox_lo - r_max))
+                        @pl.when((cx_lo <= ox_hi + r_max + max_disp)
+                                 & (cx_hi >= ox_lo - r_max - max_disp))
                         def _():
                             rowv = lambda f: wbuf[f][c, :][None, :]
                             cx, cy, cz = rowv(_X), rowv(_Y), rowv(_Z)
@@ -261,6 +355,91 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             # rows (their brow is -1)
                             crow = rowv(_ROW)
                             c_ok = (crow >= a_f) & (crow <= b_f)
+
+                            if emit == "predict":
+                                # own advanced by trajectory CLASS, exactly
+                                # detect/predict._predicted_position;
+                                # candidates stay CURRENT for the stage-1
+                                # quirk (today's grid queried at tomorrow's
+                                # position, reference :800-803)
+                                ocls = colv(NF)
+                                mv = jnp.where(ocls >= 0.5, 1.0, 0.0)
+                                av = jnp.where(ocls >= 1.5, 1.0, 0.0)
+                                t2h = 0.5 * t_off * t_off
+                                px = ox + ovx * t_off * mv + oax * t2h * av
+                                py = oy + ovy * t_off * mv + oay * t2h * av
+                                pz = oz + ovz * t_off * mv + oaz * t2h * av
+                                dqx, dqy, dqz = cx - px, cy - py, cz - pz
+                                dq2 = dqx * dqx + dqy * dqy + dqz * dqz
+                                ok1 = (c_ok & o_ok & (coid != ooid)
+                                       & (dq2 <= r2_max))
+                                ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
+                                    jnp.where(ok1, 1.0, 0.0), axis=0,
+                                    keepdims=True)
+                                g1max = jnp.max(jnp.where(ok1, 1.0, 0.0))
+
+                                @pl.when(g1max > 0.5)
+                                def _():
+                                    # candidate advanced const-accel
+                                    # (reference :808-812); sampled
+                                    # first-hit sweep over the 1 s
+                                    # sub-window mirrors _precise_sweep
+                                    # op-for-op
+                                    acx = cx + cvx * t_off + cax * t2h
+                                    acy = cy + cvy * t_off + cay * t2h
+                                    acz = cz + cvz * t_off + caz * t2h
+                                    sx, sy, sz = acx - px, acy - py, acz - pz
+                                    dvx = cvx - ovx
+                                    dvy = cvy - ovy
+                                    dvz = cvz - ovz
+                                    dax = cax - oax
+                                    day = cay - oay
+                                    daz = caz - oaz
+                                    safe = ((osize + csize) * 0.5
+                                            + det.safe_distance_base)
+                                    hit = safe < 0.0
+                                    t_hit = jnp.where(hit, 0.0, jnp.inf)
+                                    d_hit = t_hit
+                                    for kk in range(sub_steps):
+                                        t_s = jnp.float32(kk) * jnp.float32(
+                                            dtt)
+                                        ddx = sx + dvx * t_s \
+                                            + 0.5 * dax * t_s * t_s
+                                        ddy = sy + dvy * t_s \
+                                            + 0.5 * day * t_s * t_s
+                                        ddz = sz + dvz * t_s \
+                                            + 0.5 * daz * t_s * t_s
+                                        d = jnp.sqrt(ddx * ddx + ddy * ddy
+                                                     + ddz * ddz)
+                                        nh = (~hit) & (d <= safe)
+                                        t_hit = jnp.where(nh, t_s, t_hit)
+                                        d_hit = jnp.where(nh, d, d_hit)
+                                        hit = hit | nh
+                                    hit = hit & ok1
+                                    rs2 = (dvx * dvx + dvy * dvy
+                                           + dvz * dvz)
+                                    risk = (
+                                        det.weight_distance
+                                        * (1.0 - jnp.where(hit, d_hit, 0.0)
+                                           / safe)
+                                        + det.weight_time
+                                        * (1.0 - jnp.minimum(
+                                            1.0, jnp.where(hit, t_hit, 0.0)
+                                            / det.max_warning_time))
+                                        + det.weight_speed
+                                        * jnp.minimum(
+                                            1.0, jnp.sqrt(rs2)
+                                            / det.max_relative_speed)
+                                        + det.weight_angle
+                                        * jnp.sin(jnp.abs(ohead - chead))
+                                        + det.weight_type
+                                        * jnp.where(ctype == otype,
+                                                    det.same_type_factor,
+                                                    det.diff_type_factor))
+                                    risk = jnp.clip(risk, 0.0, 1.0)
+                                    key = jnp.where(hit, risk, KEY_NONE)
+                                    emit_slots(key, hit, hit)
+                                return
 
                             # stage 1: exact radius + alive + no self
                             dxp, dyp, dzp = cx - ox, cy - oy, cz - oz
@@ -374,97 +553,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                                     KEY_NONE)
                                     emitted = ok2
                                     qual = ok2
-
-                                # per-lane emitted counts drive the
-                                # remaining counters and the extraction
-                                # sparsity switch (in 'hits' mode a
-                                # survivor block can still have zero
-                                # stage-3 hits)
-                                emitted_row = jnp.sum(
-                                    jnp.where(emitted, 1.0, 0.0), axis=1)
-                                cmax = jnp.max(emitted_row)
-
-                                def insert_cands(kb, ib, cands):
-                                    """Insert (m_v, i_v) candidates into the
-                                    descending slot lists (pure registers)."""
-                                    for m_v, i_v in cands:
-                                        g = [m_v > kb[j] for j in range(k)]
-                                        nkb, nib = [], []
-                                        for j in range(k):
-                                            at_j = g[j] if j == 0 else (
-                                                g[j] & ~g[j - 1])
-                                            if j == 0:
-                                                nk = jnp.where(at_j, m_v, kb[0])
-                                                ni = jnp.where(at_j, i_v, ib[0])
-                                            else:
-                                                nk = jnp.where(
-                                                    at_j, m_v,
-                                                    jnp.where(g[j - 1],
-                                                              kb[j - 1], kb[j]))
-                                                ni = jnp.where(
-                                                    at_j, i_v,
-                                                    jnp.where(g[j - 1],
-                                                              ib[j - 1], ib[j]))
-                                            nkb.append(nk)
-                                            nib.append(ni)
-                                        kb, ib = nkb, nib
-                                    return kb, ib
-
-                                def extract(keym, n_iter):
-                                    """Top-n_iter (packed key, cand index)
-                                    per own lane. The packed encoding makes
-                                    each iteration ONE reduce: block values
-                                    are unique integers ordered by
-                                    (quantized key, column), so the max IS
-                                    the best pair, masking is an exact value
-                                    compare, and the column decodes with a
-                                    mod."""
-                                    gbase = (gr * LANE).astype(jnp.float32)
-                                    cm = (jnp.round(keym * KEY_Q) * LANE
-                                          + col_iota)
-                                    out = []
-                                    for _t in range(n_iter):
-                                        m2 = jnp.max(cm, axis=1,
-                                                     keepdims=True)
-                                        if _t + 1 < n_iter:
-                                            cm = jnp.where(cm == m2, -_BIG,
-                                                           cm)
-                                        m_v = m2[:, 0]
-                                        col = m_v - jnp.floor(
-                                            m_v * (1.0 / LANE)) * LANE
-                                        out.append((m_v, gbase + col))
-                                    return out
-
-                                @pl.when(cmax > 0.5)
-                                def _():
-                                    ocnt[1][pl.ds(s, 1), :] = (
-                                        ocnt[1][s, :] + emitted_row)[None, :]
-                                    ocnt[2][pl.ds(s, 1), :] = (
-                                        ocnt[2][s, :] + jnp.sum(
-                                            jnp.where(qual, 1.0, 0.0), axis=1)
-                                    )[None, :]
-                                    kb = [okey[j][s, :] for j in range(k)]
-                                    ib = [oidx[j][s, :] for j in range(k)]
-
-                                    @pl.when(cmax <= 1.5)
-                                    def _():
-                                        nkb, nib = insert_cands(
-                                            kb, ib, extract(key, 1))
-                                        for j in range(k):
-                                            okey[j][pl.ds(s, 1), :] = \
-                                                nkb[j][None, :]
-                                            oidx[j][pl.ds(s, 1), :] = \
-                                                nib[j][None, :]
-
-                                    @pl.when(cmax > 1.5)
-                                    def _():
-                                        nkb, nib = insert_cands(
-                                            kb, ib, extract(key, k))
-                                        for j in range(k):
-                                            okey[j][pl.ds(s, 1), :] = \
-                                                nkb[j][None, :]
-                                            oidx[j][pl.ds(s, 1), :] = \
-                                                nib[j][None, :]
+                                emit_slots(key, emitted, qual)
 
                         return 0
                     return crow_pass
@@ -511,7 +600,8 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
 
 def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
-               mode: str = "hits"):
+               mode: str = "hits", pred_params=None, k_slots: int = None,
+               sub_steps: int = 0):
     """Run the kernel. N = num_tiles*TILE sorted-object slots; K slots each.
 
     Returns (keys [N, K] f32 packed, idx [N, K] i32 candidate sorted index
@@ -520,10 +610,22 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     buffer is ROWS x the true count, corrected here), emitted [N] i32,
     qual [N] i32). mode='hits' emits fast stage-3 hits; mode='survivors'
     emits stage-2 survivors for the XLA precise sweep. interpret=True uses
-    the Pallas interpreter (CPU tests)."""
-    assert mode in ("hits", "survivors")
-    k = (cfg.alerts.max_alerts_per_object if mode == "hits"
-         else cfg.detect.survivor_k)
+    the Pallas interpreter (CPU tests).
+
+    mode='predict' (kernels/refine.fused_predict): the cell list must carry
+    the trajectory class as fields[NF] (build_cell_list(extra=...)).
+    pred_params = (offset_s, brow_widen, max_disp_m) traced scalars;
+    sub_steps = sub-window sample count; slots rank by predicted risk."""
+    assert mode in ("hits", "survivors", "predict")
+    if mode == "predict":
+        assert pred_params is not None and k_slots is not None
+        assert cl.fields.shape[0] == NF + 1, (
+            "predict mode needs the trajectory-class extra field "
+            "(build_cell_list(extra=cls))")
+        k = k_slots
+    else:
+        k = (cfg.alerts.max_alerts_per_object if mode == "hits"
+             else cfg.detect.survivor_k)
     assert k >= 1
     # k = 32 crashes the Mosaic compiler with no diagnostic (remote
     # tpu_compile_helper exit 1 — the insert/extract chains unroll k-fold);
@@ -535,27 +637,33 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     T = cl.num_tiles
     wr = cl.window_rows
     n_out = 2 * k + 3
+    nfk = NF + 1 if mode == "predict" else NF
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
                              shifts=cl.shifts,
                              tables_packed=cl.tables_packed,
-                             k=k, emit=mode)
+                             k=k, emit=mode, sub_steps=sub_steps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * NF,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nfk,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
         scratch_shapes=(
-            [pltpu.VMEM((ROWS, LANE), jnp.float32)] * NF    # own
-            + [pltpu.VMEM((wr, LANE), jnp.float32)] * (2 * NF)  # windows x2
+            [pltpu.VMEM((ROWS, LANE), jnp.float32)] * nfk   # own
+            + [pltpu.VMEM((wr, LANE), jnp.float32)] * (2 * nfk)  # windows x2
             + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * n_out  # slots+cnts
-            + [pltpu.SemaphoreType.DMA((NF,)),
-               pltpu.SemaphoreType.DMA((2 * NF,)),
+            + [pltpu.SemaphoreType.DMA((nfk,)),
+               pltpu.SemaphoreType.DMA((2 * nfk,)),
                pltpu.SemaphoreType.DMA((n_out,))]
         ),
     )
     out_shape = [jax.ShapeDtypeStruct((T * ROWS, LANE), jnp.float32)
                  for _ in range(n_out)]
-    field_list = [cl.fields[i] for i in range(NF)]
+    field_list = [cl.fields[i] for i in range(nfk)]
+    if pred_params is None:
+        pred = jnp.zeros((3,), jnp.float32)
+    else:
+        pred = jnp.stack([jnp.asarray(v, jnp.float32)
+                          for v in pred_params])
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -563,7 +671,7 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         interpret=interpret,
     )(cl.w_rw.reshape(-1), cl.w_rb_a, cl.w_rb_b,
       cl.row_rb_a, cl.row_rb_b, cl.row_x,
-      cl.cr_start, *field_list)
+      cl.cr_start, pred, *field_list)
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
     idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)

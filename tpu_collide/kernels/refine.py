@@ -24,6 +24,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_collide.core.config import SystemConfig
 from tpu_collide.kernels.cell_list import CellList, FIELD_NAMES, LANE
@@ -281,3 +282,157 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
         alert_overflow=(slot_overflow
                         + jnp.maximum(n_surv - cap, 0).astype(jnp.int32)),
     )
+
+
+def fused_predict(state, hist, cfg: SystemConfig,
+                  horizon: float = 10.0, step: float = 0.5,
+                  sub_window: float = 1.0, merge_k: int = 32,
+                  k_slots: int = 8, window_rows: Optional[int] = None,
+                  interpret: bool = False):
+    """Trajectory prediction at fused-kernel scale (ROADMAP r2 #13).
+
+    Same semantics and return tuple as detect/predict.predict_collisions
+    (2D worlds, unbanded layout): per offset the kernel evaluates
+    class-advanced own objects against const-accel-advanced candidates
+    drawn from TODAY's sorted layout (the reference's current-grid quirk,
+    collision_detection.py:800-812), sweeps the 1 s sub-window in-block,
+    and keeps per-object top-k_slots risks; selected pairs are recomputed
+    in XLA with the SAME helpers predict_collisions uses, so values match
+    op-for-op and only candidate selection rides the kernel. Candidate
+    windows widen by the fleet's max displacement per offset, so coverage
+    is a superset of the reference's pred-cell stencil (capacity
+    overflows are counted in the returned CellList, never silent).
+
+    `other` entries are OIDs (== state indices for arange-oid fleets).
+    """
+    from tpu_collide.kernels.cell_list import build_cell_list, TILE
+    from tpu_collide.detect.predict import (classify_trajectories,
+                                            merge_pair_risks)
+
+    det = cfg.detect
+    assert not cfg.world.is_3d, (
+        "fused_predict currently supports 2D worlds (the widened z-shift "
+        "window structure is round-3 work); use predict_collisions")
+    from tpu_collide.kernels.cell_list import resolve_band_cells
+    assert resolve_band_cells(cfg) == cfg.grid_dims[0], (
+        "fused_predict requires the unbanded layout (band_cells=None)")
+    n = state.n
+    cls = classify_trajectories(hist)
+    offsets = [float(o) for o in np.arange(0.0, horizon, step)]
+    o_max = offsets[-1] if offsets else 0.0
+    sub_steps = int(round(sub_window / det.time_step))
+
+    # fleet-exact displacement bound per offset (class advance uses the
+    # CURRENT velocity/acceleration, so |v| t + 0.5 |a| t^2 bounds it)
+    vmag = jnp.where(state.alive, jnp.linalg.norm(state.vel, axis=-1), 0.0)
+    amag = jnp.where(state.alive, jnp.linalg.norm(state.acc, axis=-1), 0.0)
+    vmax = jnp.max(vmag)
+    amax = jnp.max(amag)
+
+    def disp(o):
+        return vmax * o + 0.5 * amax * o * o
+
+    cell = cfg.grid.cell_size
+    widen_max = jnp.ceil(disp(o_max) / cell).astype(jnp.int32)
+    if window_rows is None:
+        # static window capacity must hold the widened ranges; size from
+        # the CONFIG motion bounds (the traced fleet bound drives the
+        # ranges; excess over this static guess is counted in overflow)
+        from tpu_collide.kernels.cell_list import LANE, ALIGN
+        w_stat = int(np.ceil(
+            (cfg.sim.max_speed * o_max
+             + 0.5 * cfg.sim.accel_range * o_max * o_max) / cell))
+        nbrows = cfg.grid_dims[1] * cfg.grid_dims[2]
+        mean_per_brow = cfg.num_objects / max(1, nbrows)
+        elems = int((4 + 2 * w_stat) * mean_per_brow) + TILE + ALIGN + LANE
+        window_rows = -(-(-(-elems // LANE)) // 8) * 8
+    cl = build_cell_list(state, cfg, window_rows=window_rows,
+                         extra=cls.astype(jnp.float32),
+                         brow_widen=widen_max)
+
+    flat = cl.fields.reshape(cl.fields.shape[0], -1)
+    nmax = flat.shape[1] - 1
+    m = cl.num_tiles * TILE
+    soid = cl.oid_flat
+
+    def refine_offset(o, keys, idx):
+        """Recompute (hit, risk, ttc, dist) for the selected pairs with the
+        XLA predict helpers — values bit-match predict_collisions."""
+        from tpu_collide.detect.pipeline import (_pair_safe_distance,
+                                                 _precise_sweep, _risk_score)
+        occupied = keys > PACKED_OCC_MIN
+        oi = jnp.broadcast_to(jnp.arange(m)[:, None], idx.shape).reshape(-1)
+        ci = jnp.clip(idx.reshape(-1), 0, nmax)
+        g = lambda name, rows: flat[_FI[name]][rows]
+        gv = lambda name: (g(name, oi), g(name, ci))
+        pox, pcx = gv("x")
+        poy, pcy = gv("y")
+        poz, pcz = gv("z")
+        vox, vcx = gv("vx")
+        voy, vcy = gv("vy")
+        voz, vcz = gv("vz")
+        aox, acx = gv("ax")
+        aoy, acy = gv("ay")
+        aoz, acz = gv("az")
+        p_o = jnp.stack([pox, poy, poz], -1)
+        p_c = jnp.stack([pcx, pcy, pcz], -1)
+        v_o = jnp.stack([vox, voy, voz], -1)
+        v_c = jnp.stack([vcx, vcy, vcz], -1)
+        a_o = jnp.stack([aox, aoy, aoz], -1)
+        a_c = jnp.stack([acx, acy, acz], -1)
+        c_o = flat[NF][oi].astype(jnp.int32)[:, None]
+        t_o = jnp.float32(o)
+        # class-predicted own position (detect/predict._predicted_position)
+        p_cv = p_o + v_o * t_o
+        p_acc = p_cv + 0.5 * a_o * t_o * t_o
+        pred = jnp.where(c_o == 0, p_o, jnp.where(c_o == 1, p_cv, p_acc))
+        # candidate advanced const-accel (predict.py :808-812)
+        o_pos = p_c + v_c * t_o + 0.5 * a_c * t_o * t_o
+        alive_o = flat[_FI["row"]][oi] >= 0.0
+        alive_c = flat[_FI["row"]][ci] >= 0.0
+        oid_o = flat[_FI["oid"]][oi]
+        oid_c = flat[_FI["oid"]][ci]
+        ok = (alive_o & alive_c & (oid_o != oid_c)
+              & (jnp.linalg.norm(p_c - pred, axis=-1) <= det.search_radius))
+        safe = _pair_safe_distance(g("size", oi), g("size", ci), det)
+        sub_det = dataclasses.replace(det, time_window=sub_window)
+        hit, t_hit, d_hit = _precise_sweep(o_pos - pred, v_c - v_o,
+                                           a_c - a_o, safe, sub_det)
+        hit = hit & ok & occupied.reshape(-1)
+        rel_speed = jnp.linalg.norm(v_c - v_o, axis=-1)
+        risk = _risk_score(jnp.where(hit, d_hit, 0.0),
+                           jnp.where(hit, t_hit, 0.0),
+                           rel_speed, g("heading", oi), g("heading", ci),
+                           g("otype", oi).astype(jnp.int32),
+                           g("otype", ci).astype(jnp.int32), safe, det)
+        risk = jnp.where(hit, risk, 0.0)
+        ttc = jnp.where(hit, t_hit + t_o, jnp.inf)
+        dist = jnp.where(hit, d_hit, jnp.inf)
+        other = oid_c.astype(jnp.int32)
+        kk = idx.shape[1]
+        shape = (m, kk)
+        return (other.reshape(shape), hit.reshape(shape),
+                risk.reshape(shape), ttc.reshape(shape),
+                dist.reshape(shape))
+
+    per_off = []
+    for o in offsets:
+        keys, idx, _, _, _ = fused_topk(
+            cl, cfg, interpret, mode="predict",
+            pred_params=(jnp.float32(o),
+                         jnp.ceil(disp(o) / cell),
+                         disp(o)),
+            k_slots=k_slots, sub_steps=sub_steps)
+        per_off.append(refine_offset(o, keys, idx))
+
+    cat = lambda j: jnp.concatenate([r[j] for r in per_off], axis=1)
+    other_s, hit_s, risk_s, ttc_s, dist_s = (cat(j) for j in range(5))
+
+    # sorted rows -> unsorted objects by oid (dead/guard rows drop)
+    tgt = jnp.where(soid >= 0, soid, n)
+    scat = lambda a, fill: jnp.full((n + 1, a.shape[1]), fill,
+                                    a.dtype).at[tgt].set(a, mode="drop")[:-1]
+    merged = merge_pair_risks(scat(other_s, 0), scat(hit_s, False),
+                              scat(risk_s, 0.0), scat(ttc_s, jnp.inf),
+                              scat(dist_s, jnp.inf), merge_k)
+    return merged + (cl.overflow,)
