@@ -190,6 +190,25 @@ def main():
         extra["predict_100k_ms"] = round(best, 2)
         extra["predict_100k_risks"] = len(pred_risks)
 
+        # the same prediction on the fused cell-list kernel (ROADMAP r2
+        # #13): candidate selection in-block instead of [N, K] stencil
+        # gathers; windows sized for the city-skew density so coverage is
+        # complete (overflow 0)
+        from functools import partial as _p
+        from tpu_collide.kernels.refine import fused_predict as _fp
+        fnp = jax.jit(_p(_fp, cfg=cfg100k, horizon=10.0, step=0.5,
+                         window_rows=512))
+        out = fnp(sc.state, sc._traj)
+        int(np.asarray(jnp.sum(out[1])))
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fnp(sc.state, sc._traj)
+            int(np.asarray(jnp.sum(out[1])))
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        extra["predict_100k_fused_ms"] = round(best, 2)
+        extra["predict_100k_fused_overflow"] = int(np.asarray(out[5]))
+
     print(json.dumps({
         "metric": "full-scene steps/s (1000 vehicles, precise 4-stage "
                   "detection, TPU v5e-1)",

@@ -88,7 +88,7 @@ def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
     rows = top_i // kk
     sel = lambda x: x.reshape(-1)[top_i]
     return (top_r, state.oid[rows], sel(other), sel(ttc), sel(dist),
-            jnp.sum(keep, dtype=jnp.int32))
+            jnp.sum(keep, dtype=jnp.int32), overflow)
 
 
 def _predict_device(state, traj, cfg, horizon, step, r_cap):
@@ -108,7 +108,8 @@ def _predict_device(state, traj, cfg, horizon, step, r_cap):
     rows = top_i // k
     sel = lambda x: x.reshape(-1)[top_i]
     return (top_r, state.oid[rows], state.oid[sel(other)], sel(ttc),
-            sel(dist), jnp.sum(keep, dtype=jnp.int32))
+            sel(dist), jnp.sum(keep, dtype=jnp.int32),
+            jnp.asarray(0, jnp.int32))
 
 
 class Scene:
@@ -419,7 +420,14 @@ class Scene:
                                          r_cap=r_cap))
                 self._predict_cache[key2] = fn
             fetched = jax.device_get(fn(self.state, self._traj))
-        top_r, voids, ooids, t_sel, d_sel, total = fetched
+        top_r, voids, ooids, t_sel, d_sel, total, pred_oflow = fetched
+        if int(pred_oflow) > 0:
+            logger.warning(
+                "predict: %d candidate-window slots overflowed (density "
+                "outgrew the widened windows) — the predicted-risk list "
+                "may be missing pairs; pass a larger window_rows through "
+                "kernels.refine.fused_predict for full coverage",
+                int(pred_oflow))
         if int(total) > r_cap:
             logger.warning(
                 "predict: %d predicted risks exceed the %d-slot scene "
