@@ -206,6 +206,12 @@ def test_collision_system_integration(tmp_path):
             if sys_.scene.alert_manager.stats["created"] > 0:
                 break
             await asyncio.sleep(0.1)
+        # single-node election also needs scheduler time under a loaded
+        # box (flaked twice at 13-min-suite load); poll it too
+        for _ in range(300):
+            if sys_.election.is_current_leader():
+                break
+            await asyncio.sleep(0.1)
         stats = sys_.get_stats()
         alerts = sys_.scene.alerts()
         await sys_.stop()
