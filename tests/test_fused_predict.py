@@ -102,3 +102,47 @@ def test_scene_predict_fused_backend():
     assert set(gm) == set(wm)
     for k in wm:
         np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6)
+
+
+def test_scene_predict_window_regrow():
+    """Prediction window overflow triggers the adaptive regrow: the next
+    predict call runs with doubled windows and full coverage."""
+    from tpu_collide.api import Scene
+    from tpu_collide.core.state import state_from_numpy
+
+    n = 1600
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(2000.0, 2000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=256),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=512))
+    rng = np.random.default_rng(0)
+    # dense 2-cell-tall strip: per-brow density far above the mean the
+    # static window sizing assumes
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = rng.uniform(0, 2000, n)
+    pos[:, 1] = rng.uniform(900, 1100, n)
+    vel = rng.normal(0, 8, (n, 3)).astype(np.float32)
+    vel[:, 2] = 0.0
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    sc = Scene(cfg, backend="fused", interpret=True)
+    sc.adopt_fleet(st)
+    sc._predict_windows = 8          # start absurdly small: force overflow
+    t = 0.0
+    for _ in range(3):
+        t += 0.1
+        sc.record_trajectories(dt=0.1)
+        sc.state = sc.state.replace(pos=sc.state.pos + sc.state.vel * 0.1)
+    sc.predict(horizon=5.0, step=1.0)
+    assert sc._predict_windows > 8, "overflow did not trigger the regrow"
+    regrows = sc.window_regrows
+    # converges: repeated predicts keep doubling until coverage holds
+    for _ in range(6):
+        before = sc._predict_windows
+        sc.predict(horizon=5.0, step=1.0)
+        if sc._predict_windows == before:
+            break
+    assert sc.window_regrows >= regrows

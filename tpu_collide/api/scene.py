@@ -72,7 +72,7 @@ def _apply_updates(state: ObjectState, slot: jax.Array, pos: jax.Array,
 
 
 def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
-                          interpret=False):
+                          interpret=False, window_rows=None):
     """Fused-kernel variant of _predict_device (kernels/refine.fused_predict
     — ROADMAP r2 #13): candidate selection rides the cell-list kernel; the
     [N, merge_k] merged risks compact to r_cap on device. `other` entries
@@ -80,7 +80,8 @@ def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
     from tpu_collide.kernels.refine import fused_predict
     a = cfg.alerts
     other, valid, risk, ttc, dist, overflow = fused_predict(
-        state, traj, cfg, horizon=horizon, step=step, interpret=interpret)
+        state, traj, cfg, horizon=horizon, step=step, interpret=interpret,
+        window_rows=window_rows)
     nn, kk = risk.shape
     keep = valid & (risk >= a.risk_low)
     keyv = jnp.where(keep, risk, -1.0).reshape(-1)
@@ -176,6 +177,7 @@ class Scene:
         self._traj = None          # TrajectoryHistory, created on first use
         self._traj_clock = 0.0
         self._predict_cache = {}   # (horizon, step) -> compiled program
+        self._predict_windows = None   # fused-predict window override
 
     # ---- identity ----
 
@@ -413,7 +415,8 @@ class Scene:
                                          cfg=self.cfg,
                                          horizon=key2[0], step=key2[1],
                                          r_cap=r_cap,
-                                         interpret=self._interpret))
+                                         interpret=self._interpret,
+                                         window_rows=self._predict_windows))
                 else:
                     fn = jax.jit(partial(_predict_device, cfg=self.cfg,
                                          horizon=key2[0], step=key2[1],
@@ -422,12 +425,18 @@ class Scene:
             fetched = jax.device_get(fn(self.state, self._traj))
         top_r, voids, ooids, t_sel, d_sel, total, pred_oflow = fetched
         if int(pred_oflow) > 0:
+            # same adaptive policy as step windows: this call's misses are
+            # counted (never silent); the NEXT predict recompiles with
+            # doubled windows
+            from tpu_collide.kernels.cell_list import default_window_rows
+            cur = self._predict_windows or 2 * default_window_rows(self.cfg)
+            self._predict_windows = cur * 2
+            self._predict_cache.clear()
+            self.window_regrows += 1
             logger.warning(
-                "predict: %d candidate-window slots overflowed (density "
-                "outgrew the widened windows) — the predicted-risk list "
-                "may be missing pairs; pass a larger window_rows through "
-                "kernels.refine.fused_predict for full coverage",
-                int(pred_oflow))
+                "predict: %d candidate-window slots overflowed — growing "
+                "prediction window_rows to %d and recompiling for the "
+                "next call", int(pred_oflow), self._predict_windows)
         if int(total) > r_cap:
             logger.warning(
                 "predict: %d predicted risks exceed the %d-slot scene "
