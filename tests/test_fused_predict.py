@@ -66,15 +66,38 @@ def test_fused_predict_matches_xla(seed):
         np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6, atol=1e-6)
 
 
-def test_fused_predict_rejects_3d():
+def test_fused_predict_matches_xla_3d():
+    """3D prediction: the static z-shift list reaches every layer a
+    class-advanced query can touch."""
+    n = 150
     cfg = tc.SystemConfig(
-        num_objects=64, world=WorldConfig(hi=(500.0, 500.0, 300.0)),
-        grid=GridConfig(cell_size=100.0))
-    st = generate_fleet(jax.random.key(0), cfg, distribution="uniform")
-    hist = empty_history(64)
-    hist = update_history(hist, st, 0.1)
-    with pytest.raises(AssertionError):
-        fused_predict(st, hist, cfg, interpret=True)
+        num_objects=n, world=WorldConfig(hi=(600.0, 600.0, 300.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=96),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=512))
+    st = generate_fleet(jax.random.key(3), cfg, distribution="uniform")
+    st = st.replace(
+        pos=st.pos.at[:, 2].set(
+            jax.random.uniform(jax.random.key(9), (n,)) * 300.0),
+        vel=st.vel.at[:, 2].set(
+            jax.random.normal(jax.random.key(10), (n,)) * 3.0))
+    hist = empty_history(n)
+    t = 0.0
+    for _ in range(4):
+        t += 0.1
+        hist = update_history(hist, st, t)
+        st = st.replace(pos=st.pos + st.vel * 0.1)
+    index = build_grid(st.pos, st.alive, cfg)
+    want = predict_collisions(st, hist, index, cfg, horizon=2.0, step=0.5)
+    got = fused_predict(st, hist, cfg, horizon=2.0, step=0.5,
+                        interpret=True)
+    assert int(got[5]) == 0
+    wm = _risk_map(*want[:4])
+    gm = _risk_map(*got[:4])
+    assert wm, "no predicted risks in 3D fleet; vacuous"
+    assert set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6, atol=1e-6)
 
 
 def test_scene_predict_fused_backend():

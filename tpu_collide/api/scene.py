@@ -407,7 +407,6 @@ class Scene:
                 # (3D / banded layouts).
                 from tpu_collide.kernels.cell_list import resolve_band_cells
                 use_fused = (self._backend == "fused"
-                             and not self.cfg.world.is_3d
                              and resolve_band_cells(self.cfg)
                              == self.cfg.grid_dims[0])
                 if use_fused:

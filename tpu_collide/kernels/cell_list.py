@@ -173,15 +173,19 @@ def auto_band_cells(cfg: SystemConfig) -> int:
     return min(bc, nx)
 
 
-def band_shifts(cfg: SystemConfig, band_cells: int) -> tuple:
+def band_shifts(cfg: SystemConfig, band_cells: int,
+                z_reach: int = 1) -> tuple:
     """Static ascending brow-id deltas of the candidate neighborhoods:
-    (band +-1) x (z +-1) around an object's own brow. One contiguous
-    candidate window per shift."""
+    (band +-1) x (z +-z_reach) around an object's own brow. One contiguous
+    candidate window per shift. z_reach > 1 serves the fused PREDICT path,
+    whose class-advanced queries can sit several z-layers from the
+    object's current cell."""
     nx, ny, nz = cfg.grid_dims
     nrows = ny * nz
     nbands = -(-nx // band_cells)
+    zr = min(z_reach, nz)
     sb_list = (-1, 0, 1) if nbands > 1 else (0,)
-    sz_list = (-1, 0, 1) if cfg.world.is_3d else (0,)
+    sz_list = (tuple(range(-zr, zr + 1)) if cfg.world.is_3d else (0,))
     return tuple(sorted({sb * nrows + sz * ny
                          for sb in sb_list for sz in sz_list}))
 
@@ -205,7 +209,7 @@ def default_window_rows(cfg: SystemConfig,
 def build_cell_list(state: ObjectState, cfg: SystemConfig,
                     window_rows: int | None = None,
                     extra: jax.Array | None = None,
-                    brow_widen=0) -> CellList:
+                    brow_widen=0, z_reach: int = 1) -> CellList:
     """See module docstring. Two optional knobs serve the fused PREDICT
     path (kernels/fused_detect.py emit='predict'):
 
@@ -218,7 +222,9 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     layout at PREDICTED positions, which can sit up to
     ceil(max_displacement / cell) brows away from the object's current
     brow. The in-kernel spans widen symmetrically (the widen rides the
-    scalar-prefetch parameters)."""
+    scalar-prefetch parameters).
+    z_reach: z-layer neighborhood half-width for the static shift list
+    (default 1; prediction widens it to cover vertical displacement)."""
     nx, ny, nz = cfg.grid_dims
     assert cfg.stencil_halfwidth == 1, (
         "fused kernel path requires cell_size >= search_radius "
@@ -235,7 +241,7 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     nbands = -(-nx // bandc)
     nrows = ny * nz
     nbrows = nbands * nrows
-    shifts = band_shifts(cfg, bandc)
+    shifts = band_shifts(cfg, bandc, z_reach)
     n_windows = len(shifts)
     if window_rows is None:
         window_rows = default_window_rows(cfg, bandc)

@@ -292,7 +292,9 @@ def fused_predict(state, hist, cfg: SystemConfig,
     """Trajectory prediction at fused-kernel scale (ROADMAP r2 #13).
 
     Same semantics and return tuple as detect/predict.predict_collisions
-    (2D worlds, unbanded layout): per offset the kernel evaluates
+    (unbanded layouts, 2D and 3D — 3D widens the static z-shift list to
+    every layer a class-advanced query can reach): per offset the kernel
+    evaluates
     class-advanced own objects against const-accel-advanced candidates
     drawn from TODAY's sorted layout (the reference's current-grid quirk,
     collision_detection.py:800-812), sweeps the 1 s sub-window in-block,
@@ -310,9 +312,6 @@ def fused_predict(state, hist, cfg: SystemConfig,
                                             merge_pair_risks)
 
     det = cfg.detect
-    assert not cfg.world.is_3d, (
-        "fused_predict currently supports 2D worlds (the widened z-shift "
-        "window structure is round-3 work); use predict_collisions")
     from tpu_collide.kernels.cell_list import resolve_band_cells
     assert resolve_band_cells(cfg) == cfg.grid_dims[0], (
         "fused_predict requires the unbanded layout (band_cells=None)")
@@ -334,6 +333,14 @@ def fused_predict(state, hist, cfg: SystemConfig,
 
     cell = cfg.grid.cell_size
     widen_max = jnp.ceil(disp(o_max) / cell).astype(jnp.int32)
+    # 3D: the static z-shift list must reach every layer a predicted query
+    # can touch (displacement + the search radius), bounded by the CONFIG
+    # motion limits (data beyond them overflows windows, counted)
+    w_stat0 = int(np.ceil(
+        (cfg.sim.max_speed * o_max
+         + 0.5 * cfg.sim.accel_range * o_max * o_max)
+        / cell)) if o_max > 0 else 0
+    z_reach = (w_stat0 + 1) if cfg.world.is_3d else 1
     if window_rows is None:
         # static window capacity must hold the widened ranges; size from
         # the CONFIG motion bounds (the traced fleet bound drives the
@@ -348,7 +355,7 @@ def fused_predict(state, hist, cfg: SystemConfig,
         window_rows = -(-(-(-elems // LANE)) // 8) * 8
     cl = build_cell_list(state, cfg, window_rows=window_rows,
                          extra=cls.astype(jnp.float32),
-                         brow_widen=widen_max)
+                         brow_widen=widen_max, z_reach=z_reach)
 
     flat = cl.fields.reshape(cl.fields.shape[0], -1)
     nmax = flat.shape[1] - 1
