@@ -23,3 +23,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode kernel tests (minutes each on the 1-core "
+        "box); the quick loop is `pytest tests/ -q -m 'not slow'`")

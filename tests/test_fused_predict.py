@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tpu_collide as tc
 from tpu_collide.core.config import (WorldConfig, GridConfig,
                                      DetectionConfig, AlertConfig)
