@@ -90,6 +90,45 @@ def bench_fused(cfg, steps, key0=0):
     return avg, p99
 
 
+def bench_fused_scan(cfg, steps, chunk, key0=0):
+    """DEVICE-RATE per-step ms of the fused step: `chunk` steps per
+    dispatch via lax.scan — the same device-rate methodology the headline
+    config uses, so the ~25 ms/call tunnel dispatch amortizes instead of
+    being misread as device time. Returns (avg_ms, best_chunk_ms,
+    last_out) with the overflow/aoflow counters fetched from a final
+    single step."""
+    from functools import partial
+    from tpu_collide.engine import step_fused
+    from tpu_collide.sim import generate_fleet
+    import tpu_collide as tc
+
+    state = generate_fleet(jax.random.key(key0), cfg, distribution="uniform")
+
+    def chunk_fn(state, key):
+        keys = jax.random.split(key, chunk)
+
+        def body(st, k):
+            st, out = step_fused(st, k, cfg)
+            return st, out.num_risks
+
+        return jax.lax.scan(body, state, keys)
+
+    run = jax.jit(chunk_fn, donate_argnums=(0,))
+    state, risks = run(state, jax.random.key(1))
+    int(np.asarray(risks[-1]))                       # compile + sync
+    lat = []
+    for i in range(max(1, steps // chunk)):
+        t0 = time.perf_counter()
+        state, risks = run(state, jax.random.key(2 + i))
+        int(np.asarray(jnp.sum(risks)))
+        lat.append((time.perf_counter() - t0) / chunk * 1e3)
+    # one plain step for the counter fields (overflow certification)
+    f1 = tc.make_step(cfg, donate=True, backend="fused")
+    state, out = f1(state, jax.random.key(99))
+    int(np.asarray(out.num_risks))
+    return sum(lat) / len(lat), min(lat), out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
@@ -150,27 +189,45 @@ def main():
 
     extra = {}
     if args.full:
+        # perf configs compile the stage-1 checked counter out
+        # (DetectionConfig.count_checked=False, ~12 ms at 1M measured) —
+        # alerts, risk counts and the overflow certificates are unaffected
+        # (tests/test_kernel_flags.py); the parity suite runs with the
+        # counter on. avg_ms fields are DEVICE-RATE (scan-chunked, same
+        # methodology as the headline config); per_call_ms shows the
+        # serving view incl. the ~25 ms tunnel dispatch.
         cfg100k = tc.SystemConfig(
             num_objects=100_000, world=WorldConfig(hi=(10000., 10000., 0.)),
             grid=GridConfig(cell_size=100.0),
-            detect=DetectionConfig(mode="fast"),
+            detect=DetectionConfig(mode="fast", count_checked=False),
             alerts=AlertConfig(max_scene_alerts=1024))
-        a, p = bench_fused(cfg100k, steps=20)
+        a, best, out = bench_fused_scan(cfg100k, steps=40, chunk=10)
         extra["fused_100k_2d_avg_ms"] = round(a, 2)
-        extra["fused_100k_2d_p99_ms"] = round(p, 2)
+        extra["fused_100k_2d_best_ms"] = round(best, 2)
+        extra["fused_100k_2d_aoflow"] = int(np.asarray(out.alert_overflow))
+        pc, _ = bench_fused(cfg100k, steps=10)
+        extra["fused_100k_2d_per_call_ms"] = round(pc, 2)
         # NEW in round 2: exact precise semantics at kernel scale
-        cfg100kp = cfg100k.replace(detect=DetectionConfig(mode="precise"))
-        a, p = bench_fused(cfg100kp, steps=10)
+        cfg100kp = cfg100k.replace(detect=DetectionConfig(
+            mode="precise", count_checked=False))
+        a, best, out = bench_fused_scan(cfg100kp, steps=10, chunk=5)
         extra["fused_100k_2d_precise_avg_ms"] = round(a, 2)
+        extra["fused_100k_2d_precise_aoflow"] = int(
+            np.asarray(out.alert_overflow))
         cfg1m = tc.SystemConfig(
             num_objects=1_000_000,
             world=WorldConfig(hi=(10000., 10000., 500.)),
             grid=GridConfig(cell_size=50.0),
-            detect=DetectionConfig(mode="fast", search_radius=50.0),
+            detect=DetectionConfig(mode="fast", search_radius=50.0,
+                                   count_checked=False),
             alerts=AlertConfig(max_scene_alerts=4096))
-        a, p = bench_fused(cfg1m, steps=10)
+        a, best, out = bench_fused_scan(cfg1m, steps=15, chunk=5)
         extra["fused_1m_3d_avg_ms"] = round(a, 2)
-        extra["fused_1m_3d_p99_ms"] = round(p, 2)
+        extra["fused_1m_3d_best_ms"] = round(best, 2)
+        extra["fused_1m_3d_overflow"] = int(np.asarray(out.overflow))
+        extra["fused_1m_3d_aoflow"] = int(np.asarray(out.alert_overflow))
+        pc, _ = bench_fused(cfg1m, steps=6)
+        extra["fused_1m_3d_per_call_ms"] = round(pc, 2)
 
         # prediction path at 100k (ROADMAP r2 #12): trajectory ring ticks +
         # one device-compacted predict (grid + 20-offset re-detection +

@@ -113,8 +113,11 @@ def test_fused_step_alert_set_equality(mode):
     if mode == "precise":
         # real accelerations so precise's constant-acceleration sweep
         # actually diverges from fast (guarded below)
+        # 2D-world contract: z/vz/az are 0 (DEVIATIONS #16) — the
+        # accelerations stay horizontal
         st = st.replace(
-            acc=jax.random.normal(jax.random.key(7), st.acc.shape) * 0.8)
+            acc=jax.random.normal(jax.random.key(7), st.acc.shape) * 0.8
+            * jnp.array([1.0, 1.0, 0.0]))
     key = jax.random.key(1)
     _, o_x = make_step(cfg, donate=False)(st, key)
     _, o_f = step_fused(st, key, cfg, interpret=True)
@@ -166,8 +169,11 @@ def test_fused_banded_alert_set_equality(mode):
                                       band_cells=4))
     st = generate_fleet(jax.random.key(0), cfg)
     if mode == "precise":
+        # 2D-world contract: z/vz/az are 0 (DEVIATIONS #16) — the
+        # accelerations stay horizontal
         st = st.replace(
-            acc=jax.random.normal(jax.random.key(7), st.acc.shape) * 0.8)
+            acc=jax.random.normal(jax.random.key(7), st.acc.shape) * 0.8
+            * jnp.array([1.0, 1.0, 0.0]))
     key = jax.random.key(1)
     _, o_x = make_step(cfg, donate=False)(st, key)
     _, o_f = step_fused(st, key, cfg, interpret=True)

@@ -1,0 +1,51 @@
+"""Kernel compile-time flags: count_checked opt-out (r3 perf lever) must
+not change alerts/risks, and the packed emitted/qual counter must agree
+with the XLA path's per-object counts."""
+import numpy as np
+import jax
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import tpu_collide as tc
+from tpu_collide.core.config import (WorldConfig, GridConfig,
+                                     DetectionConfig, AlertConfig)
+from tpu_collide.sim import generate_fleet
+from tpu_collide.engine import step_fused, make_step
+
+
+def cfg2d(mode="fast", count_checked=True):
+    return tc.SystemConfig(
+        num_objects=500, world=WorldConfig(hi=(2000.0, 2000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode=mode, count_checked=count_checked),
+        alerts=AlertConfig(max_scene_alerts=256))
+
+
+def amap(o):
+    v = np.asarray(o.alerts.valid)
+    return {(min(int(a), int(b)), max(int(a), int(b))): (float(r), float(t))
+            for a, b, r, t in zip(
+                np.asarray(o.alerts.vehicle_oid)[v],
+                np.asarray(o.alerts.other_oid)[v],
+                np.asarray(o.alerts.risk)[v],
+                np.asarray(o.alerts.ttc)[v])}
+
+
+@pytest.mark.parametrize("mode", ["fast", "precise"])
+def test_count_checked_off_same_alerts(mode):
+    cfg_on = cfg2d(mode=mode)
+    cfg_off = cfg2d(mode=mode, count_checked=False)
+    st = generate_fleet(jax.random.key(0), cfg_on)
+    key = jax.random.key(1)
+    _, o_on = step_fused(st, key, cfg_on, interpret=True)
+    _, o_off = step_fused(st, key, cfg_off, interpret=True)
+    assert int(o_on.num_pairs_checked) > 0
+    assert int(o_off.num_pairs_checked) == -1      # compiled out, flagged
+    assert int(o_off.num_risks) == int(o_on.num_risks)
+    assert int(o_off.alert_overflow) == int(o_on.alert_overflow) == 0
+    a_on, a_off = amap(o_on), amap(o_off)
+    assert a_off == a_on
+    # and the XLA path still agrees with the counting config
+    _, o_x = make_step(cfg_on, donate=False)(st, key)
+    assert int(o_on.num_pairs_checked) == int(o_x.num_pairs_checked)

@@ -137,7 +137,7 @@ def test_load_balancer_moves_walls():
 
     bal = LoadBalancer(cfg, slots, check_every=1)
     assert bal.should_rebalance(st)
-    st, b = bal.rebalance(st, mesh)
+    st, b, _ = bal.rebalance(st, mesh)
     occ = shard_occupancy(st, cfg, slots)
     assert imbalance(occ) < 1.2
     assert bal.stats["rebalances"] == 1

@@ -33,13 +33,16 @@ def owner_shard(sc, x):
 
 
 def host_map(sc):
-    """oid -> (slot, x) of alive slots."""
+    """oid -> (slot, x) of alive slots; asserts NO duplicate alive copies
+    (the r2 padded-searchsorted bug duplicated objects on cross-shard
+    updates and a plain dict hid it)."""
     host = sc.collect()
     alive = np.asarray(host.alive)
     out = {}
     for slot in np.flatnonzero(alive):
-        out[int(np.asarray(host.oid)[slot])] = (
-            int(slot), float(np.asarray(host.pos)[slot, 0]))
+        oid = int(np.asarray(host.oid)[slot])
+        assert oid not in out, f"duplicate alive copy of oid {oid}"
+        out[oid] = (int(slot), float(np.asarray(host.pos)[slot, 0]))
     return out
 
 

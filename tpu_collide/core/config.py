@@ -54,6 +54,13 @@ class GridConfig:
     # (kernels/cell_list.auto_band_cells). Semantics are unchanged either
     # way — only evaluation order/coverage of the identical pair set.
     band_cells: int | None = None
+    # Object ids ride the fused kernel's cell-list co-sort as exact f32
+    # integers (<= 2^24). wide_oid=True carries them as an (hi, lo) field
+    # pair instead, lifting the id range to int32 (fleets past ~16.7M
+    # objects). None = auto: wide whenever num_objects needs it. The extra
+    # sort operand + DMA field costs a few % of the build, so it stays off
+    # for ordinary fleets.
+    wide_oid: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +106,12 @@ class DetectionConfig:
     # 'physical' (default) fixes the sign; 'reference' replicates the bug
     # bit-for-bit for parity testing. See DEVIATIONS.md #1.
     convention: str = "physical"
+    # Stage-1 pair counter (num_pairs_checked): the cross-backend honesty
+    # metric costs a per-block accumulate in the fused kernel (~12 ms at 1M,
+    # measured). False compiles it out; num_pairs_checked then reports -1.
+    # Alert results, risk counts and the alert_overflow completeness
+    # certificate are unaffected.
+    count_checked: bool = True
 
     @property
     def num_time_steps(self) -> int:
@@ -155,6 +168,17 @@ class ShardConfig:
     halo_capacity: int = 256
     migrate_capacity: int = 64
     slot_headroom: float = 2.0
+    # 2D tiling: num_shards_y > 1 splits the world along y as well, making
+    # an (x, y) device grid (the octree-region analog of the reference's
+    # SpatialPartitioner, spatial_index.py:716-769). Halo/migration run in
+    # two phases (x then y); the y pass re-mirrors the x halo so corner
+    # neighborhoods are covered. halo_width applies to both axes.
+    num_shards_y: int = 1
+    axis_name_y: str = "shard_y"
+
+    @property
+    def total_shards(self) -> int:
+        return self.num_shards * self.num_shards_y
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,9 @@ ALIGN = 1024
 # through the sort/DMA path.
 FIELD_NAMES = ("x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
                "size", "heading", "otype", "oid", "row")
+# z-component field indices (z, vz, az) — identically 0 for 2D worlds, so
+# their sort operands, kernel DMAs and block math are compiled out there.
+Z_FIELD_IDX = (2, 5, 8)
 
 
 # Packed SMEM guard-table encodings (tables_packed=True). The per-storage-row
@@ -84,7 +87,7 @@ _SMEM_TOTAL_MAX = 980_000
                       "cr_start",
                       "n_alive", "overflow"],
          meta_fields=["num_tiles", "window_rows", "n_windows", "shifts",
-                      "tables_packed"])
+                      "tables_packed", "wide_oid"])
 @dataclasses.dataclass(frozen=True)
 class CellList:
     """Sorted SoA fleet + per-tile candidate windows.
@@ -123,13 +126,34 @@ class CellList:
     n_windows: int
     shifts: tuple
     tables_packed: bool
+    wide_oid: bool = False
 
     @property
     def oid_flat(self) -> jax.Array:
-        """[num_tiles*TILE] int32 oid of the owned (non-guard) slots."""
+        """[num_tiles*TILE] int32 DECODED global oid of the non-guard slots:
+        halo mirrors (mark_halo encoding, shard/halo.extend_with_halo) are
+        unmarked back to their true id; dead/padding rows are -1. Wide mode
+        recombines the (hi, lo) field pair."""
         n = self.num_tiles * TILE
-        return self.fields[FIELD_NAMES.index("oid")].reshape(-1)[:n].astype(
+        lo = self.fields[FIELD_NAMES.index("oid")].reshape(-1)[:n].astype(
             jnp.int32)
+        if not self.wide_oid:
+            return jnp.where(lo <= -2, -lo - 2, lo)
+        hi = self.fields[len(FIELD_NAMES)].reshape(-1)[:n].astype(jnp.int32)
+        hi_u = jnp.where(hi <= -2, -hi - 2, hi)
+        return jnp.where(lo >= 0, hi_u * (1 << 24) + lo, -1)
+
+    @property
+    def own_flat(self) -> jax.Array:
+        """[num_tiles*TILE] bool — True for OWNED alive rows (excludes both
+        dead/padding rows and halo mirrors). The halo mark rides the oid
+        field (narrow: oid = -(id + 2); wide: hi = -(hi + 2))."""
+        n = self.num_tiles * TILE
+        lo = self.fields[FIELD_NAMES.index("oid")].reshape(-1)[:n]
+        if not self.wide_oid:
+            return lo >= 0.0
+        hi = self.fields[len(FIELD_NAMES)].reshape(-1)[:n]
+        return (lo >= 0.0) & (hi >= 0.0)
 
 
 def resolve_band_cells(cfg: SystemConfig) -> int:
@@ -209,7 +233,8 @@ def default_window_rows(cfg: SystemConfig,
 def build_cell_list(state: ObjectState, cfg: SystemConfig,
                     window_rows: int | None = None,
                     extra: jax.Array | None = None,
-                    brow_widen=0, z_reach: int = 1) -> CellList:
+                    brow_widen=0, z_reach: int = 1,
+                    wide_oid: bool | None = None) -> CellList:
     """See module docstring. Two optional knobs serve the fused PREDICT
     path (kernels/fused_detect.py emit='predict'):
 
@@ -231,12 +256,18 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         f"(stencil halfwidth 1, got {cfg.stencil_halfwidth})")
     n = state.n
     num_tiles = -(-n // TILE)
-    # oids ride through the sort and kernel as f32 and must stay exact;
-    # the sharded path offsets halo oids by num_objects (so needs 2x)
-    oid_max = cfg.num_objects * (2 if cfg.shard.num_shards > 1 else 1)
-    assert oid_max < 2 ** 24, (
-        "fused kernel stores oids in f32: fleets past ~16.7M objects "
-        "(8.3M sharded) need the oid fields widened (ROADMAP)")
+    # oids ride through the sort and kernel as exact f32 integers; halo
+    # mirrors are marked by NEGATION (-(oid + 2), shard/halo.extend_with_halo)
+    # so sharding costs no id range. Fleets whose ids need more than 24 bits
+    # carry them as an (hi, lo) field pair instead (wide mode).
+    if wide_oid is None:
+        wide_oid = cfg.grid.wide_oid
+    if wide_oid is None:
+        wide_oid = cfg.num_objects + 2 > 2 ** 24
+    if not wide_oid:
+        assert cfg.num_objects + 2 <= 2 ** 24, (
+            "fused kernel stores oids in f32 (exact to 2^24): fleets past "
+            "~16.7M objects need GridConfig.wide_oid=True")
     bandc = resolve_band_cells(cfg)
     nbands = -(-nx // bandc)
     nrows = ny * nz
@@ -284,13 +315,36 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
 
     # one co-sort of every field (no gathers); dead objects carry the
     # num_ids sentinel key, so aliveness post-sort is sflat < num_ids
-    ops = (flat,
-           state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
-           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-           state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
-           state.size, state.heading,
-           state.otype.astype(jnp.float32),
-           state.oid.astype(jnp.float32))
+    if wide_oid:
+        # (hi, lo) split with the halo mark (oid <= -2 means -(id + 2),
+        # extend_with_halo) moved onto the hi half so lo stays a clean
+        # 24-bit value for the kernel's pair-identity test
+        oid_i = state.oid
+        mark = oid_i <= -2
+        orig = jnp.where(mark, -oid_i - 2, oid_i)
+        oid_lo = jnp.where(orig >= 0, orig & 0xFFFFFF, -1)
+        oid_hi = jnp.where(orig >= 0, orig >> 24, -1)
+        oid_hi = jnp.where(mark, -oid_hi - 2, oid_hi)
+        oid_f = oid_lo.astype(jnp.float32)
+    else:
+        oid_f = state.oid.astype(jnp.float32)
+    # 2D worlds (zero z extent): z/vz/az are 0 by contract on this path —
+    # they are dropped from the sort (3 fewer co-sort operands, ~20% of the
+    # build) and their kernel DMAs/math are compiled out; the field layout
+    # keeps its canonical 14 slots (zero-filled) so downstream indexing is
+    # unchanged.
+    flat2d = not cfg.world.is_3d
+    core = [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+            state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
+            state.size, state.heading,
+            state.otype.astype(jnp.float32),
+            oid_f]
+    if flat2d:
+        core = [a for i, a in enumerate(core) if i not in Z_FIELD_IDX]
+    ops = (flat, *core)
+    if wide_oid:
+        ops = ops + (oid_hi.astype(jnp.float32),)
     if extra is not None:
         ops = ops + (extra.astype(jnp.float32),)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False, dimension=0)
@@ -303,13 +357,21 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     def pad(a, fill=0.0):
         return jnp.pad(a, (0, np_pad - n), constant_values=fill)
 
-    n_core = len(FIELD_NAMES) - 1        # sorted fields before `row`
-    stacked = ([pad(a) for a in sorted_ops[1:1 + n_core]]
+    n_core = len(FIELD_NAMES) - 1 - (3 if flat2d else 0)
+    sorted_core = list(sorted_ops[1:1 + n_core])
+    if flat2d:
+        zcol = jnp.zeros_like(sorted_core[0])
+        for zi in Z_FIELD_IDX:
+            sorted_core.insert(zi, zcol)
+    stacked = ([pad(a) for a in sorted_core]
                + [pad(srow_f, -1.0)]
                + [pad(a) for a in sorted_ops[1 + n_core:]])
     oid_idx = FIELD_NAMES.index("oid")
     stacked[oid_idx] = jnp.where(jnp.arange(np_pad) < n,
                                  stacked[oid_idx], -1.0)
+    if wide_oid:
+        stacked[len(FIELD_NAMES)] = jnp.where(
+            jnp.arange(np_pad) < n, stacked[len(FIELD_NAMES)], -1.0)
     fields = jnp.stack(stacked, axis=0).reshape(len(stacked), -1, LANE)
 
     # brow start table: only BROW boundaries are needed (not per-cell
@@ -413,4 +475,4 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         n_alive=n_alive.astype(jnp.int32),
         overflow=excess.astype(jnp.int32),
         num_tiles=num_tiles, window_rows=window_rows, n_windows=n_windows,
-        shifts=shifts, tables_packed=tables_packed)
+        shifts=shifts, tables_packed=tables_packed, wide_oid=wide_oid)

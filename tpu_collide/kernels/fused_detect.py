@@ -101,6 +101,13 @@ PACKED_NONE = KEY_NONE * KEY_Q * LANE   # packed form of an empty slot
 # KEY_SUB + 0 risk); empty slots sit at PACKED_NONE (+ column noise from
 # no-op insertions of non-emitted block maxima)
 PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
+# per-object emitted/qualifying counters pack into ONE buffer (one RMW per
+# firing block instead of two): value = emitted * CNT_PACK + qualifying.
+# Exact in f32 while emitted <= CNT_MAX (packed value < 2^23); an object
+# with more simultaneous hits than that failed the alert_overflow
+# certificate (qualifying > k slots) long before the counter saturates.
+CNT_PACK = 4096.0
+CNT_MAX = 2047
 
 (_X, _Y, _Z, _VX, _VY, _VZ, _AX, _AY, _AZ,
  _SIZE, _HEAD, _TYPE, _OID, _ROW) = range(NF)
@@ -111,13 +118,24 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
             cr_start_ref, pred_ref,
             *refs,
             cfg: SystemConfig, window_rows: int, shifts: tuple,
-            tables_packed: bool, k: int, emit: str, sub_steps: int = 0):
+            tables_packed: bool, k: int, emit: str, sub_steps: int = 0,
+            wide_oid: bool = False):
     n_windows = len(shifts)
-    n_out = 2 * k + 3
-    # predict mode carries one extra sorted field (trajectory class);
-    # pred_ref = [offset_s, brow_widen, max_disp_m] scalars (zeros in the
-    # detection modes)
-    NFK = NF + 1 if emit == "predict" else NF
+    n_out = 2 * k + 2
+    # wide_oid carries the oid hi-half as fields[NF]; predict mode carries
+    # the trajectory class as the LAST sorted field; pred_ref = [offset_s,
+    # brow_widen, max_disp_m] scalars (zeros in the detection modes)
+    n_wide = 1 if wide_oid else 0
+    NFK = NF + n_wide + (1 if emit == "predict" else 0)
+    _HI = NF                      # oid hi-half field index (wide mode)
+    _CLS = NF + n_wide            # trajectory-class field index (predict)
+    # 2D worlds: z/vz/az are identically 0 (cell_list zero-fills them and
+    # drops their sort operands) — skip their DMAs and compile out their
+    # block math
+    flat2d = not cfg.world.is_3d
+    from tpu_collide.kernels.cell_list import Z_FIELD_IDX
+    skip_f = frozenset(Z_FIELD_IDX) if flat2d else frozenset()
+    field_ids = [f for f in range(NFK) if f not in skip_f]
     hbm = refs[:NFK]
     outs = refs[NFK:NFK + n_out]
     rest = refs[NFK + n_out:]
@@ -125,7 +143,12 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     win = rest[NFK:3 * NFK]                # 2 x NFK VMEM (window_rows, LANE)
     okey = rest[3 * NFK:3 * NFK + k]       # k x VMEM (ROWS, LANE) slot keys
     oidx = rest[3 * NFK + k:3 * NFK + 2 * k]  # k x VMEM slot cand indices
-    ocnt = rest[3 * NFK + 2 * k:3 * NFK + 2 * k + 3]  # checked/emitted/qual
+    # counters: [0] scene-total stage-1 checked (broadcast-accumulated;
+    # compiled out when det.count_checked is False), [1] PACKED per-object
+    # emitted*CNT_PACK + qualifying — one RMW instead of two (exact while
+    # per-object emitted <= CNT_MAX; beyond that the certificate has long
+    # failed anyway since qualifying > k)
+    ocnt = rest[3 * NFK + 2 * k:3 * NFK + 2 * k + 2]
     sem_own, sem_win, sem_out = rest[3 * NFK + n_out:]
     det = cfg.detect
     al = cfg.alerts
@@ -135,7 +158,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     max_disp = pred_ref[2]
 
     base = pl.multiple_of(t * ROWS, ROWS)
-    for f in range(NFK):
+    for f in field_ids:
         pltpu.make_async_copy(hbm[f].at[pl.ds(base, ROWS), :],
                               own[f], sem_own.at[f]).start()
 
@@ -150,13 +173,13 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
         @pl.when(wn > 0)
         def _():
-            for f in range(NFK):
+            for f in field_ids:
                 pltpu.make_async_copy(
                     hbm[f].at[pl.ds(wrow, window_rows), :],
                     win[slot * NFK + f], sem_win.at[slot * NFK + f]).start()
 
     issue_window(0, 0)
-    for f in range(NFK):
+    for f in field_ids:
         pltpu.make_async_copy(hbm[f].at[pl.ds(base, ROWS), :],
                               own[f], sem_own.at[f]).wait()
 
@@ -164,8 +187,13 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     for j in range(k):
         okey[j][:, :] = zero + PACKED_NONE
         oidx[j][:, :] = zero - 1.0
-    for j in range(3):
+    for j in range(2):
         ocnt[j][:, :] = zero
+
+    def s3(ab, c):
+        """ab + c where c is an optional z term (None in 2D worlds —
+        compiled out instead of multiplying by zero)."""
+        return ab if c is None else ab + c
 
     conv = 1.0 if det.convention == "physical" else -1.0
     r_max = det.search_radius
@@ -203,7 +231,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
         @pl.when(wn > 0)
         def _():
-            for f in range(NFK):
+            for f in field_ids:
                 pltpu.make_async_copy(
                     hbm[f].at[pl.ds(wrow, window_rows), :],
                     wbuf[f], sem_win.at[slot * NFK + f]).wait()
@@ -213,12 +241,16 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                 sr_lo, sr_hi = unpack_rb(row_rb_a_ref, row_rb_b_ref, go)
                 ox_lo, ox_hi = unpack_x(row_x_ref[go])
                 o_ok = own[_ROW][s, :][:, None] >= 0.0   # row -1 = dead
-                colv = lambda f: own[f][s, :][:, None]
+                # z-component loads are None for 2D worlds; every z term
+                # downstream is compiled out via the `s3` helper
+                colv = lambda f: (None if f in skip_f
+                                  else own[f][s, :][:, None])
                 ox, oy, oz = colv(_X), colv(_Y), colv(_Z)
                 ovx, ovy, ovz = colv(_VX), colv(_VY), colv(_VZ)
                 oax, oay, oaz = colv(_AX), colv(_AY), colv(_AZ)
                 osize, ohead = colv(_SIZE), colv(_HEAD)
                 otype, ooid = colv(_TYPE), colv(_OID)
+                ohid = colv(_HI) if wide_oid else None
 
                 # exact candidate storage-row spans for this sub-block:
                 # the brows [sr_lo-1, sr_hi+1] PLUS their shifted copies
@@ -303,8 +335,8 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             return out
 
                         def emit_slots(key, emitted, qual):
-                            """Shared tail: emitted/qualifying counters +
-                            sparsity-switched top-k slot insertion."""
+                            """Shared tail: packed emitted/qualifying
+                            counter + sparsity-switched top-k insertion."""
                             emitted_row = jnp.sum(
                                 jnp.where(emitted, 1.0, 0.0), axis=1)
                             cmax = jnp.max(emitted_row)
@@ -312,11 +344,9 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             @pl.when(cmax > 0.5)
                             def _():
                                 ocnt[1][pl.ds(s, 1), :] = (
-                                    ocnt[1][s, :] + emitted_row)[None, :]
-                                ocnt[2][pl.ds(s, 1), :] = (
-                                    ocnt[2][s, :] + jnp.sum(
-                                        jnp.where(qual, 1.0, 0.0), axis=1)
-                                )[None, :]
+                                    ocnt[1][s, :] + emitted_row * CNT_PACK
+                                    + jnp.sum(jnp.where(qual, 1.0, 0.0),
+                                              axis=1))[None, :]
                                 kb = [okey[j][s, :] for j in range(k)]
                                 ib = [oidx[j][s, :] for j in range(k)]
 
@@ -344,12 +374,20 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                         @pl.when((cx_lo <= ox_hi + r_max + max_disp)
                                  & (cx_hi >= ox_lo - r_max - max_disp))
                         def _():
-                            rowv = lambda f: wbuf[f][c, :][None, :]
+                            rowv = lambda f: (None if f in skip_f
+                                              else wbuf[f][c, :][None, :])
                             cx, cy, cz = rowv(_X), rowv(_Y), rowv(_Z)
                             cvx, cvy, cvz = rowv(_VX), rowv(_VY), rowv(_VZ)
                             cax, cay, caz = rowv(_AX), rowv(_AY), rowv(_AZ)
                             csize, chead = rowv(_SIZE), rowv(_HEAD)
                             ctype, coid = rowv(_TYPE), rowv(_OID)
+                            # pair identity: wide mode compares both oid
+                            # halves (two distinct ids may share a lo)
+                            if wide_oid:
+                                not_self = ((coid != ooid)
+                                            | (rowv(_HI) != ohid))
+                            else:
+                                not_self = coid != ooid
                             # span bounds are clipped to >= 0, so the
                             # brow range test alone rejects dead/padding
                             # rows (their brow is -1)
@@ -362,20 +400,24 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                 # candidates stay CURRENT for the stage-1
                                 # quirk (today's grid queried at tomorrow's
                                 # position, reference :800-803)
-                                ocls = colv(NF)
+                                ocls = colv(_CLS)
                                 mv = jnp.where(ocls >= 0.5, 1.0, 0.0)
                                 av = jnp.where(ocls >= 1.5, 1.0, 0.0)
                                 t2h = 0.5 * t_off * t_off
                                 px = ox + ovx * t_off * mv + oax * t2h * av
                                 py = oy + ovy * t_off * mv + oay * t2h * av
-                                pz = oz + ovz * t_off * mv + oaz * t2h * av
-                                dqx, dqy, dqz = cx - px, cy - py, cz - pz
-                                dq2 = dqx * dqx + dqy * dqy + dqz * dqz
-                                ok1 = (c_ok & o_ok & (coid != ooid)
+                                pz = (None if flat2d else
+                                      oz + ovz * t_off * mv + oaz * t2h * av)
+                                dqx, dqy = cx - px, cy - py
+                                dqz = None if flat2d else cz - pz
+                                dq2 = s3(dqx * dqx + dqy * dqy,
+                                         None if flat2d else dqz * dqz)
+                                ok1 = (c_ok & o_ok & not_self
                                        & (dq2 <= r2_max))
-                                ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
-                                    jnp.where(ok1, 1.0, 0.0), axis=0,
-                                    keepdims=True)
+                                if det.count_checked:
+                                    ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
+                                        jnp.where(ok1, 1.0, 0.0), axis=0,
+                                        keepdims=True)
                                 g1max = jnp.max(jnp.where(ok1, 1.0, 0.0))
 
                                 @pl.when(g1max > 0.5)
@@ -387,14 +429,18 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                     # op-for-op
                                     acx = cx + cvx * t_off + cax * t2h
                                     acy = cy + cvy * t_off + cay * t2h
-                                    acz = cz + cvz * t_off + caz * t2h
-                                    sx, sy, sz = acx - px, acy - py, acz - pz
+                                    sx, sy = acx - px, acy - py
                                     dvx = cvx - ovx
                                     dvy = cvy - ovy
-                                    dvz = cvz - ovz
                                     dax = cax - oax
                                     day = cay - oay
-                                    daz = caz - oaz
+                                    if flat2d:
+                                        sz = dvz = daz = None
+                                    else:
+                                        acz = cz + cvz * t_off + caz * t2h
+                                        sz = acz - pz
+                                        dvz = cvz - ovz
+                                        daz = caz - oaz
                                     safe = ((osize + csize) * 0.5
                                             + det.safe_distance_base)
                                     hit = safe < 0.0
@@ -407,17 +453,19 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                             + 0.5 * dax * t_s * t_s
                                         ddy = sy + dvy * t_s \
                                             + 0.5 * day * t_s * t_s
-                                        ddz = sz + dvz * t_s \
-                                            + 0.5 * daz * t_s * t_s
-                                        d = jnp.sqrt(ddx * ddx + ddy * ddy
-                                                     + ddz * ddz)
+                                        ddz = (None if flat2d else
+                                               sz + dvz * t_s
+                                               + 0.5 * daz * t_s * t_s)
+                                        d = jnp.sqrt(s3(
+                                            ddx * ddx + ddy * ddy,
+                                            None if flat2d else ddz * ddz))
                                         nh = (~hit) & (d <= safe)
                                         t_hit = jnp.where(nh, t_s, t_hit)
                                         d_hit = jnp.where(nh, d, d_hit)
                                         hit = hit | nh
                                     hit = hit & ok1
-                                    rs2 = (dvx * dvx + dvy * dvy
-                                           + dvz * dvz)
+                                    rs2 = s3(dvx * dvx + dvy * dvy,
+                                             None if flat2d else dvz * dvz)
                                     risk = (
                                         det.weight_distance
                                         * (1.0 - jnp.where(hit, d_hit, 0.0)
@@ -442,23 +490,33 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                 return
 
                             # stage 1: exact radius + alive + no self
-                            dxp, dyp, dzp = cx - ox, cy - oy, cz - oz
-                            d2 = dxp * dxp + dyp * dyp + dzp * dzp
-                            ok1 = (c_ok & o_ok & (coid != ooid)
+                            # (z terms compiled out for 2D worlds — z/vz/az
+                            # are identically 0 there, so results are exact)
+                            dxp, dyp = cx - ox, cy - oy
+                            dzp = None if flat2d else cz - oz
+                            d2 = s3(dxp * dxp + dyp * dyp,
+                                    None if flat2d else dzp * dzp)
+                            ok1 = (c_ok & o_ok & not_self
                                    & (d2 <= r2_max))
 
                             # stage 2: closest approach (const-accel distance at
                             # t*, reference collision_detection.py:229-294)
-                            dvx, dvy, dvz = cvx - ovx, cvy - ovy, cvz - ovz
-                            rs2 = dvx * dvx + dvy * dvy + dvz * dvz
-                            dot = dxp * dvx + dyp * dvy + dzp * dvz
+                            dvx, dvy = cvx - ovx, cvy - ovy
+                            dvz = None if flat2d else cvz - ovz
+                            rs2 = s3(dvx * dvx + dvy * dvy,
+                                     None if flat2d else dvz * dvz)
+                            dot = s3(dxp * dvx + dyp * dvy,
+                                     None if flat2d else dzp * dvz)
                             rs2s = jnp.where(rs2 > 1e-12, rs2, 1.0)
                             ts = -(conv * dot) / rs2s
-                            dax, day, daz = cax - oax, cay - oay, caz - oaz
+                            dax, day = cax - oax, cay - oay
+                            daz = None if flat2d else caz - oaz
                             cdx = dxp + dvx * ts + 0.5 * dax * ts * ts
                             cdy = dyp + dvy * ts + 0.5 * day * ts * ts
-                            cdz = dzp + dvz * ts + 0.5 * daz * ts * ts
-                            cd2 = cdx * cdx + cdy * cdy + cdz * cdz
+                            cdz = (None if flat2d else
+                                   dzp + dvz * ts + 0.5 * daz * ts * ts)
+                            cd2 = s3(cdx * cdx + cdy * cdy,
+                                     None if flat2d else cdz * cdz)
                             safe = ((osize + csize) * 0.5
                                     + det.safe_distance_base)
                             safe2 = safe * safe
@@ -470,10 +528,13 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             # broadcast add (all ROWS rows get the same
                             # partial, so the scene total is the buffer
                             # sum / ROWS — exact in f32, and ~2x cheaper
-                            # than the old per-own-row RMW, measured)
-                            ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
-                                jnp.where(ok1, 1.0, 0.0), axis=0,
-                                keepdims=True)
+                            # than the old per-own-row RMW, measured).
+                            # Compiled out entirely by count_checked=False
+                            # (~12 ms at 1M).
+                            if det.count_checked:
+                                ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
+                                    jnp.where(ok1, 1.0, 0.0), axis=0,
+                                    keepdims=True)
 
                             # Everything downstream — stage 3/4, priority,
                             # key packing, the remaining counters, slot
@@ -508,9 +569,11 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                     t_hit = jnp.where(inside, 0.0, t_sn)
                                     hdx = dxp + dvx * t_hit
                                     hdy = dyp + dvy * t_hit
-                                    hdz = dzp + dvz * t_hit
-                                    d_hit = jnp.sqrt(hdx * hdx + hdy * hdy
-                                                     + hdz * hdz)
+                                    hdz = (None if flat2d else
+                                           dzp + dvz * t_hit)
+                                    d_hit = jnp.sqrt(s3(
+                                        hdx * hdx + hdy * hdy,
+                                        None if flat2d else hdz * hdz))
 
                                     # stage 4: weighted risk
                                     risk = (
@@ -607,8 +670,11 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     Returns (keys [N, K] f32 packed, idx [N, K] i32 candidate sorted index
     (-1 = empty slot), checked [] i32 SCENE-TOTAL stage-1 pairs (the kernel
     accumulates it broadcast across sublanes — a plain sum of the raw
-    buffer is ROWS x the true count, corrected here), emitted [N] i32,
-    qual [N] i32). mode='hits' emits fast stage-3 hits; mode='survivors'
+    buffer is ROWS x the true count, corrected here; -1 when
+    DetectionConfig.count_checked compiled it out), emitted [N] i32,
+    qual [N] i32 — both ride ONE packed per-object counter buffer
+    (emitted * CNT_PACK + qual, exact to CNT_MAX emitted/step).
+    mode='hits' emits fast stage-3 hits; mode='survivors'
     emits stage-2 survivors for the XLA precise sweep. interpret=True uses
     the Pallas interpreter (CPU tests).
 
@@ -617,9 +683,10 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     pred_params = (offset_s, brow_widen, max_disp_m) traced scalars;
     sub_steps = sub-window sample count; slots rank by predicted risk."""
     assert mode in ("hits", "survivors", "predict")
+    n_wide = 1 if cl.wide_oid else 0
     if mode == "predict":
         assert pred_params is not None and k_slots is not None
-        assert cl.fields.shape[0] == NF + 1, (
+        assert cl.fields.shape[0] == NF + n_wide + 1, (
             "predict mode needs the trajectory-class extra field "
             "(build_cell_list(extra=cls))")
         k = k_slots
@@ -636,12 +703,13 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         "accept the counted alert_overflow, or shard the world")
     T = cl.num_tiles
     wr = cl.window_rows
-    n_out = 2 * k + 3
-    nfk = NF + 1 if mode == "predict" else NF
+    n_out = 2 * k + 2
+    nfk = NF + n_wide + (1 if mode == "predict" else 0)
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
                              shifts=cl.shifts,
                              tables_packed=cl.tables_packed,
-                             k=k, emit=mode, sub_steps=sub_steps)
+                             k=k, emit=mode, sub_steps=sub_steps,
+                             wide_oid=cl.wide_oid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(T,),
@@ -675,9 +743,13 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
     idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)
-    # per-slot partials are small exact f32 ints; sum in int32 (the total
-    # times ROWS can pass 2^24, where f32 summation would round)
-    checked = jnp.sum(outs[2 * k].astype(jnp.int32)) // ROWS
-    emitted, qual = (outs[2 * k + j].reshape(n).astype(jnp.int32)
-                     for j in (1, 2))
+    if cfg.detect.count_checked:
+        # per-slot partials are small exact f32 ints; sum in int32 (the
+        # total times ROWS can pass 2^24, where f32 summation would round)
+        checked = jnp.sum(outs[2 * k].astype(jnp.int32)) // ROWS
+    else:
+        checked = jnp.int32(-1)        # compiled out (DetectionConfig)
+    cnt = outs[2 * k + 1].reshape(n).astype(jnp.int32)
+    emitted = cnt // int(CNT_PACK)
+    qual = cnt % int(CNT_PACK)
     return keys, idx.astype(jnp.int32), checked, emitted, qual

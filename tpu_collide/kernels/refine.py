@@ -76,7 +76,7 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     stage 3; mode='precise' runs the sampled constant-acceleration sweep
     (run this only on compacted survivor lists — it is a T-step loop)."""
     det = cfg.detect
-    flat = cl.fields.reshape(NF, -1)
+    flat = cl.fields.reshape(cl.fields.shape[0], -1)
     nmax = flat.shape[1] - 1
     oi = jnp.clip(own_idx, 0, nmax)
     ci = jnp.clip(cand_idx, 0, nmax)
@@ -96,15 +96,30 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     head_c = flat[_FI["heading"]][ci]
     type_o = flat[_FI["otype"]][oi]
     type_c = flat[_FI["otype"]][ci]
-    oid_o = flat[_FI["oid"]][oi].astype(jnp.int32)
-    oid_c = flat[_FI["oid"]][ci].astype(jnp.int32)
+    # pair identity on the RAW oid fields (halo mirrors keep their mark so
+    # an object and its mirror stay distinct); reported oids are DECODED
+    # (halo unmarked, wide (hi, lo) recombined)
+    lo_o = flat[_FI["oid"]][oi].astype(jnp.int32)
+    lo_c = flat[_FI["oid"]][ci].astype(jnp.int32)
+    if cl.wide_oid:
+        hi_o = flat[NF][oi].astype(jnp.int32)
+        hi_c = flat[NF][ci].astype(jnp.int32)
+        not_self = (lo_o != lo_c) | (hi_o != hi_c)
+        hi_uo = jnp.where(hi_o <= -2, -hi_o - 2, hi_o)
+        hi_uc = jnp.where(hi_c <= -2, -hi_c - 2, hi_c)
+        oid_o = jnp.where(lo_o >= 0, hi_uo * (1 << 24) + lo_o, -1)
+        oid_c = jnp.where(lo_c >= 0, hi_uc * (1 << 24) + lo_c, -1)
+    else:
+        not_self = lo_o != lo_c
+        oid_o = jnp.where(lo_o <= -2, -lo_o - 2, lo_o)
+        oid_c = jnp.where(lo_c <= -2, -lo_c - 2, lo_c)
     alive_o = flat[_FI["row"]][oi] >= 0.0    # row -1 = dead/padding
     alive_c = flat[_FI["row"]][ci] >= 0.0
 
     # stage 1
     rel_pos = pos_c - pos_o
     cur_dist = jnp.linalg.norm(rel_pos, axis=-1)
-    ok1 = (alive_o & alive_c & (oid_o != oid_c)
+    ok1 = (alive_o & alive_c & not_self
            & (cur_dist <= det.search_radius))
 
     # stage 2 (detect/pipeline.py semantics, incl. the sign convention)
@@ -161,14 +176,10 @@ class FusedSceneResult:
                                # coverage loss; 0 means the list is exact
 
 
-def _alert_batch(valid, soid_sel, ref: RefinedPairs, cfg,
-                 decode_other) -> AlertBatch:
-    other = ref.cand_oid
-    if decode_other is not None:
-        other = decode_other(other)
+def _alert_batch(valid, soid_sel, ref: RefinedPairs, cfg) -> AlertBatch:
     return AlertBatch(
         vehicle_oid=jnp.where(valid, soid_sel, -1),
-        other_oid=jnp.where(valid, other, -1),
+        other_oid=jnp.where(valid, ref.cand_oid, -1),
         risk=jnp.where(valid, ref.risk, 0.0),
         ttc=jnp.where(valid, ref.ttc, jnp.inf),
         distance=jnp.where(valid, ref.distance, jnp.inf),
@@ -181,10 +192,7 @@ def _alert_batch(valid, soid_sel, ref: RefinedPairs, cfg,
 
 
 def fused_scene_fast(cl: CellList, cfg: SystemConfig,
-                     interpret: bool = False,
-                     n_own_oid: Optional[int] = None,
-                     decode_other: Optional[Callable] = None
-                     ) -> FusedSceneResult:
+                     interpret: bool = False) -> FusedSceneResult:
     """Fast-mode fused pipeline after the cell-list build: kernel top-k ->
     scene top-A on raw packed keys -> refine selected pairs -> AlertBatch.
 
@@ -193,14 +201,14 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     both directions of a pair may appear. The list equals the XLA scene
     selection whenever alert_overflow == 0.
 
-    n_own_oid (sharded): only rows with oid in [0, n_own_oid) emit alerts /
-    count risks (halo mirrors carry oid + n_own_oid)."""
+    Sharded fleets: halo mirrors carry NEGATED oids (-(id + 2),
+    shard/halo.extend_with_halo mark_halo), so cl.own_flat excludes them
+    from alerts/risk counts and reported oids decode back automatically."""
     keys, idx, checked, emitted, qual = fused_topk(cl, cfg, interpret,
                                                    mode="hits")
     m, k = keys.shape
     soid = cl.oid_flat
-    own = soid >= 0 if n_own_oid is None else (
-        (soid >= 0) & (soid < n_own_oid))
+    own = cl.own_flat
 
     occupied = keys > PACKED_OCC_MIN
     sel = jnp.where(own[:, None] & occupied, keys, PACKED_NONE)
@@ -211,7 +219,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     cand_idx = idx.reshape(-1)[top_flat]
     ref = refine_pairs(cl, own_slot, cand_idx, cfg, mode="fast")
     valid &= ref.hit & (ref.risk >= cfg.alerts.risk_low)
-    alerts = _alert_batch(valid, soid[own_slot], ref, cfg, decode_other)
+    alerts = _alert_batch(valid, soid[own_slot], ref, cfg)
 
     slot_risk = jnp.where(occupied, decode_risk(keys), 0.0)
     return FusedSceneResult(
@@ -225,10 +233,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
 
 
 def fused_scene_precise(cl: CellList, cfg: SystemConfig,
-                        interpret: bool = False,
-                        n_own_oid: Optional[int] = None,
-                        decode_other: Optional[Callable] = None
-                        ) -> FusedSceneResult:
+                        interpret: bool = False) -> FusedSceneResult:
     """Precise-mode fused pipeline: kernel emits per-object stage-2
     survivor slots; survivors compact to `precise_survivor_cap` records;
     the sampled constant-acceleration sweep + risk scoring run on the
@@ -238,8 +243,7 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
                                                    mode="survivors")
     m, k = keys.shape
     soid = cl.oid_flat
-    own = soid >= 0 if n_own_oid is None else (
-        (soid >= 0) & (soid < n_own_oid))
+    own = cl.own_flat
 
     occupied = (keys > PACKED_OCC_MIN) & own[:, None]
     sel = jnp.where(occupied, keys, PACKED_NONE)
@@ -268,8 +272,7 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
     take = lambda x: x[sel_i]
     ref_a = RefinedPairs(**{f.name: take(getattr(ref, f.name))
                             for f in dataclasses.fields(RefinedPairs)})
-    alerts = _alert_batch(valid, soid[own_slot][sel_i], ref_a, cfg,
-                          decode_other)
+    alerts = _alert_batch(valid, soid[own_slot][sel_i], ref_a, cfg)
 
     n_surv = jnp.sum(jnp.where(occupied, 1, 0), dtype=jnp.int32)
     slot_overflow = jnp.sum(
@@ -387,7 +390,8 @@ def fused_predict(state, hist, cfg: SystemConfig,
         v_c = jnp.stack([vcx, vcy, vcz], -1)
         a_o = jnp.stack([aox, aoy, aoz], -1)
         a_c = jnp.stack([acx, acy, acz], -1)
-        c_o = flat[NF][oi].astype(jnp.int32)[:, None]
+        c_o = flat[-1][oi].astype(jnp.int32)[:, None]   # trajectory class
+                                                        # (last sorted field)
         t_o = jnp.float32(o)
         # class-predicted own position (detect/predict._predicted_position)
         p_cv = p_o + v_o * t_o
@@ -397,9 +401,18 @@ def fused_predict(state, hist, cfg: SystemConfig,
         o_pos = p_c + v_c * t_o + 0.5 * a_c * t_o * t_o
         alive_o = flat[_FI["row"]][oi] >= 0.0
         alive_c = flat[_FI["row"]][ci] >= 0.0
-        oid_o = flat[_FI["oid"]][oi]
-        oid_c = flat[_FI["oid"]][ci]
-        ok = (alive_o & alive_c & (oid_o != oid_c)
+        lo_o = flat[_FI["oid"]][oi].astype(jnp.int32)
+        lo_c = flat[_FI["oid"]][ci].astype(jnp.int32)
+        if cl.wide_oid:
+            hi_o = flat[NF][oi].astype(jnp.int32)
+            hi_c = flat[NF][ci].astype(jnp.int32)
+            not_self = (lo_o != lo_c) | (hi_o != hi_c)
+            hi_uc = jnp.where(hi_c <= -2, -hi_c - 2, hi_c)
+            oid_c = jnp.where(lo_c >= 0, hi_uc * (1 << 24) + lo_c, -1)
+        else:
+            not_self = lo_o != lo_c
+            oid_c = jnp.where(lo_c <= -2, -lo_c - 2, lo_c)
+        ok = (alive_o & alive_c & not_self
               & (jnp.linalg.norm(p_c - pred, axis=-1) <= det.search_radius))
         safe = _pair_safe_distance(g("size", oi), g("size", ci), det)
         sub_det = dataclasses.replace(det, time_window=sub_window)
@@ -415,7 +428,7 @@ def fused_predict(state, hist, cfg: SystemConfig,
         risk = jnp.where(hit, risk, 0.0)
         ttc = jnp.where(hit, t_hit + t_o, jnp.inf)
         dist = jnp.where(hit, d_hit, jnp.inf)
-        other = oid_c.astype(jnp.int32)
+        other = oid_c
         kk = idx.shape[1]
         shape = (m, kk)
         return (other.reshape(shape), hit.reshape(shape),

@@ -36,8 +36,9 @@ logger = get_logger(__name__)
 
 def shard_occupancy(state_sharded: ObjectState, cfg: SystemConfig,
                     slots: int) -> np.ndarray:
-    """[D] alive objects per shard (host-side read of the alive mask)."""
-    d = cfg.shard.num_shards
+    """[D] alive objects per shard (host-side read of the alive mask);
+    D = total shards, x-major on the 2D tiling."""
+    d = cfg.shard.total_shards
     alive = np.asarray(state_sharded.alive).reshape(d, slots)
     return alive.sum(axis=1)
 
@@ -115,16 +116,20 @@ class LoadBalancer:
         return near_full or imbalance(occ) > self.overload_ratio
 
     def rebalance(self, state_sharded: ObjectState, mesh):
-        """Collect -> compute quantile slab walls -> redistribute under
-        them. Returns (new_state, boundaries [D+1]); feed the boundaries to
-        every subsequent step call. This is the TPU-native replacement for
-        the reference's region split/merge + shard migration
-        (spatial_index.py:585-679, data_sharding.py:513-564)."""
+        """Collect -> compute quantile slab walls PER AXIS -> redistribute
+        under them. Returns (new_state, boundaries_x [Dx+1], boundaries_y
+        [Dy+1] or None); feed both to every subsequent step call. This is
+        the TPU-native replacement for the reference's region split/merge +
+        shard migration (spatial_index.py:585-679, data_sharding.py:
+        513-564); with a 2D tiling the per-axis quantiles are the
+        octree-split analog — a y-skewed fleet that x walls cannot balance
+        gets balanced by the y walls."""
         from tpu_collide.shard.step import (distribute_state,
                                             check_boundaries)
         from tpu_collide.core.state import state_from_numpy
 
-        d = self.cfg.shard.num_shards
+        dx = self.cfg.shard.num_shards
+        dy = self.cfg.shard.num_shards_y
         fields = {f: np.asarray(getattr(state_sharded, f))
                   for f in ("pos", "vel", "acc", "heading", "size",
                             "otype", "alive", "oid")}
@@ -135,20 +140,28 @@ class LoadBalancer:
             heading=fields["heading"][alive_idx],
             size=fields["size"][alive_idx], otype=fields["otype"][alive_idx],
             oid=fields["oid"][alive_idx])
-        boundaries = quantile_boundaries(
-            fields["pos"][alive_idx, 0], d,
+        bx = quantile_boundaries(
+            fields["pos"][alive_idx, 0], dx,
             self.cfg.world.lo[0], self.cfg.world.hi[0],
             self.min_slab_width())
-        check_boundaries(self.cfg, boundaries)
+        check_boundaries(self.cfg, bx, dim=0)
+        by = None
+        if dy > 1:
+            by = quantile_boundaries(
+                fields["pos"][alive_idx, 1], dy,
+                self.cfg.world.lo[1], self.cfg.world.hi[1],
+                self.min_slab_width())
+            check_boundaries(self.cfg, by, dim=1)
         self.stats["rebalances"] += 1
-        logger.info("rebalanced %d objects across %d shards "
-                    "(occupancy %s, walls %s)",
-                    len(alive_idx), d,
+        logger.info("rebalanced %d objects across %dx%d shards "
+                    "(occupancy %s, x walls %s, y walls %s)",
+                    len(alive_idx), dx, dy,
                     self.last_occupancy.tolist()
                     if self.last_occupancy is not None else "?",
-                    np.round(boundaries, 1).tolist())
+                    np.round(bx, 1).tolist(),
+                    np.round(by, 1).tolist() if by is not None else "-")
         new_state = distribute_state(packed, self.cfg, mesh,
-                                     boundaries=boundaries)
+                                     boundaries=bx, boundaries_y=by)
         self._post_rebalance_occ = shard_occupancy(new_state, self.cfg,
                                                    self.slots)
-        return new_state, boundaries
+        return new_state, bx, by

@@ -30,17 +30,27 @@ from tpu_collide.core.state import ObjectState
 _XCHG_FIELDS = ("pos", "vel", "acc", "heading", "size", "otype", "oid")
 
 
+def axis_shards(cfg: SystemConfig, dim: int) -> Tuple[int, str]:
+    """(device count, mesh axis name) of world axis `dim` (0 = x slabs,
+    1 = y slabs of the 2D tiling)."""
+    if dim == 0:
+        return cfg.shard.num_shards, cfg.shard.axis_name
+    assert dim == 1
+    return cfg.shard.num_shards_y, cfg.shard.axis_name_y
+
+
 def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array,
-                boundaries: jax.Array | None = None
-                ) -> Tuple[jax.Array, jax.Array]:
-    """[lo_x, hi_x) of this shard's slab.
+                boundaries: jax.Array | None = None,
+                dim: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """[lo, hi) of this shard's slab along world axis `dim`.
 
     boundaries: optional [D+1] f32 wall positions (replicated inside the
     step) — the dynamic re-tiling the reference did with region split/merge
     (spatial_index.py:585-679). None = equal slabs."""
     if boundaries is None:
-        lo = cfg.world.lo[0]
-        width = (cfg.world.hi[0] - cfg.world.lo[0]) / cfg.shard.num_shards
+        d, _ = axis_shards(cfg, dim)
+        lo = cfg.world.lo[dim]
+        width = (cfg.world.hi[dim] - cfg.world.lo[dim]) / d
         slab_lo = lo + width * shard_idx.astype(jnp.float32)
         return slab_lo, slab_lo + width
     slab_lo = boundaries[shard_idx]
@@ -49,16 +59,17 @@ def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array,
 
 
 def pack(state: ObjectState, mask: jax.Array, capacity: int,
-         boundary_x: jax.Array, extra=None):
+         boundary: jax.Array, extra=None, dim: int = 0):
     """Compact up to `capacity` masked objects into a send buffer.
 
     When more than `capacity` objects match, those CLOSEST to the boundary
-    win (they matter most for detection). Returns (buffer dict, valid [cap],
-    dropped count). `extra` (optional dict name -> [N,...] array) rides
-    along under 'x:'-prefixed keys — used by the scenario step to migrate
-    per-object mode/road/target state with the object."""
+    (along world axis `dim`) win (they matter most for detection). Returns
+    (buffer dict, valid [cap], dropped count). `extra` (optional dict
+    name -> [N,...] array) rides along under 'x:'-prefixed keys — used by
+    the scenario step to migrate per-object mode/road/target state with
+    the object."""
     # rank: masked objects first, nearest the boundary first
-    d = jnp.abs(state.pos[:, 0] - boundary_x)
+    d = jnp.abs(state.pos[:, dim] - boundary)
     key = jnp.where(mask, d, jnp.inf)
     idx = jnp.argsort(key)[:capacity]
     valid = mask[idx]
@@ -74,12 +85,14 @@ def _ppermute(tree, axis_name: str, perm):
     return jax.tree.map(lambda x: jax.lax.ppermute(x, axis_name, perm), tree)
 
 
-def exchange_neighbors(buf_l, valid_l, buf_r, valid_r, cfg: SystemConfig):
-    """Send (buf_l, valid_l) to the left slab neighbor and (buf_r, valid_r)
-    to the right; returns what arrived ((from_right), (from_left)).
-    Edge shards receive zeros (valid=False)."""
-    d = cfg.shard.num_shards
-    ax = cfg.shard.axis_name
+def exchange_neighbors(buf_l, valid_l, buf_r, valid_r, cfg: SystemConfig,
+                       dim: int = 0):
+    """Send (buf_l, valid_l) to the lower slab neighbor and (buf_r, valid_r)
+    to the upper, along world axis `dim`'s mesh axis; returns what arrived
+    ((from_upper), (from_lower)). Edge shards receive zeros (valid=False).
+    On a 2D mesh, devices sharing the other coordinate exchange
+    independently (ppermute permutes along ONE named axis)."""
+    d, ax = axis_shards(cfg, dim)
     to_left = [(i, i - 1) for i in range(1, d)]
     to_right = [(i, i + 1) for i in range(d - 1)]
     in_from_right = _ppermute((buf_l, valid_l), ax, to_left)
@@ -119,28 +132,32 @@ def place(state: ObjectState, buf, valid: jax.Array, extra=None):
 def migrate(state: ObjectState, cfg: SystemConfig,
             shard_idx: jax.Array,
             boundaries: jax.Array | None = None,
-            extra=None):
-    """Move objects whose x left the local slab to the neighbor shard.
-    Objects can only cross one slab per step when
-    max_speed * dt < min slab width (checked statically at mesh build for
-    equal slabs; enforced via min_width at rebalance for dynamic ones).
+            extra=None, dim: int = 0):
+    """Move objects whose `dim`-coordinate left the local slab to the
+    neighbor shard along that axis. Objects can only cross one slab per
+    step when max_speed * dt < min slab width (checked statically at mesh
+    build for equal slabs; enforced via min_width at rebalance for dynamic
+    ones). On a 2D tiling this runs twice — x phase then y phase — so a
+    corner-crossing object reaches its diagonal neighbor in two hops
+    within the same step.
 
     Returns (state, dropped) — or (state, extra, dropped) when `extra`
     per-object arrays (e.g. scenario mode/road/target) migrate along."""
-    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries)
-    d = cfg.shard.num_shards
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries, dim)
+    d, _ = axis_shards(cfg, dim)
     m = cfg.shard.migrate_capacity
 
-    go_l = state.alive & (state.pos[:, 0] < slab_lo) & (shard_idx > 0)
-    go_r = state.alive & (state.pos[:, 0] >= slab_hi) & (shard_idx < d - 1)
+    c = state.pos[:, dim]
+    go_l = state.alive & (c < slab_lo) & (shard_idx > 0)
+    go_r = state.alive & (c >= slab_hi) & (shard_idx < d - 1)
 
-    buf_l, val_l, drop_l = pack(state, go_l, m, slab_lo, extra=extra)
-    buf_r, val_r, drop_r = pack(state, go_r, m, slab_hi, extra=extra)
+    buf_l, val_l, drop_l = pack(state, go_l, m, slab_lo, extra=extra, dim=dim)
+    buf_r, val_r, drop_r = pack(state, go_r, m, slab_hi, extra=extra, dim=dim)
     # emigrants leave regardless; a dropped emigrant is lost (counted)
     state = kill(state, go_l | go_r)
 
     (in_r, inval_r), (in_l, inval_l) = exchange_neighbors(
-        buf_l, val_l, buf_r, val_r, cfg)
+        buf_l, val_l, buf_r, val_r, cfg, dim)
     if extra is None:
         state, drop_pl = place(state, in_l, inval_l)
         state, drop_pr = place(state, in_r, inval_r)
@@ -152,23 +169,30 @@ def migrate(state: ObjectState, cfg: SystemConfig,
 
 def halo_exchange(state: ObjectState, cfg: SystemConfig,
                   shard_idx: jax.Array,
-                  boundaries: jax.Array | None = None):
-    """Mirror boundary bands to slab neighbors.
+                  boundaries: jax.Array | None = None,
+                  dim: int = 0, width: float | None = None,
+                  capacity: int | None = None):
+    """Mirror boundary bands to slab neighbors along world axis `dim`.
 
     Returns (halo_buf, halo_valid, dropped): the 2*halo_capacity foreign
-    objects visible to this shard this step."""
-    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries)
-    d = cfg.shard.num_shards
-    h = cfg.shard.halo_capacity
-    w = cfg.shard.halo_width
+    objects visible to this shard this step. For the 2D tiling's y phase,
+    pass the x-EXTENDED state (owned + x halo): re-mirroring the x halo in
+    y is what covers corner neighborhoods. width/capacity override the
+    ShardConfig band (the sharded PREDICT path widens the band by the
+    predicted-displacement bound, shard/predict.py)."""
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries, dim)
+    d, _ = axis_shards(cfg, dim)
+    h = cfg.shard.halo_capacity if capacity is None else capacity
+    w = cfg.shard.halo_width if width is None else width
 
-    near_l = state.alive & (state.pos[:, 0] < slab_lo + w) & (shard_idx > 0)
-    near_r = state.alive & (state.pos[:, 0] >= slab_hi - w) & (shard_idx < d - 1)
+    c = state.pos[:, dim]
+    near_l = state.alive & (c < slab_lo + w) & (shard_idx > 0)
+    near_r = state.alive & (c >= slab_hi - w) & (shard_idx < d - 1)
 
-    buf_l, val_l, drop_l = pack(state, near_l, h, slab_lo)
-    buf_r, val_r, drop_r = pack(state, near_r, h, slab_hi)
+    buf_l, val_l, drop_l = pack(state, near_l, h, slab_lo, dim=dim)
+    buf_r, val_r, drop_r = pack(state, near_r, h, slab_hi, dim=dim)
     (in_r, inval_r), (in_l, inval_l) = exchange_neighbors(
-        buf_l, val_l, buf_r, val_r, cfg)
+        buf_l, val_l, buf_r, val_r, cfg, dim)
 
     halo_buf = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), in_l, in_r)
     halo_valid = jnp.concatenate([inval_l, inval_r])
@@ -176,19 +200,21 @@ def halo_exchange(state: ObjectState, cfg: SystemConfig,
 
 
 def extend_with_halo(state: ObjectState, halo_buf, halo_valid,
-                     halo_oid_offset: int = 0) -> ObjectState:
+                     mark_halo: bool = False) -> ObjectState:
     """Concatenate owned slots with halo mirrors into one detection-ready
     state. Halo rows are alive (so they appear as candidates) but callers
     must not emit alerts for them (use query_mask, or — for the fused
-    kernel, which sorts rows — pass halo_oid_offset >= the global object
-    count so halo mirrors are distinguishable by oid after sorting)."""
+    kernel, which sorts rows — pass mark_halo=True so mirror oids are
+    NEGATED to -(oid + 2): distinguishable after sorting without burning
+    any id range (-1 stays the dead sentinel); kernels/refine decodes them
+    back when reporting)."""
     ext = {}
     for f in _XCHG_FIELDS:
         ext[f] = jnp.concatenate([getattr(state, f), halo_buf[f]])
-    if halo_oid_offset:
+    if mark_halo:
         n_own = state.oid.shape[0]
         tail = ext["oid"][n_own:]
         ext["oid"] = jnp.concatenate(
-            [state.oid, jnp.where(tail >= 0, tail + halo_oid_offset, tail)])
+            [state.oid, jnp.where(tail >= 0, -(tail + 2), tail)])
     alive = jnp.concatenate([state.alive, halo_valid])
     return ObjectState(alive=alive, **ext)

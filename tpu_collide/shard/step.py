@@ -31,34 +31,67 @@ from tpu_collide.engine import StepOutput
 
 def shard_slots(cfg: SystemConfig) -> int:
     """Per-shard slot capacity: even split x headroom, padded to 8."""
-    d = cfg.shard.num_shards
+    d = cfg.shard.total_shards
     base = -(-cfg.num_objects // d)
     slots = int(base * cfg.shard.slot_headroom)
     return -(-slots // 8) * 8
 
 
 def make_mesh(cfg: SystemConfig, devices=None) -> Mesh:
-    d = cfg.shard.num_shards
+    """1D x-slab mesh, or — when ShardConfig.num_shards_y > 1 — a 2D
+    (x, y) device grid (the reference's octree-region tiling analog,
+    spatial_index.py:716-769). Device (i, j) owns tile
+    [x_walls[i], x_walls[i+1]) x [y_walls[j], y_walls[j+1])."""
+    import numpy as np
+    dx = cfg.shard.num_shards
+    dy = cfg.shard.num_shards_y
+    d = dx * dy
     if devices is None:
         devices = jax.devices()[:d]
     assert len(devices) == d, f"need {d} devices, have {len(devices)}"
-    slab_w = (cfg.world.hi[0] - cfg.world.lo[0]) / d
-    assert cfg.sim.max_speed * cfg.sim.dt < slab_w, \
-        "objects could cross more than one slab per step"
     assert cfg.shard.halo_width >= cfg.detect.search_radius, \
         "halo must cover the detection search radius"
-    import numpy as np
+    step_reach = cfg.sim.max_speed * cfg.sim.dt
+    assert step_reach < (cfg.world.hi[0] - cfg.world.lo[0]) / dx, \
+        "objects could cross more than one x-slab per step"
+    if dy > 1:
+        assert step_reach < (cfg.world.hi[1] - cfg.world.lo[1]) / dy, \
+            "objects could cross more than one y-slab per step"
+        return Mesh(np.asarray(devices).reshape(dx, dy),
+                    (cfg.shard.axis_name, cfg.shard.axis_name_y))
     return Mesh(np.asarray(devices), (cfg.shard.axis_name,))
 
 
+def _mesh_axes(cfg: SystemConfig):
+    """Mesh axis names to psum over: (x,) for 1D, (x, y) for the 2D grid."""
+    if cfg.shard.num_shards_y > 1:
+        return (cfg.shard.axis_name, cfg.shard.axis_name_y)
+    return (cfg.shard.axis_name,)
+
+
+def _halo_extend(state: ObjectState, cfg: SystemConfig,
+                 sx: jax.Array, sy: jax.Array,
+                 bx: jax.Array, by: jax.Array, mark: bool):
+    """The (up to) two-phase halo: mirror x bands, then — on a 2D grid —
+    mirror y bands of the x-EXTENDED state so corner neighborhoods arrive
+    via two hops. Returns (ext_state, dropped)."""
+    bufx, valx, dropx = halo_exchange(state, cfg, sx, bx, dim=0)
+    ext = extend_with_halo(state, bufx, valx, mark_halo=mark)
+    dropped = dropx
+    if cfg.shard.num_shards_y > 1:
+        bufy, valy, dropy = halo_exchange(ext, cfg, sy, by, dim=1)
+        ext = extend_with_halo(ext, bufy, valy, mark_halo=mark)
+        dropped = dropped + dropy
+    return ext, dropped
+
+
 def _detect_tail_xla(state: ObjectState, cfg: SystemConfig,
-                     boundaries: jax.Array, s: jax.Array) -> StepOutput:
+                     sx: jax.Array, sy: jax.Array,
+                     bx: jax.Array, by: jax.Array) -> StepOutput:
     """Halo exchange + XLA detection over owned + halo rows; alerts
     emitted only for owned rows; stats psum-reduced."""
-    ax = cfg.shard.axis_name
-    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
-                                                       boundaries)
-    ext = extend_with_halo(state, halo_buf, halo_valid)
+    ax = _mesh_axes(cfg)
+    ext, halo_dropped = _halo_extend(state, cfg, sx, sy, bx, by, mark=False)
     index = build_grid(ext.pos, ext.alive, cfg)
     pairs = detect_pairs(ext, index, cfg)
     n_own = state.n
@@ -84,32 +117,29 @@ def _detect_tail_xla(state: ObjectState, cfg: SystemConfig,
 
 
 def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
-                       boundaries: jax.Array, s: jax.Array,
+                       sx: jax.Array, sy: jax.Array,
+                       bx: jax.Array, by: jax.Array,
                        interpret: bool,
                        window_rows: int | None = None) -> StepOutput:
     """Halo exchange + fused-kernel detection (both modes). Halo mirrors
-    carry oid + num_objects so they are distinguishable after the
-    cell-list sort; only owner rows emit alerts."""
+    carry NEGATED oids (-(oid + 2)) so they are distinguishable after the
+    cell-list sort without burning any id range; only owner rows emit
+    alerts (kernels/refine masks by cl.own_flat and decodes ids back)."""
     from tpu_collide.kernels.cell_list import build_cell_list
     from tpu_collide.kernels.refine import (fused_scene_fast,
                                             fused_scene_precise)
-    ax = cfg.shard.axis_name
-    n_glob = cfg.num_objects
-    halo_buf, halo_valid, halo_dropped = halo_exchange(state, cfg, s,
-                                                       boundaries)
-    ext = extend_with_halo(state, halo_buf, halo_valid,
-                           halo_oid_offset=n_glob)
+    ax = _mesh_axes(cfg)
+    ext, halo_dropped = _halo_extend(state, cfg, sx, sy, bx, by, mark=True)
     cl = build_cell_list(ext, cfg, window_rows=window_rows)
     scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
                 else fused_scene_precise)
-    res = scene_fn(cl, cfg, interpret=interpret, n_own_oid=n_glob,
-                   decode_other=lambda o: jnp.where(o >= n_glob,
-                                                    o - n_glob, o))
+    res = scene_fn(cl, cfg, interpret=interpret)
     alerts = dataclasses.replace(res.alerts,
                                  count=res.alerts.count.reshape(1))
     return StepOutput(
         alerts=alerts,
-        num_pairs_checked=jax.lax.psum(res.num_checked, ax),
+        num_pairs_checked=(jax.lax.psum(res.num_checked, ax)
+                           if cfg.detect.count_checked else jnp.int32(-1)),
         num_risks=jax.lax.psum(res.num_risks, ax),
         max_risk=jax.lax.pmax(res.max_risk, ax),
         num_alive=jax.lax.psum(jnp.sum(state.alive, dtype=jnp.int32), ax),
@@ -118,48 +148,100 @@ def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
     ), halo_dropped
 
 
-def _local_step(state: ObjectState, key: jax.Array, boundaries: jax.Array,
-                cfg: SystemConfig
-                ) -> Tuple[ObjectState, StepOutput, jax.Array]:
+def _shard_coords(cfg: SystemConfig):
+    """(sx, sy) mesh coordinates of this device (sy = 0 on a 1D mesh)."""
+    sx = jax.lax.axis_index(cfg.shard.axis_name)
+    if cfg.shard.num_shards_y > 1:
+        sy = jax.lax.axis_index(cfg.shard.axis_name_y)
+    else:
+        sy = jnp.int32(0)
+    return sx, sy
+
+
+def _migrate_phases(state, cfg, sx, sy, bx, by, extra=None):
+    """x-phase migration, then the y phase on a 2D grid (a corner-crossing
+    object reaches its diagonal neighbor in two hops)."""
+    if extra is None:
+        state, dropped = migrate(state, cfg, sx, bx, dim=0)
+        if cfg.shard.num_shards_y > 1:
+            state, dy_ = migrate(state, cfg, sy, by, dim=1)
+            dropped = dropped + dy_
+        return state, dropped
+    state, extra, dropped = migrate(state, cfg, sx, bx, extra=extra, dim=0)
+    if cfg.shard.num_shards_y > 1:
+        state, extra, dy_ = migrate(state, cfg, sy, by, extra=extra, dim=1)
+        dropped = dropped + dy_
+    return state, extra, dropped
+
+
+def _hist_extra(hist):
+    """Trajectory-history arrays as migration `extra` fields (histories
+    travel WITH their object across walls — shard/predict.py)."""
+    return {"hpos": hist.pos, "ht": hist.t,
+            "hcount": hist.count, "hhead": hist.head}
+
+
+def _hist_from_extra(extra):
+    from tpu_collide.detect.predict import TrajectoryHistory
+    return TrajectoryHistory(pos=extra["hpos"], t=extra["ht"],
+                             count=extra["hcount"], head=extra["hhead"])
+
+
+def _local_step(state: ObjectState, key: jax.Array, bx: jax.Array,
+                by: jax.Array, cfg: SystemConfig, hist=None):
     """Per-shard body. state/key are the LOCAL shard ([slots] arrays);
-    boundaries is the replicated [D+1] slab-wall array (dynamic
-    re-tiling, shard/balance.py)."""
-    ax = cfg.shard.axis_name
-    s = jax.lax.axis_index(ax)
-    key = jax.random.fold_in(key, s)
+    bx/by are the replicated [Dx+1]/[Dy+1] slab-wall arrays (dynamic
+    re-tiling, shard/balance.py). With `hist`, trajectory histories
+    migrate alongside their objects."""
+    sx, sy = _shard_coords(cfg)
+    key = jax.random.fold_in(key, sx * cfg.shard.num_shards_y + sy)
 
     # physics on owned objects
     state = integrate(state, key, cfg)
 
     # migration: ownership follows position
-    state, mig_dropped = migrate(state, cfg, s, boundaries)
+    if hist is None:
+        state, mig_dropped = _migrate_phases(state, cfg, sx, sy, bx, by)
+    else:
+        state, extra, mig_dropped = _migrate_phases(
+            state, cfg, sx, sy, bx, by, extra=_hist_extra(hist))
+        hist = _hist_from_extra(extra)
 
-    out, halo_dropped = _detect_tail_xla(state, cfg, boundaries, s)
-    return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
+    out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, bx, by)
+    dropped = mig_dropped.reshape(1) + halo_dropped.reshape(1)
+    if hist is None:
+        return state, out, dropped
+    return state, hist, out, dropped
 
 
 def _local_step_fused(state: ObjectState, key: jax.Array,
-                      boundaries: jax.Array, cfg: SystemConfig,
+                      bx: jax.Array, by: jax.Array, cfg: SystemConfig,
                       interpret: bool = False,
-                      window_rows: int | None = None
-                      ) -> Tuple[ObjectState, StepOutput, jax.Array]:
+                      window_rows: int | None = None, hist=None):
     """Per-shard body on the fused Pallas kernel (both 'fast' and 'precise'
     detection modes): integrate -> migrate -> halo -> cell-list build +
     fused broad/narrow top-k slots + XLA refine -> per-shard alert top-k.
     The other endpoint's shard emits its own direction of each
     cross-boundary pair, matching the single-device fused path."""
-    ax = cfg.shard.axis_name
-    s = jax.lax.axis_index(ax)
-    key = jax.random.fold_in(key, s)
+    sx, sy = _shard_coords(cfg)
+    key = jax.random.fold_in(key, sx * cfg.shard.num_shards_y + sy)
     state = integrate(state, key, cfg)
-    state, mig_dropped = migrate(state, cfg, s, boundaries)
-    out, halo_dropped = _detect_tail_fused(state, cfg, boundaries, s,
+    if hist is None:
+        state, mig_dropped = _migrate_phases(state, cfg, sx, sy, bx, by)
+    else:
+        state, extra, mig_dropped = _migrate_phases(
+            state, cfg, sx, sy, bx, by, extra=_hist_extra(hist))
+        hist = _hist_from_extra(extra)
+    out, halo_dropped = _detect_tail_fused(state, cfg, sx, sy, bx, by,
                                            interpret, window_rows)
-    return state, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
+    dropped = mig_dropped.reshape(1) + halo_dropped.reshape(1)
+    if hist is None:
+        return state, out, dropped
+    return state, hist, out, dropped
 
 
 def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
-                         boundaries: jax.Array, cfg: SystemConfig,
+                         bx: jax.Array, by: jax.Array, cfg: SystemConfig,
                          roads, cities, backend: str,
                          interpret: bool = False,
                          window_rows: int | None = None):
@@ -169,66 +251,84 @@ def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
     detection tail on either backend."""
     from tpu_collide.sim.scenario import scenario_integrate, ScenarioState
 
-    ax = cfg.shard.axis_name
-    s = jax.lax.axis_index(ax)
-    key = jax.random.fold_in(key, s)
+    sx, sy = _shard_coords(cfg)
+    key = jax.random.fold_in(key, sx * cfg.shard.num_shards_y + sy)
     state, scen = scenario_integrate(state, scen, key, cfg, roads, cities)
     extra = {"mode": scen.mode, "road": scen.road,
              "target": scen.target, "target_ok": scen.target_ok}
-    state, extra, mig_dropped = migrate(state, cfg, s, boundaries,
-                                        extra=extra)
+    state, extra, mig_dropped = _migrate_phases(state, cfg, sx, sy, bx, by,
+                                                extra=extra)
     scen = ScenarioState(**extra)
     if backend == "fused":
-        out, halo_dropped = _detect_tail_fused(state, cfg, boundaries, s,
+        out, halo_dropped = _detect_tail_fused(state, cfg, sx, sy, bx, by,
                                                interpret, window_rows)
     else:
-        out, halo_dropped = _detect_tail_xla(state, cfg, boundaries, s)
+        out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, bx, by)
     return state, scen, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
-def equal_boundaries(cfg: SystemConfig):
-    """Default [D+1] slab walls: equal x-slabs."""
+def equal_boundaries(cfg: SystemConfig, dim: int = 0):
+    """Default [D+1] slab walls along world axis `dim`: equal slabs."""
     import numpy as np
-    d = cfg.shard.num_shards
-    return jnp.asarray(np.linspace(cfg.world.lo[0], cfg.world.hi[0], d + 1),
-                       jnp.float32)
+    d = cfg.shard.num_shards if dim == 0 else cfg.shard.num_shards_y
+    return jnp.asarray(np.linspace(cfg.world.lo[dim], cfg.world.hi[dim],
+                                   d + 1), jnp.float32)
 
 
-def check_boundaries(cfg: SystemConfig, boundaries) -> None:
-    """Host-side validity check for dynamic slab walls: monotone, pinned to
-    world bounds, and wide enough that (a) the halo band covers the search
-    radius and (b) no object can cross more than one slab per step."""
+def check_boundaries(cfg: SystemConfig, boundaries, dim: int = 0) -> None:
+    """Host-side validity check for dynamic slab walls along world axis
+    `dim`: monotone, pinned to world bounds, and wide enough that (a) the
+    halo band covers the search radius and (b) no object can cross more
+    than one slab per step."""
     import numpy as np
     b = np.asarray(boundaries)
-    assert b.shape == (cfg.shard.num_shards + 1,)
-    assert abs(b[0] - cfg.world.lo[0]) < 1e-3
-    assert abs(b[-1] - cfg.world.hi[0]) < 1e-3
+    d = cfg.shard.num_shards if dim == 0 else cfg.shard.num_shards_y
+    assert b.shape == (d + 1,)
+    assert abs(b[0] - cfg.world.lo[dim]) < 1e-3
+    assert abs(b[-1] - cfg.world.hi[dim]) < 1e-3
     min_w = float(np.diff(b).min())
     need = max(cfg.shard.halo_width, cfg.sim.max_speed * cfg.sim.dt)
     assert min_w >= need, (
-        f"slab width {min_w:.1f} < required {need:.1f} "
+        f"axis-{dim} slab width {min_w:.1f} < required {need:.1f} "
         f"(halo_width / max_speed*dt)")
+
+
+def _state_spec_axes(cfg: SystemConfig):
+    """PartitionSpec leading-dim entry: the x axis alone on a 1D mesh, the
+    (x, y) pair on the 2D grid (device (i, j) owns block i*Dy + j — the
+    same linear order distribute_state writes)."""
+    if cfg.shard.num_shards_y > 1:
+        return (cfg.shard.axis_name, cfg.shard.axis_name_y)
+    return cfg.shard.axis_name
 
 
 def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
                       backend: str = "xla", interpret: bool = False,
-                      window_rows: int | None = None):
+                      window_rows: int | None = None,
+                      with_history: bool = False):
     """Compile the SPMD step. State layout: every array's leading dim is
     num_shards * shard_slots(cfg), sharded along the mesh axis; each shard
     owns the slots of its slab. backend='fused' runs the Pallas cell-list
     kernel per shard (both detection modes; interpret=True for CPU tests).
 
-    The returned callable is step(state, key, boundaries=None): boundaries
-    is an optional [D+1] slab-wall array (see shard/balance.py re-tiling);
-    None uses equal slabs."""
-    ax = cfg.shard.axis_name
+    The returned callable is step(state, key, boundaries=None,
+    boundaries_y=None): boundaries / boundaries_y are optional [Dx+1] /
+    [Dy+1] slab-wall arrays (see shard/balance.py re-tiling); None uses
+    equal slabs. On a 1D mesh boundaries_y is ignored.
+
+    with_history=True: the callable becomes step(state, hist, key,
+    boundaries=None, boundaries_y=None) -> (state, hist, out, dropped) —
+    the TrajectoryHistory migrates with its objects across walls so the
+    sharded predict path (shard/predict.py) stays classification-correct
+    after migration."""
+    sdim = _state_spec_axes(cfg)
     spec_state = ObjectState(
-        pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
-        otype=P(ax), alive=P(ax), oid=P(ax))
+        pos=P(sdim), vel=P(sdim), acc=P(sdim), heading=P(sdim), size=P(sdim),
+        otype=P(sdim), alive=P(sdim), oid=P(sdim))
     spec_alerts = AlertBatch(
-        vehicle_oid=P(ax), other_oid=P(ax), risk=P(ax), ttc=P(ax),
-        distance=P(ax), rel_speed=P(ax), priority=P(ax), col_pos=P(ax),
-        valid=P(ax), count=P(ax))
+        vehicle_oid=P(sdim), other_oid=P(sdim), risk=P(sdim), ttc=P(sdim),
+        distance=P(sdim), rel_speed=P(sdim), priority=P(sdim),
+        col_pos=P(sdim), valid=P(sdim), count=P(sdim))
     # psum/pmax-reduced scalars are replicated across the mesh -> P()
     spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
                           num_risks=P(), max_risk=P(), num_alive=P(),
@@ -244,19 +344,45 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
     else:
         body = partial(_local_step, cfg=cfg)
         check_vma = True
+    default_bx = equal_boundaries(cfg, 0)
+    default_by = equal_boundaries(cfg, 1)
+
+    if with_history:
+        from tpu_collide.detect.predict import TrajectoryHistory
+        spec_hist = TrajectoryHistory(pos=P(sdim), t=P(sdim),
+                                      count=P(sdim), head=P(sdim))
+
+        def body_h(state, hist, key, bx, by):
+            return body(state, key, bx, by, hist=hist)
+
+        f = jax.shard_map(
+            body_h, mesh=mesh,
+            in_specs=(spec_state, spec_hist, P(), P(), P()),
+            out_specs=(spec_state, spec_hist, spec_out, P(sdim)),
+            check_vma=check_vma,
+        )
+        jf = jax.jit(f, donate_argnums=(0, 1) if donate else ())
+
+        def step_h(state, hist, key, boundaries=None, boundaries_y=None):
+            return jf(state, hist, key,
+                      default_bx if boundaries is None else boundaries,
+                      default_by if boundaries_y is None else boundaries_y)
+
+        return step_h
+
     f = jax.shard_map(
         body, mesh=mesh,
         # key + boundaries replicated (key folded per shard in the body)
-        in_specs=(spec_state, P(), P()),
-        out_specs=(spec_state, spec_out, P(ax)),
+        in_specs=(spec_state, P(), P(), P()),
+        out_specs=(spec_state, spec_out, P(sdim)),
         check_vma=check_vma,
     )
     jf = jax.jit(f, donate_argnums=(0,) if donate else ())
-    default_b = equal_boundaries(cfg)
 
-    def step(state, key, boundaries=None):
+    def step(state, key, boundaries=None, boundaries_y=None):
         return jf(state, key,
-                  default_b if boundaries is None else boundaries)
+                  default_bx if boundaries is None else boundaries,
+                  default_by if boundaries_y is None else boundaries_y)
 
     return step
 
@@ -268,20 +394,20 @@ def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
     """Sharded step with device movement modes: per-object scenario state
     (mode/road/target) is sharded alongside the fleet and MIGRATES with
     objects across slab walls; road/city tables are replicated. Returned
-    callable: step(state, scen, key, boundaries=None) ->
+    callable: step(state, scen, key, boundaries=None, boundaries_y=None) ->
     (state, scen, StepOutput, dropped[D])."""
     from tpu_collide.sim.scenario import ScenarioState
 
-    ax = cfg.shard.axis_name
+    sdim = _state_spec_axes(cfg)
     spec_state = ObjectState(
-        pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
-        otype=P(ax), alive=P(ax), oid=P(ax))
-    spec_scen = ScenarioState(mode=P(ax), road=P(ax), target=P(ax),
-                              target_ok=P(ax))
+        pos=P(sdim), vel=P(sdim), acc=P(sdim), heading=P(sdim), size=P(sdim),
+        otype=P(sdim), alive=P(sdim), oid=P(sdim))
+    spec_scen = ScenarioState(mode=P(sdim), road=P(sdim), target=P(sdim),
+                              target_ok=P(sdim))
     spec_alerts = AlertBatch(
-        vehicle_oid=P(ax), other_oid=P(ax), risk=P(ax), ttc=P(ax),
-        distance=P(ax), rel_speed=P(ax), priority=P(ax), col_pos=P(ax),
-        valid=P(ax), count=P(ax))
+        vehicle_oid=P(sdim), other_oid=P(sdim), risk=P(sdim), ttc=P(sdim),
+        distance=P(sdim), rel_speed=P(sdim), priority=P(sdim),
+        col_pos=P(sdim), valid=P(sdim), count=P(sdim))
     spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
                           num_risks=P(), max_risk=P(), num_alive=P(),
                           overflow=P(), alert_overflow=P())
@@ -290,52 +416,63 @@ def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
     body = partial(_local_step_scenario, cfg=cfg, backend=backend,
                    interpret=interpret, window_rows=window_rows)
 
-    def wrapped(state, scen, key, boundaries, roads_, cities_):
-        return body(state, scen, key, boundaries, roads=roads_,
+    def wrapped(state, scen, key, bx, by, roads_, cities_):
+        return body(state, scen, key, bx, by, roads=roads_,
                     cities=cities_)
 
     f = jax.shard_map(
         wrapped, mesh=mesh,
-        in_specs=(spec_state, spec_scen, P(), P()) + spec_tables,
-        out_specs=(spec_state, spec_scen, spec_out, P(ax)),
+        in_specs=(spec_state, spec_scen, P(), P(), P()) + spec_tables,
+        out_specs=(spec_state, spec_scen, spec_out, P(sdim)),
         # fused pallas outputs carry no VMA metadata (see make_sharded_step)
         check_vma=(backend != "fused"),
     )
     jf = jax.jit(f, donate_argnums=(0, 1) if donate else ())
-    default_b = equal_boundaries(cfg)
+    default_bx = equal_boundaries(cfg, 0)
+    default_by = equal_boundaries(cfg, 1)
 
-    def step(state, scen, key, boundaries=None):
+    def step(state, scen, key, boundaries=None, boundaries_y=None):
         return jf(state, scen, key,
-                  default_b if boundaries is None else boundaries,
+                  default_bx if boundaries is None else boundaries,
+                  default_by if boundaries_y is None else boundaries_y,
                   roads, cities)
 
     return step
 
 
 def _local_apply_updates(state: ObjectState, upd: dict,
-                         boundaries: jax.Array, cfg: SystemConfig):
+                         bx: jax.Array, by: jax.Array, cfg: SystemConfig):
     """Per-shard body for sharded ingest: apply a replicated batch of
     location updates (SORTED by oid, -1-padded) to whichever shard owns
     each update's position. Existing copies update in place; copies now
     owned by a different shard are killed there; new/migrated objects
     insert into free slots. Returns (state, dropped)."""
-    ax = cfg.shard.axis_name
-    s = jax.lax.axis_index(ax)
-    d = cfg.shard.num_shards
+    sx, sy = _shard_coords(cfg)
+    dx = cfg.shard.num_shards
+    dy = cfg.shard.num_shards_y
     b_oid = upd["oid"]                               # [B] i32 sorted, -1 pad
     bsz = b_oid.shape[0]
-    owner = jnp.clip(
-        jnp.searchsorted(boundaries, upd["pos"][:, 0], side="right") - 1,
-        0, d - 1)
+    is_mine = (jnp.clip(jnp.searchsorted(bx, upd["pos"][:, 0],
+                                         side="right") - 1, 0, dx - 1) == sx)
+    if dy > 1:
+        is_mine &= (jnp.clip(jnp.searchsorted(by, upd["pos"][:, 1],
+                                              side="right") - 1,
+                             0, dy - 1) == sy)
     valid_upd = b_oid >= 0
-    mine = valid_upd & (owner == s)
+    mine = valid_upd & is_mine
 
-    # match local slots against the batch (batch is oid-sorted)
-    pos_in_b = jnp.clip(jnp.searchsorted(b_oid, state.oid), 0, bsz - 1)
+    # match local slots against the batch. The batch's REAL oids are
+    # ascending but the -1 padding sits at the tail, which would break the
+    # binary search (r2 bug: existing objects never matched, so a
+    # cross-shard update duplicated the object instead of moving it —
+    # caught by tests/test_mesh2d.py::test_mesh2d_sharded_ingest); send
+    # padding to +inf for the search.
+    b_key = jnp.where(b_oid >= 0, b_oid, jnp.iinfo(jnp.int32).max)
+    pos_in_b = jnp.clip(jnp.searchsorted(b_key, state.oid), 0, bsz - 1)
     found = state.alive & (b_oid[pos_in_b] == state.oid)
 
     # 1) in-place update of slots whose oid is in the batch and stays mine
-    upd_here = found & (owner[pos_in_b] == s)
+    upd_here = found & is_mine[pos_in_b]
     fields = ("pos", "vel", "acc", "heading", "size", "otype")
     new_fields = {}
     for f in fields:
@@ -344,7 +481,7 @@ def _local_apply_updates(state: ObjectState, upd: dict,
         m = upd_here.reshape((-1,) + (1,) * (cur.ndim - 1))
         new_fields[f] = jnp.where(m, new, cur)
     # 2) kill copies that moved to another shard via this ingest
-    alive = state.alive & ~(found & (owner[pos_in_b] != s))
+    alive = state.alive & ~(found & ~is_mine[pos_in_b])
     state = state.replace(alive=alive, **new_fields)
 
     # 3) insert entries owned here but not present in any local slot
@@ -375,50 +512,67 @@ def make_sharded_ingest(cfg: SystemConfig, mesh: Mesh):
     heading, size, otype). The reference's POST /vehicles/location path
     for mesh fleets — the broker hop becomes one replicated batch + a
     per-shard scatter."""
-    ax = cfg.shard.axis_name
+    sdim = _state_spec_axes(cfg)
     spec_state = ObjectState(
-        pos=P(ax), vel=P(ax), acc=P(ax), heading=P(ax), size=P(ax),
-        otype=P(ax), alive=P(ax), oid=P(ax))
+        pos=P(sdim), vel=P(sdim), acc=P(sdim), heading=P(sdim), size=P(sdim),
+        otype=P(sdim), alive=P(sdim), oid=P(sdim))
     spec_upd = {f: P() for f in ("oid", "pos", "vel", "acc", "heading",
                                  "size", "otype")}
     f = jax.shard_map(
         partial(_local_apply_updates, cfg=cfg), mesh=mesh,
-        in_specs=(spec_state, spec_upd, P()),
-        out_specs=(spec_state, P(ax)),
+        in_specs=(spec_state, spec_upd, P(), P()),
+        out_specs=(spec_state, P(sdim)),
         check_vma=True,
     )
     jf = jax.jit(f, donate_argnums=(0,))
-    default_b = equal_boundaries(cfg)
+    default_bx = equal_boundaries(cfg, 0)
+    default_by = equal_boundaries(cfg, 1)
 
-    def apply(state, upd, boundaries=None):
+    def apply(state, upd, boundaries=None, boundaries_y=None):
         return jf(state, upd,
-                  default_b if boundaries is None else boundaries)
+                  default_bx if boundaries is None else boundaries,
+                  default_by if boundaries_y is None else boundaries_y)
 
     return apply
 
 
+def _shard_of(pos, cfg: SystemConfig, boundaries=None, boundaries_y=None):
+    """[N] linear shard index (ix * Dy + iy) of each position (host-side)."""
+    import numpy as np
+    dx = cfg.shard.num_shards
+    dy = cfg.shard.num_shards_y
+
+    def along(dim, d, b):
+        if b is None:
+            lo = cfg.world.lo[dim]
+            w = (cfg.world.hi[dim] - cfg.world.lo[dim]) / d
+            return np.clip(((pos[:, dim] - lo) // w).astype(int), 0, d - 1)
+        return np.clip(np.searchsorted(np.asarray(b), pos[:, dim],
+                                       side="right") - 1, 0, d - 1)
+
+    ix = along(0, dx, boundaries)
+    if dy == 1:
+        return ix
+    return ix * dy + along(1, dy, boundaries_y)
+
+
 def distribute_state(state_global: ObjectState, cfg: SystemConfig,
-                     mesh: Mesh, boundaries=None, extra=None):
+                     mesh: Mesh, boundaries=None, boundaries_y=None,
+                     extra=None):
     """Host-side: scatter a globally-generated fleet into per-shard slots by
-    slab (equal slabs, or the given [D+1] dynamic walls). Returns the
-    mesh-sharded state ([D * slots] leading dim) — plus the identically
-    distributed `extra` dict (e.g. scenario arrays) when given.
+    slab/tile (equal walls, or the given [Dx+1]/[Dy+1] dynamic ones).
+    Returns the mesh-sharded state ([D * slots] leading dim, D = total
+    shards in x-major order) — plus the identically distributed `extra`
+    dict (e.g. scenario arrays) when given.
 
     (This is ingest/bootstrap, not the hot path — plain numpy.)"""
     import numpy as np
-    d = cfg.shard.num_shards
+    d = cfg.shard.total_shards
     slots = shard_slots(cfg)
 
     pos = np.asarray(state_global.pos)
     alive = np.asarray(state_global.alive)
-    if boundaries is None:
-        lo = cfg.world.lo[0]
-        w = (cfg.world.hi[0] - cfg.world.lo[0]) / d
-        shard_of = np.clip(((pos[:, 0] - lo) // w).astype(int), 0, d - 1)
-    else:
-        b = np.asarray(boundaries)
-        shard_of = np.clip(np.searchsorted(b, pos[:, 0], side="right") - 1,
-                           0, d - 1)
+    shard_of = _shard_of(pos, cfg, boundaries, boundaries_y)
 
     fields = {f: np.asarray(getattr(state_global, f))
               for f in ("pos", "vel", "acc", "heading", "size", "otype",
@@ -441,7 +595,7 @@ def distribute_state(state_global: ObjectState, cfg: SystemConfig,
         out["alive"][sh * slots:(sh + 1) * slots][len(idx):] = False
 
     from jax.sharding import NamedSharding
-    sharding = NamedSharding(mesh, P(cfg.shard.axis_name))
+    sharding = NamedSharding(mesh, P(_state_spec_axes(cfg)))
     put = lambda v: jax.device_put(jnp.asarray(v), sharding)
     arrs = {f: put(v) for f, v in out.items() if not f.startswith("x:")}
     arrs["alive"] = arrs["alive"].astype(bool)
