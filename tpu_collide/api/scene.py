@@ -142,8 +142,15 @@ class Scene:
         self._interpret = interpret
         self._auto_window = auto_window and backend == "fused"
         if window_rows is None and backend == "fused":
-            from tpu_collide.kernels.cell_list import default_window_rows
-            window_rows = default_window_rows(cfg)
+            if state is not None:
+                # fleet-exact window sizing (kernels/tune.py): skewed
+                # densities certify on the FIRST step instead of warming
+                # up through counted-overflow regrows
+                from tpu_collide.kernels.tune import suggest_window_rows
+                window_rows = suggest_window_rows(state, cfg)
+            else:
+                from tpu_collide.kernels.cell_list import default_window_rows
+                window_rows = default_window_rows(cfg)
         self._window_rows = window_rows
         self.window_regrows = 0       # times auto_window resized the kernel
         self._step = make_step(cfg, donate=True, backend=backend,
@@ -529,6 +536,17 @@ class Scene:
         return self.ckpt.save(self.state, self.step_count,
                               metadata={"ids": self._id_to_slot,
                                         **(metadata or {})})
+
+    def save_checkpoint_async(self, metadata: Optional[dict] = None):
+        """Non-blocking snapshot: the step loop stalls only for a cheap
+        device-side copy; transfer + compression overlap stepping
+        (ckpt.CheckpointManager.save_async). Join/raise via
+        self.ckpt.wait_async()."""
+        assert self.ckpt is not None, "Scene built without checkpoint_dir"
+        with self._device_lock:
+            return self.ckpt.save_async(
+                self.state, self.step_count,
+                metadata={"ids": self._id_to_slot, **(metadata or {})})
 
     def restore_checkpoint(self, step: Optional[int] = None) -> int:
         assert self.ckpt is not None, "Scene built without checkpoint_dir"

@@ -67,8 +67,17 @@ class ShardedScene:
         self._interpret = interpret
         self._auto_window = auto_window and backend == "fused"
         if window_rows is None and backend == "fused":
-            from tpu_collide.kernels.cell_list import default_window_rows
-            window_rows = default_window_rows(cfg)
+            if fleet is not None:
+                # fleet-exact initial sizing (kernels/tune.py); per-shard
+                # cell lists see subsets of these densities plus a halo
+                # band, so the global need + margin covers the shards (the
+                # counted-overflow regrow path remains the backstop)
+                from tpu_collide.kernels.tune import suggest_window_rows
+                window_rows = suggest_window_rows(fleet, cfg,
+                                                  margin_rows=16)
+            else:
+                from tpu_collide.kernels.cell_list import default_window_rows
+                window_rows = default_window_rows(cfg)
         self._window_rows = window_rows
         self.window_regrows = 0     # times auto_window resized the kernel
         self._step = make_sharded_step(cfg, self.mesh, donate=True,
@@ -403,6 +412,17 @@ class ShardedScene:
         with self._lock:
             host = collect_state(self.state)
         return self.ckpt.save(host, self.step_count, metadata=metadata)
+
+    def save_checkpoint_async(self, metadata: Optional[dict] = None):
+        """Non-blocking snapshot of the SHARDED fleet: a device-side copy
+        (sharding-preserving) pins the bits synchronously; the cross-shard
+        gather + compression run on a background thread while the mesh
+        keeps stepping (VERDICT r2 #7). Join/raise via
+        self.ckpt.wait_async()."""
+        assert self.ckpt is not None
+        with self._lock:
+            return self.ckpt.save_async(self.state, self.step_count,
+                                        metadata=metadata)
 
     def restore_checkpoint(self, step: Optional[int] = None) -> int:
         """Failover: reload the latest snapshot and redistribute it across

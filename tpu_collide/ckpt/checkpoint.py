@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -40,7 +41,13 @@ class CheckpointManager:
         self.directory = directory
         self.keep_last = keep_last
         os.makedirs(directory, exist_ok=True)
-        self.stats = {"saved": 0, "restored": 0, "cleaned": 0}
+        self.stats = {"saved": 0, "restored": 0, "cleaned": 0,
+                      "async_saves": 0}
+        self._async_thread: Optional[threading.Thread] = None
+        self._async_error: Optional[BaseException] = None
+        # save/cleanup touch the same directory from the async thread and
+        # the caller; serialize the filesystem mutations
+        self._fs_lock = threading.Lock()
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"ckpt_{step:012d}")
@@ -48,24 +55,75 @@ class CheckpointManager:
     def save(self, state: ObjectState, step: int,
              metadata: Optional[Dict[str, Any]] = None) -> str:
         """Blocking snapshot. Device -> host copy happens here; callers on a
-        hot loop should snapshot every K steps, not every step."""
-        final = self._path(step)
-        tmp = final + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
+        hot loop should snapshot every K steps, not every step — or use
+        save_async, which overlaps the transfer+compress with stepping."""
         arrays = {f: np.asarray(jax.device_get(getattr(state, f)))
                   for f in _FIELDS}
-        np.savez(os.path.join(tmp, "state.npz"), **arrays)
-        with open(os.path.join(tmp, "meta.json"), "w") as fh:
-            json.dump({"step": step, "timestamp": time.time(),
-                       "num_objects": int(arrays["alive"].sum()),
-                       "capacity": int(arrays["alive"].shape[0]),
-                       "metadata": metadata or {}}, fh)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        self.stats["saved"] += 1
-        self._cleanup()
+        return self._write(arrays, step, metadata)
+
+    def _write(self, arrays: Dict[str, np.ndarray], step: int,
+               metadata: Optional[Dict[str, Any]]) -> str:
+        final = self._path(step)
+        tmp = final + ".tmp"
+        with self._fs_lock:
+            os.makedirs(tmp, exist_ok=True)
+            np.savez(os.path.join(tmp, "state.npz"), **arrays)
+            with open(os.path.join(tmp, "meta.json"), "w") as fh:
+                json.dump({"step": step, "timestamp": time.time(),
+                           "num_objects": int(arrays["alive"].sum()),
+                           "capacity": int(arrays["alive"].shape[0]),
+                           "metadata": metadata or {}}, fh)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            self.stats["saved"] += 1
+            self._cleanup()
         return final
+
+    def save_async(self, state: ObjectState, step: int,
+                   metadata: Optional[Dict[str, Any]] = None
+                   ) -> threading.Thread:
+        """Non-blocking snapshot (VERDICT r2 #7; the orbax-style async
+        SURVEY §7.6 planned): takes a DEVICE-SIDE copy of the state
+        synchronously (cheap HBM->HBM, so later donation/mutation of the
+        live state cannot race the snapshot), then moves the device->host
+        transfer + npz compression + atomic rename to a background thread.
+        The step loop stalls only for the device copy.
+
+        One async save in flight at a time: a second call joins the
+        previous one first. Returns the thread (join() to wait);
+        wait_async() re-raises any background failure."""
+        self.wait_async()
+        # device-side copy pinned before any subsequent donation: jnp ops
+        # enqueue in order, and device_get of `snap` in the worker reads
+        # this copy, never the live buffers
+        snap = jax.tree.map(jax.numpy.copy,
+                            {f: getattr(state, f) for f in _FIELDS})
+
+        def worker():
+            try:
+                arrays = {f: np.asarray(jax.device_get(v))
+                          for f, v in snap.items()}
+                self._write(arrays, step, metadata)
+                self.stats["async_saves"] += 1
+            except BaseException as e:          # surfaced by wait_async
+                self._async_error = e
+
+        t = threading.Thread(target=worker, name=f"ckpt-async-{step}",
+                             daemon=True)
+        self._async_thread = t
+        t.start()
+        return t
+
+    def wait_async(self) -> None:
+        """Join any in-flight async save; re-raise its failure if any."""
+        t = self._async_thread
+        if t is not None:
+            t.join()
+            self._async_thread = None
+        if self._async_error is not None:
+            e, self._async_error = self._async_error, None
+            raise e
 
     def _cleanup(self) -> None:
         ckpts = self.list_checkpoints()

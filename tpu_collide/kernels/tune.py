@@ -1,0 +1,105 @@
+"""Host-side config autotuning from fleet statistics (VERDICT r2 #9).
+
+The reference adapted grid resolution to density at runtime
+(spatial_index.py:139-160, 302-412). The TPU design keeps the compiled
+program static and instead (a) counts capacity overflow + regrows between
+steps (Scene auto_window), and (b) — here — picks the static capacities
+RIGHT on the first step from a host-side pass over the actual fleet: the
+per-tile candidate-window need is computed exactly (same brow/window
+arithmetic as kernels/cell_list.py, in numpy), so hand-tuning
+`window_rows` for skewed fleets (the 80/20 city distribution needed 224
+by hand in round 1, two regrow steps in round 2) is gone.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_collide.core.config import SystemConfig
+from tpu_collide.kernels.cell_list import (ALIGN, LANE, TILE,
+                                           band_shifts, resolve_band_cells)
+
+
+def suggest_window_rows(state, cfg: SystemConfig, margin_rows: int = 8,
+                        z_reach: int = 1, brow_widen: int = 0) -> int:
+    """Exact static window capacity for THIS fleet: the maximum, over all
+    tiles and candidate windows, of the window's element count under the
+    cell-list layout — computed host-side in numpy (a few ms at 100k).
+    The returned value makes the first step's broad phase overflow-free
+    for the given positions (subsequent density drift is still covered by
+    the counted-overflow + regrow path).
+
+    brow_widen/z_reach mirror build_cell_list's prediction knobs so the
+    fused predict path can be tuned the same way."""
+    nx, ny, nz = cfg.grid_dims
+    bandc = resolve_band_cells(cfg)
+    nbands = -(-nx // bandc)
+    nrows = ny * nz
+    nbrows = nbands * nrows
+    shifts = band_shifts(cfg, bandc, z_reach)
+
+    pos = np.asarray(state.pos)
+    alive = np.asarray(state.alive)
+    lo = np.asarray(cfg.world.lo, np.float32)
+    c3 = np.clip((np.floor((pos - lo) / cfg.grid.cell_size)).astype(int),
+                 0, np.asarray((nx, ny, nz)) - 1)
+    bx = c3[:, 0] // bandc
+    brow = bx * nrows + (c3[:, 1] + ny * c3[:, 2])
+    brow = np.where(alive, brow, nbrows)          # dead -> sentinel tail
+    srow = np.sort(brow)
+    n_alive = int(alive.sum())
+
+    counts = np.bincount(srow[:n_alive], minlength=nbrows + 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])  # [nbrows+2]
+
+    n = pos.shape[0]
+    num_tiles = -(-n // TILE)
+    t_first = np.arange(num_tiles) * TILE
+    t_last = np.minimum(t_first + TILE - 1, n - 1)
+    # tiles fully in the dead tail need no window
+    t_last_alive = np.minimum(t_last, max(n_alive - 1, 0))
+    r_lo = srow[np.minimum(t_first, max(n_alive - 1, 0))]
+    r_hi = srow[t_last_alive]
+
+    need = 0
+    prev_hi = None
+    for s in shifts:
+        lo_s = r_lo + s - 1 - brow_widen
+        hi_s = r_hi + s + 1 + brow_widen
+        if prev_hi is not None:
+            lo_s = np.maximum(lo_s, prev_hi + 1)
+            hi_s = np.maximum(hi_s, prev_hi)
+        prev_hi = hi_s
+        a = np.clip(lo_s, 0, nbrows)
+        b = np.clip(hi_s + 1, 0, nbrows)
+        b = np.maximum(b, a)
+        elems = starts[b] - starts[a]
+        elems = np.where(t_first < n_alive, elems, 0)
+        need = max(need, int(elems.max(initial=0)))
+
+    # start alignment slack (< ALIGN) + end rounding (< LANE)
+    rows = -(-(need + ALIGN + LANE) // LANE)
+    return (-(-rows // 8) * 8) + margin_rows
+
+
+def suggest_cell_size(cfg: SystemConfig) -> float:
+    """Smallest legal cell for the fused path: the search radius (the
+    1-cell stencil must cover it). Larger cells only add dead pair math;
+    smaller ones are illegal on the kernel path — so the policy is simply
+    r, unless the user already chose a legal value."""
+    return max(cfg.grid.cell_size
+               if cfg.grid.cell_size >= cfg.detect.search_radius
+               else cfg.detect.search_radius,
+               cfg.detect.search_radius)
+
+
+def tune_config(cfg: SystemConfig, state=None) -> tuple:
+    """(cfg', window_rows): cell size clamped legal + fleet-exact window
+    capacity (None when no fleet is given — the mean-density default then
+    applies). The Scene facade calls this when adopting a fleet."""
+    cs = suggest_cell_size(cfg)
+    if cs != cfg.grid.cell_size:
+        cfg = cfg.replace(grid=cfg.grid.__class__(
+            cell_size=cs, cell_capacity=cfg.grid.cell_capacity,
+            band_cells=cfg.grid.band_cells, wide_oid=cfg.grid.wide_oid))
+    wr = suggest_window_rows(state, cfg) if state is not None else None
+    return cfg, wr
