@@ -49,3 +49,42 @@ def test_count_checked_off_same_alerts(mode):
     # and the XLA path still agrees with the counting config
     _, o_x = make_step(cfg_on, donate=False)(st, key)
     assert int(o_on.num_pairs_checked) == int(o_x.num_pairs_checked)
+
+
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_angle_form_product_parity(dim):
+    """angle_form='product' (row-level transcendentals in the kernel):
+    exact kernel-vs-XLA parity in product mode, and values within float
+    noise of the literal 'direct' form."""
+    if dim == "2d":
+        cfg_d = cfg2d()
+        st = generate_fleet(jax.random.key(3), cfg_d)
+    else:
+        cfg_d = tc.SystemConfig(
+            num_objects=400, world=WorldConfig(hi=(1000.0, 1000.0, 300.0)),
+            grid=GridConfig(cell_size=100.0, cell_capacity=64),
+            detect=DetectionConfig(mode="fast"),
+            alerts=AlertConfig(max_scene_alerts=256))
+        st = generate_fleet(jax.random.key(3), cfg_d,
+                            distribution="uniform")
+        import jax.numpy as jnp
+        st = st.replace(
+            pos=st.pos.at[:, 2].set(
+                jax.random.uniform(jax.random.key(9), (400,)) * 300.0))
+    cfg_p = cfg_d.replace(detect=cfg_d.detect.__class__(
+        mode="fast", angle_form="product"))
+    key = jax.random.key(1)
+    _, o_xp = make_step(cfg_p, donate=False)(st, key)
+    _, o_fp = step_fused(st, key, cfg_p, interpret=True)
+    assert int(o_fp.num_risks) == int(o_xp.num_risks)
+    assert int(o_fp.alert_overflow) == 0
+    ap, fp = amap(o_xp), amap(o_fp)
+    assert set(fp) == set(ap)
+    for k in fp:
+        np.testing.assert_allclose(ap[k], fp[k], rtol=1e-5, atol=1e-5)
+    # product vs direct: same pair set, risks within float noise
+    _, o_xd = make_step(cfg_d, donate=False)(st, key)
+    ad = amap(o_xd)
+    assert set(ad) == set(ap)
+    for k in ad:
+        np.testing.assert_allclose(ad[k][0], ap[k][0], atol=1e-5)

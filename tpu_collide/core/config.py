@@ -89,9 +89,11 @@ class DetectionConfig:
     # pairs per detection block (semantically identical: stage 3 is only
     # reachable through stage 2 in the reference, collision_detection.py:
     # 143-151; excess survivors beyond the cap are counted in overflow).
-    # None (default) scales with the fleet: max(4096, 4*num_objects) —
-    # measured survivor counts run ~1-1.5x num_objects at bench densities,
-    # so 4x holds dense transients without overflow.
+    # None (default) scales with the fleet: max(4096, 2*num_objects) —
+    # measured survivor counts run ~1-1.5x num_objects at bench densities
+    # (100k: aoflow 0 at 2N, r3), and the sweep+refine cost is linear in
+    # this STATIC cap (~0.18 us/slot), so headroom is paid every step.
+    # Overflow stays counted; Scene regrows on it.
     precise_survivor_cap: int | None = None
     # Per-object stage-2 survivor slots kept by the fused kernel in precise
     # mode (kernels/fused_detect.py mode='survivors'); survivors beyond this
@@ -106,6 +108,16 @@ class DetectionConfig:
     # 'physical' (default) fixes the sign; 'reference' replicates the bug
     # bit-for-bit for parity testing. See DEVIATIONS.md #1.
     convention: str = "physical"
+    # Stage-4 angle factor sin(|heading_i - heading_j|): 'product' (default)
+    # uses the identity sin(|a-b|) = sign(a-b)*(sin a cos b - cos a sin b),
+    # which lets the fused kernel compute the transcendentals per 128-lane
+    # ROW instead of per [128,128] block (measured -15 ms at 1M, -8 ms at
+    # 100k). The XLA pipeline uses the identical expression, so
+    # cross-backend parity is exact; values differ from the literal form
+    # only by float rounding (~1e-7, inside every parity tolerance —
+    # DEVIATIONS #18). 'direct' evaluates the reference expression
+    # literally (collision_detection.py:364-365).
+    angle_form: str = "product"
     # Stage-1 pair counter (num_pairs_checked): the cross-backend honesty
     # metric costs a per-block accumulate in the fused kernel (~12 ms at 1M,
     # measured). False compiles it out; num_pairs_checked then reports -1.
@@ -208,7 +220,7 @@ class SystemConfig:
     def survivor_cap(self) -> int:
         """Static stage-2 survivor compaction capacity (precise mode)."""
         c = self.detect.precise_survivor_cap
-        return c if c is not None else max(4096, 4 * self.num_objects)
+        return c if c is not None else max(4096, 2 * self.num_objects)
 
     @property
     def stencil_halfwidth(self) -> int:

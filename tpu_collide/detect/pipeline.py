@@ -128,13 +128,25 @@ def _fast_first_crossing(rel_pos, rel_vel, safe, det):
     return hit, jnp.where(hit, t_hit, jnp.inf), jnp.where(hit, d_hit, jnp.inf)
 
 
+def _angle_factor(heading_i, heading_j, det):
+    """sin(|hi - hj|): literal, or via the angle-difference identity
+    (DetectionConfig.angle_form='product' — same expression on every
+    backend, so cross-backend parity stays exact; the fused kernel computes
+    the per-row transcendentals once per 128 lanes instead of per block)."""
+    if det.angle_form == "product":
+        sd = (jnp.sin(heading_i) * jnp.cos(heading_j)
+              - jnp.cos(heading_i) * jnp.sin(heading_j))
+        return jnp.where(heading_i >= heading_j, sd, -sd)
+    return jnp.sin(jnp.abs(heading_i - heading_j))
+
+
 def _risk_score(dist_hit, t_hit, rel_speed, heading_i, heading_j,
                 type_i, type_j, safe, det):
     """Stage-4 weighted risk (collision_detection.py:344-389, 498-513)."""
     distance_factor = 1.0 - dist_hit / safe
     time_factor = 1.0 - jnp.minimum(1.0, t_hit / det.max_warning_time)
     speed_factor = jnp.minimum(1.0, rel_speed / det.max_relative_speed)
-    angle_factor = jnp.sin(jnp.abs(heading_i - heading_j))
+    angle_factor = _angle_factor(heading_i, heading_j, det)
     type_factor = jnp.where(type_i == type_j, det.same_type_factor,
                             det.diff_type_factor)
     risk = (det.weight_distance * distance_factor

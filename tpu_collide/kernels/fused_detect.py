@@ -131,10 +131,19 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     _CLS = NF + n_wide            # trajectory-class field index (predict)
     # 2D worlds: z/vz/az are identically 0 (cell_list zero-fills them and
     # drops their sort operands) — skip their DMAs and compile out their
-    # block math
+    # block math. The oid field(s) are skipped TOO: pair identity inside
+    # the kernel is the INDEX diagonal (each object occupies exactly one
+    # sorted slot — halo mirrors are copies of *other* shards' objects, so
+    # no object appears twice in one shard's extended state), which costs
+    # one static-mask AND instead of a [LANE, LANE] oid compare and frees
+    # the oid/hi window DMAs; refine re-checks identity on decoded oids.
     flat2d = not cfg.world.is_3d
     from tpu_collide.kernels.cell_list import Z_FIELD_IDX
-    skip_f = frozenset(Z_FIELD_IDX) if flat2d else frozenset()
+    skip_f = set(Z_FIELD_IDX) if flat2d else set()
+    skip_f.add(_OID)
+    if wide_oid:
+        skip_f.add(_HI)
+    skip_f = frozenset(skip_f)
     field_ids = [f for f in range(NFK) if f not in skip_f]
     hbm = refs[:NFK]
     outs = refs[NFK:NFK + n_out]
@@ -204,6 +213,11 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     # tpu.iota only produces integers; cast to f32 for the select math
     col_iota = jax.lax.broadcasted_iota(
         jnp.int32, (LANE, LANE), 1).astype(jnp.float32)
+    # static diagonal mask for the index self-test: pair (i, j) of a block
+    # is the SAME object exactly when the candidate row IS the own row and
+    # j == i (see skip_f note above)
+    not_diag = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+                != jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1))
 
     def unpack_rb(a_ref, b_ref, i):
         """(brow_lo, brow_hi) guard pair at index i (packed or split)."""
@@ -229,6 +243,19 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
         wn_eff = jnp.minimum(wn, window_rows)
         wbuf = win[slot * NFK:(slot + 1) * NFK]
 
+        def angle_f(s, c, ohead, chead):
+            """Stage-4 sin(|heading_i - heading_j|) — 'product' form runs
+            the transcendentals on the two 128-lane heading ROWS instead
+            of the [LANE, LANE] block (pipeline._angle_factor identity;
+            identical expression on the XLA side)."""
+            if det.angle_form != "product":
+                return jnp.sin(jnp.abs(ohead - chead))
+            oh = own[_HEAD][s, :]
+            ch = wbuf[_HEAD][c, :]
+            sd = (jnp.sin(oh)[:, None] * jnp.cos(ch)[None, :]
+                  - jnp.cos(oh)[:, None] * jnp.sin(ch)[None, :])
+            return jnp.where(ohead >= chead, sd, -sd)
+
         @pl.when(wn > 0)
         def _():
             for f in field_ids:
@@ -249,8 +276,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                 ovx, ovy, ovz = colv(_VX), colv(_VY), colv(_VZ)
                 oax, oay, oaz = colv(_AX), colv(_AY), colv(_AZ)
                 osize, ohead = colv(_SIZE), colv(_HEAD)
-                otype, ooid = colv(_TYPE), colv(_OID)
-                ohid = colv(_HI) if wide_oid else None
+                otype = colv(_TYPE)
 
                 # exact candidate storage-row spans for this sub-block:
                 # the brows [sr_lo-1, sr_hi+1] PLUS their shifted copies
@@ -380,14 +406,10 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             cvx, cvy, cvz = rowv(_VX), rowv(_VY), rowv(_VZ)
                             cax, cay, caz = rowv(_AX), rowv(_AY), rowv(_AZ)
                             csize, chead = rowv(_SIZE), rowv(_HEAD)
-                            ctype, coid = rowv(_TYPE), rowv(_OID)
-                            # pair identity: wide mode compares both oid
-                            # halves (two distinct ids may share a lo)
-                            if wide_oid:
-                                not_self = ((coid != ooid)
-                                            | (rowv(_HI) != ohid))
-                            else:
-                                not_self = coid != ooid
+                            ctype = rowv(_TYPE)
+                            # pair identity = index diagonal (one sorted
+                            # slot per object; see skip_f note)
+                            not_self = not_diag | (gr != go)
                             # span bounds are clipped to >= 0, so the
                             # brow range test alone rejects dead/padding
                             # rows (their brow is -1)
@@ -479,7 +501,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                             1.0, jnp.sqrt(rs2)
                                             / det.max_relative_speed)
                                         + det.weight_angle
-                                        * jnp.sin(jnp.abs(ohead - chead))
+                                        * angle_f(s, c, ohead, chead)
                                         + det.weight_type
                                         * jnp.where(ctype == otype,
                                                     det.same_type_factor,
@@ -585,7 +607,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                         * jnp.minimum(1.0, jnp.sqrt(rs2)
                                                       / det.max_relative_speed)
                                         + det.weight_angle
-                                        * jnp.sin(jnp.abs(ohead - chead))
+                                        * angle_f(s, c, ohead, chead)
                                         + det.weight_type
                                         * jnp.where(ctype == otype,
                                                     det.same_type_factor,
