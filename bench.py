@@ -196,11 +196,15 @@ def main():
         # counter on. avg_ms fields are DEVICE-RATE (scan-chunked, same
         # methodology as the headline config); per_call_ms shows the
         # serving view incl. the ~25 ms tunnel dispatch.
+        # k=8 per-object slots so the completeness certificate holds
+        # (aoflow 0) even on evolved dense fleets; the k=4 flagged variant
+        # runs ~17.6 ms (BENCH_NOTES r3)
         cfg100k = tc.SystemConfig(
             num_objects=100_000, world=WorldConfig(hi=(10000., 10000., 0.)),
             grid=GridConfig(cell_size=100.0),
             detect=DetectionConfig(mode="fast", count_checked=False),
-            alerts=AlertConfig(max_scene_alerts=1024))
+            alerts=AlertConfig(max_scene_alerts=1024,
+                               max_alerts_per_object=8))
         a, best, out = bench_fused_scan(cfg100k, steps=40, chunk=10)
         extra["fused_100k_2d_avg_ms"] = round(a, 2)
         extra["fused_100k_2d_best_ms"] = round(best, 2)

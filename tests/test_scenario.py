@@ -164,11 +164,12 @@ def test_scenario_step_full_pipeline():
                                atol=1e-5)
 
 
-def test_sharded_scenario_matches_single_device():
+@pytest.mark.parametrize("grid_shape", [(8, 1), (4, 2)])
+def test_sharded_scenario_matches_single_device(grid_shape):
     """Movement modes inside shard_map: the per-object scenario state
-    (road assignment) migrates with objects across slab walls, and the
-    sharded scenario step matches the single-device one exactly under
-    deterministic dynamics."""
+    (road assignment) migrates with objects across slab walls — on the 1D
+    slab mesh AND the 2D tile grid — and the sharded scenario step matches
+    the single-device one exactly under deterministic dynamics."""
     from tpu_collide.core.config import ShardConfig
     from tpu_collide.shard import (make_mesh, make_sharded_scenario_step,
                                    distribute_state, collect_state)
@@ -183,7 +184,8 @@ def test_sharded_scenario_matches_single_device():
         grid=GridConfig(cell_size=100.0, cell_capacity=64),
         detect=DetectionConfig(mode="fast"),
         alerts=AlertConfig(max_scene_alerts=256),
-        shard=ShardConfig(num_shards=8, halo_capacity=256,
+        shard=ShardConfig(num_shards=grid_shape[0],
+                          num_shards_y=grid_shape[1], halo_capacity=256,
                           migrate_capacity=128))
     roads, _ = build_road_table(tmap)
     cities = build_city_table(tmap)

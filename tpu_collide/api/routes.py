@@ -125,19 +125,10 @@ class RouteTable:
             f.log.append({"type": kind, "node_id": nid})
             return 200, _ok(message=f"node {nid} failed")
         if kind == "drop_objects":
-            import numpy as np
-            import jax.numpy as jnp
-            scene = self.scene
             frac = float(body.get("fraction", 0.1))
-            with scene._device_lock:
-                alive = np.asarray(scene.state.alive).copy()
-                idx = np.flatnonzero(alive)
-                kill = idx[:int(len(idx) * frac)]
-                alive[kill] = False
-                scene.state = scene.state.replace(alive=jnp.asarray(alive))
-                scene._num_alive = int(alive.sum())
-            f.log.append({"type": kind, "killed": int(len(kill))})
-            return 200, _ok({"killed": int(len(kill))})
+            killed = self.scene.drop_fraction(frac)
+            f.log.append({"type": kind, "killed": killed})
+            return 200, _ok({"killed": killed})
         if kind == "reset":
             f.reset()
             return 200, _ok(message="faults cleared")

@@ -203,6 +203,11 @@ class Scene:
     def vehicle_id_of(self, oid: int) -> str:
         return self._slot_to_id.get(int(oid), str(int(oid)))
 
+    @property
+    def ingested_count(self) -> int:
+        """Vehicles known via per-vehicle ingest (service loops poll it)."""
+        return len(self._id_to_slot)
+
     # ---- ingest (POST /vehicles/location analog) ----
 
     def ingest(self, location: LocationData, size: float = 2.0,
@@ -496,6 +501,18 @@ class Scene:
                 time_to_collision=a.time_to_collision,
                 distance=float("nan"), timestamp=a.timestamp))
         return out
+
+    def drop_fraction(self, fraction: float) -> int:
+        """Fault injection: kill `fraction` of the alive fleet (the
+        /admin/inject-failure drop_objects path). Returns the kill count."""
+        with self._device_lock:
+            alive = np.asarray(self.state.alive).copy()
+            idx = np.flatnonzero(alive)
+            kill = idx[:int(len(idx) * fraction)]
+            alive[kill] = False
+            self.state = self.state.replace(alive=jnp.asarray(alive))
+            self._num_alive = int(alive.sum())
+        return int(len(kill))
 
     def query_radius(self, center, radius: float) -> List[str]:
         """Vehicle ids within `radius` of `center` (alive only)."""

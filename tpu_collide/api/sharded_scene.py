@@ -88,9 +88,11 @@ class ShardedScene:
         self._traj_clock = 0.0
         self._predict_cache = {}      # (horizon, step) -> compiled fns
         self._apply = make_sharded_ingest(cfg, self.mesh)
+        self._detect = None           # lazy make_sharded_detect program
         self._pending: Dict[int, tuple] = {}      # oid -> update tuple
         self._id_to_oid: Dict[str, int] = {}
         self._oid_to_id: Dict[int, str] = {}
+        self._history: Dict[str, list] = {}       # vid -> last-10 reports
         self.alert_manager = AlertManager(cfg, broker=broker)
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
@@ -144,6 +146,9 @@ class ShardedScene:
                 (p.x, p.y, p.z), (v.x, v.y, v.z), (a.x, a.y, a.z),
                 location.heading, size,
                 self._TYPE_INDEX.get(vtype, 0))
+            hist = self._history.setdefault(vid, [])
+            hist.append(location)
+            del hist[:-10]             # last-10 (reference storage.py:156)
 
     def flush(self) -> int:
         """Apply buffered reports in one sharded scatter; returns how many
@@ -188,6 +193,18 @@ class ShardedScene:
 
     def vehicle_id_of(self, oid: int) -> str:
         return self._oid_to_id.get(int(oid), str(int(oid)))
+
+    @property
+    def ingested_count(self) -> int:
+        """Vehicles known via per-vehicle ingest (service loops poll it)."""
+        return len(self._id_to_oid)
+
+    def _ensure_state(self) -> None:
+        if self.state is None:
+            from tpu_collide.core.state import empty_state
+            self.state = distribute_state(
+                empty_state(self.cfg.num_objects), self.cfg, self.mesh,
+                boundaries=self.boundaries, boundaries_y=self.boundaries_y)
 
     # ---- stepping ----
 
@@ -376,14 +393,93 @@ class ShardedScene:
 
     # ---- queries ----
 
-    def alerts(self, min_risk: float = 0.0) -> List[Alert]:
-        return sorted(
-            (a for a in self.alert_manager.alerts.values()
-             if a.risk_level >= min_risk),
-            key=lambda a: (-a.priority, -a.risk_level))
+    def alerts(self, min_risk: float = 0.0,
+               vehicle_id: Optional[str] = None) -> List[Alert]:
+        src = (self.alert_manager.get_vehicle_alerts(vehicle_id)
+               if vehicle_id else list(self.alert_manager.alerts.values()))
+        return sorted((a for a in src if a.risk_level >= min_risk),
+                      key=lambda a: (-a.priority, -a.risk_level))
+
+    def detect(self) -> Any:
+        """Detection only, no physics — the EarlyWarningSystem pattern for
+        externally-driven fleets (ingest -> flush -> detect), over the
+        mesh (halo exchange + XLA tail; make_sharded_detect)."""
+        from tpu_collide.shard.step import make_sharded_detect
+        with self._lock:
+            self._flush_locked()
+            self._ensure_state()
+            if self._detect is None:
+                self._detect = make_sharded_detect(self.cfg, self.mesh)
+            with Timer() as t:
+                out, dropped = self._detect(self.state, self.boundaries,
+                                            self.boundaries_y)
+                jax.block_until_ready(out.num_risks)
+            self.dropped_total += int(np.asarray(dropped).sum())
+            self.stats_timing["steps"] += 1
+            self.stats_timing["total_ms"] += t.elapsed_ms
+            self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                              t.elapsed_ms)
+            self.alert_manager.process_batch(out.alerts,
+                                             resolver=self.vehicle_id_of)
+        return out.alerts
+
+    # ---- host-side vehicle views (reference storage.py semantics) ----
+
+    def get_location(self, vehicle_id: str):
+        hist = self._history.get(vehicle_id)
+        return hist[-1] if hist else None
+
+    def get_history(self, vehicle_id: str) -> list:
+        return list(self._history.get(vehicle_id, []))
+
+    def get_vehicle_risks(self, vehicle_id: str) -> list:
+        from tpu_collide.core.types import CollisionRisk
+        out = []
+        for a in self.alert_manager.get_vehicle_alerts(vehicle_id):
+            out.append(CollisionRisk(
+                id=a.id, vehicle_id=a.vehicle_id,
+                other_vehicle_id=a.other_vehicle_id,
+                risk_level=a.risk_level,
+                time_to_collision=a.time_to_collision,
+                distance=float("nan"), timestamp=a.timestamp))
+        return out
+
+    def grid_vehicles(self, cx: int, cy: int, cz: int = 0) -> list:
+        """Vehicle ids whose current position falls in grid cell
+        (cx, cy, cz) — GET /grids/{id}/vehicles semantics, collected from
+        the mesh."""
+        from tpu_collide.index.grid import cell_coords
+        with self._lock:
+            self._flush_locked()
+            host = collect_state(self.state)
+        c3 = np.asarray(cell_coords(host.pos, self.cfg))
+        alive = np.asarray(host.alive)
+        oids = np.asarray(host.oid)
+        hit = alive & (c3[:, 0] == cx) & (c3[:, 1] == cy) & (c3[:, 2] == cz)
+        return [self.vehicle_id_of(o) for o in oids[hit]]
+
+    def drop_fraction(self, fraction: float) -> int:
+        """Fault injection: kill `fraction` of the alive fleet across the
+        mesh (sharding-preserving). Returns the kill count."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpu_collide.shard.step import _state_spec_axes
+        import jax.numpy as jnp
+
+        with self._lock:
+            alive = np.asarray(jax.device_get(self.state.alive)).copy()
+            idx = np.flatnonzero(alive)
+            kill = idx[:int(len(idx) * fraction)]
+            alive[kill] = False
+            sharding = NamedSharding(self.mesh,
+                                     P(_state_spec_axes(self.cfg)))
+            self.state = self.state.replace(
+                alive=jax.device_put(jnp.asarray(alive), sharding))
+        return int(len(kill))
 
     def occupancy(self) -> np.ndarray:
         with self._lock:
+            if self.state is None:
+                return np.zeros(self.cfg.shard.total_shards, int)
             return shard_occupancy(self.state, self.cfg, self.slots)
 
     def stats(self) -> Dict[str, Any]:

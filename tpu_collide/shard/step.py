@@ -387,6 +387,47 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
     return step
 
 
+def make_sharded_detect(cfg: SystemConfig, mesh: Mesh):
+    """Detection WITHOUT physics over the mesh (the EarlyWarningSystem
+    pattern for externally-driven fleets: ingest -> flush -> detect).
+    Ingest places objects in their owner shards, so only the halo exchange
+    + XLA detection tail run. Returns detect(state, boundaries=None,
+    boundaries_y=None) -> (StepOutput, dropped [D])."""
+    sdim = _state_spec_axes(cfg)
+    spec_state = ObjectState(
+        pos=P(sdim), vel=P(sdim), acc=P(sdim), heading=P(sdim), size=P(sdim),
+        otype=P(sdim), alive=P(sdim), oid=P(sdim))
+    spec_alerts = AlertBatch(
+        vehicle_oid=P(sdim), other_oid=P(sdim), risk=P(sdim), ttc=P(sdim),
+        distance=P(sdim), rel_speed=P(sdim), priority=P(sdim),
+        col_pos=P(sdim), valid=P(sdim), count=P(sdim))
+    spec_out = StepOutput(alerts=spec_alerts, num_pairs_checked=P(),
+                          num_risks=P(), max_risk=P(), num_alive=P(),
+                          overflow=P(), alert_overflow=P())
+
+    def body(state, bx, by):
+        sx, sy = _shard_coords(cfg)
+        out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, bx, by)
+        return out, halo_dropped.reshape(1)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_state, P(), P()),
+        out_specs=(spec_out, P(sdim)),
+        check_vma=True,
+    )
+    jf = jax.jit(f)
+    default_bx = equal_boundaries(cfg, 0)
+    default_by = equal_boundaries(cfg, 1)
+
+    def detect(state, boundaries=None, boundaries_y=None):
+        return jf(state,
+                  default_bx if boundaries is None else boundaries,
+                  default_by if boundaries_y is None else boundaries_y)
+
+    return detect
+
+
 def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
                                donate: bool = True, backend: str = "xla",
                                interpret: bool = False,

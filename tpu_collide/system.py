@@ -74,9 +74,17 @@ class CollisionSystem:
         self.location_storage = VehicleLocationStorage(self.storage)
         self.risk_storage = CollisionRiskStorage(self.storage)
 
-        # layer 2: device engine + alerts
-        self.scene = Scene(self.cfg, checkpoint_dir=checkpoint_dir,
-                           broker=self.broker, backend=backend)
+        # layer 2: device engine + alerts — a single-device Scene, or the
+        # mesh-sharded ShardedScene when the config asks for shards (the
+        # multi-node deployment runs the SAME service surface)
+        if self.cfg.shard.total_shards > 1:
+            from tpu_collide.api.sharded_scene import ShardedScene
+            self.scene = ShardedScene(self.cfg,
+                                      checkpoint_dir=checkpoint_dir,
+                                      broker=self.broker, backend=backend)
+        else:
+            self.scene = Scene(self.cfg, checkpoint_dir=checkpoint_dir,
+                               broker=self.broker, backend=backend)
 
         # layer 3: scheduling
         self.scheduler = Scheduler(self.broker)
@@ -165,7 +173,7 @@ class CollisionSystem:
         while self.running:
             t0 = time.perf_counter()
             try:
-                if self.scene._id_to_slot or self.scene._pending:
+                if self.scene.ingested_count or self.scene._pending:
                     await asyncio.get_running_loop().run_in_executor(
                         None, self.scene.detect)
             except Exception as e:  # noqa: BLE001
@@ -261,6 +269,10 @@ def main(argv=None) -> None:
     ap.add_argument("--backend", choices=("xla", "fused"), default="xla",
                     help="step engine: exact XLA pipeline or the fused "
                          "Pallas kernel (big fleets)")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="shard the world over an x-slab device mesh")
+    ap.add_argument("--shards-y", type=int, default=None,
+                    help="y tiles of a 2D (x, y) device grid")
     ap.add_argument("--detect-mode", choices=("precise", "fast"),
                     default=None,
                     help="override DetectionConfig.mode")
@@ -288,6 +300,11 @@ def main(argv=None) -> None:
         import dataclasses as _dc
         cfg = cfg.replace(detect=_dc.replace(cfg.detect,
                                              mode=args.detect_mode))
+    if args.shards or args.shards_y:
+        import dataclasses as _dc
+        cfg = cfg.replace(shard=_dc.replace(
+            cfg.shard, num_shards=args.shards or cfg.shard.num_shards,
+            num_shards_y=args.shards_y or cfg.shard.num_shards_y))
 
     def addr(s_):
         host, port = s_.rsplit(":", 1)
