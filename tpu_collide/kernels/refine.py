@@ -20,7 +20,7 @@ pairs, so refined values match the XLA reference path op-for-op.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

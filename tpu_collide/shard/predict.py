@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_collide.core.config import SystemConfig
 from tpu_collide.core.state import ObjectState
-from tpu_collide.detect.predict import (TrajectoryHistory, empty_history,
+from tpu_collide.detect.predict import (TrajectoryHistory,
                                         predict_collisions)
 from tpu_collide.index.grid import build_grid
 from tpu_collide.shard.halo import halo_exchange, extend_with_halo
