@@ -157,3 +157,52 @@ def test_sharded_scene_predict_end_to_end():
     # predicted alerts reached the alert manager
     st = sc.alert_manager.get_stats()
     assert st["created"] + st["updated"] >= 1
+
+
+def test_history_redistributes_on_rebalance():
+    """A rebalance moves objects to new slots; their trajectory rings must
+    move with them (ShardedScene._redistribute_hist) or predict would
+    classify with other objects' histories."""
+    from tpu_collide.api import ShardedScene
+    from tpu_collide.core.state import state_from_numpy
+
+    n = 200
+    rng = np.random.default_rng(0)
+    pos = np.stack([np.concatenate([rng.uniform(0, 1000, int(0.8 * n)),
+                                    rng.uniform(0, 10_000, n - int(0.8 * n))]),
+                    rng.uniform(0, 10_000, n),
+                    np.zeros(n)], axis=1).astype(np.float32)
+    vel = rng.normal(0, 5, (n, 3)).astype(np.float32)
+    vel[:, 2] = 0
+    fleet = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                             np.zeros(n, np.float32),
+                             np.full(n, 2.0, np.float32),
+                             np.zeros(n, np.int32))
+    cfg = base_cfg(n=n, shards=8).replace(
+        shard=tc.SystemConfig().shard.__class__(
+            num_shards=8, slot_headroom=9.0))
+    sc = ShardedScene(cfg, fleet=fleet, auto_rebalance=True)
+    sc.record_trajectories()
+    sc.record_trajectories()
+
+    # force the rebalance path exactly as step() runs it
+    old_state = sc.state
+    (sc.state, sc.boundaries, sc.boundaries_y) = sc.balancer.rebalance(
+        old_state, sc.mesh)
+    sc._traj = sc._redistribute_hist(old_state)
+
+    host = sc.collect()
+    alive = np.asarray(host.alive)
+    hpos = np.asarray(jax.device_get(sc._traj.pos))
+    hcount = np.asarray(jax.device_get(sc._traj.count))
+    hhead = np.asarray(jax.device_get(sc._traj.head))
+    # every alive slot kept its 2 samples, and the LAST recorded sample is
+    # that same object's position (rebalance moves slots, not objects)
+    assert (hcount[alive] == 2).all()
+    spos = np.asarray(host.pos)
+    for slot in np.flatnonzero(alive)[:50]:
+        last = hpos[slot, (hhead[slot] - 1) % sc._traj.capacity]
+        np.testing.assert_allclose(last, spos[slot], atol=1e-4)
+    # and predict still runs end-to-end on the redistributed rings
+    risks = sc.predict()
+    assert isinstance(risks, list)
