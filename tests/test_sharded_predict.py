@@ -206,3 +206,37 @@ def test_history_redistributes_on_rebalance():
     # and predict still runs end-to-end on the redistributed rings
     risks = sc.predict()
     assert isinstance(risks, list)
+
+
+@pytest.mark.slow
+def test_sharded_fused_predict_matches_single_device():
+    """backend='fused' sharded prediction (cell-list kernel per shard,
+    interpret): same pair set and values as the single-device canonical
+    predict_collisions — halo mirrors enter marked, results join on
+    row_oid."""
+    cfg = base_cfg()
+    state, hist = fleet_with_history(cfg)
+    horizon, step = 3.0, 0.5
+
+    o1, v1, r1, t1, d1 = jax.jit(
+        lambda s, h: predict_collisions(
+            s, h, build_grid(s.pos, s.alive, cfg), cfg,
+            horizon=horizon, step=step))(state, hist)
+    single = predict_map(np.asarray(state.oid)[np.asarray(o1)], v1, r1, t1,
+                         state.oid)
+
+    mesh = make_mesh(cfg)
+    st = distribute_state(state, cfg, mesh)
+    hs = distribute_history(hist, cfg, mesh, state)
+    pfn = make_sharded_predict(cfg, mesh, horizon=horizon, step=step,
+                               backend="fused", interpret=True)
+    o8, v8, r8, t8, d8, row_oid, dropped, overflow = pfn(st, hs)
+    assert int(np.asarray(dropped).sum()) == 0
+    assert int(np.asarray(overflow).sum()) == 0
+    sharded = predict_map(o8, v8, r8, t8, row_oid)
+
+    assert single, "fleet too tame: no predicted risks, test vacuous"
+    assert set(sharded) == set(single)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k],
+                                   rtol=1e-5, atol=1e-5)

@@ -287,12 +287,22 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
     )
 
 
-def fused_predict(state, hist, cfg: SystemConfig,
-                  horizon: float = 10.0, step: float = 0.5,
-                  sub_window: float = 1.0, merge_k: int = 32,
-                  k_slots: int = 8, window_rows: Optional[int] = None,
-                  interpret: bool = False):
-    """Trajectory prediction at fused-kernel scale (ROADMAP r2 #13).
+def fused_predict_rows(state, cls, cfg: SystemConfig,
+                       horizon: float = 10.0, step: float = 0.5,
+                       sub_window: float = 1.0, merge_k: int = 32,
+                       k_slots: int = 8, window_rows: Optional[int] = None,
+                       interpret: bool = False):
+    """Row-space core of the fused prediction: takes the per-object
+    trajectory CLASS array (aligned with `state` order; halo mirrors may
+    ride along with marked oids and stationary class — their query rows
+    are masked by `own`), returns per-SORTED-ROW merged records:
+
+        (other_oid [m, merge_k] i32 DECODED, valid, risk, ttc, dist,
+         soid [m] i32 decoded row oids, own [m] bool, overflow [] i32)
+
+    The sharded path (shard/predict.py backend='fused') consumes this
+    directly — no object-indexed scatter, which would need a
+    num_objects-sized buffer per shard.
 
     Same semantics and return tuple as detect/predict.predict_collisions
     (unbanded layouts, 2D and 3D — 3D widens the static z-shift list to
@@ -318,8 +328,6 @@ def fused_predict(state, hist, cfg: SystemConfig,
     from tpu_collide.kernels.cell_list import resolve_band_cells
     assert resolve_band_cells(cfg) == cfg.grid_dims[0], (
         "fused_predict requires the unbanded layout (band_cells=None)")
-    n = state.n
-    cls = classify_trajectories(hist)
     offsets = [float(o) for o in np.arange(0.0, horizon, step)]
     o_max = offsets[-1] if offsets else 0.0
     sub_steps = int(round(sub_window / det.time_step))
@@ -448,11 +456,35 @@ def fused_predict(state, hist, cfg: SystemConfig,
     cat = lambda j: jnp.concatenate([r[j] for r in per_off], axis=1)
     other_s, hit_s, risk_s, ttc_s, dist_s = (cat(j) for j in range(5))
 
-    # sorted rows -> unsorted objects by oid (dead/guard rows drop)
-    tgt = jnp.where(soid >= 0, soid, n)
+    # merge per pair IN SORTED-ROW SPACE (rows map 1:1 to objects, so this
+    # commutes with the oid scatter the unsharded wrapper applies after)
+    merged = merge_pair_risks(other_s, hit_s, risk_s, ttc_s, dist_s,
+                              merge_k)
+    return merged + (soid, cl.own_flat, cl.overflow)
+
+
+def fused_predict(state, hist, cfg: SystemConfig,
+                  horizon: float = 10.0, step: float = 0.5,
+                  sub_window: float = 1.0, merge_k: int = 32,
+                  k_slots: int = 8, window_rows: Optional[int] = None,
+                  interpret: bool = False):
+    """Trajectory prediction at fused-kernel scale (ROADMAP r2 #13) for a
+    single-device fleet: classify trajectories, run the row-space core,
+    scatter merged rows back to object order by oid. Same semantics and
+    return tuple as detect/predict.predict_collisions plus the window
+    overflow counter; `other` entries are OIDs (== state indices for
+    arange-oid fleets)."""
+    from tpu_collide.detect.predict import classify_trajectories
+
+    n = state.n
+    cls = classify_trajectories(hist)
+    other_r, valid_r, risk_r, ttc_r, dist_r, soid, own, overflow = \
+        fused_predict_rows(state, cls, cfg, horizon=horizon, step=step,
+                           sub_window=sub_window, merge_k=merge_k,
+                           k_slots=k_slots, window_rows=window_rows,
+                           interpret=interpret)
+    tgt = jnp.where(soid >= 0, soid, n)      # dead/guard rows drop
     scat = lambda a, fill: jnp.full((n + 1, a.shape[1]), fill,
                                     a.dtype).at[tgt].set(a, mode="drop")[:-1]
-    merged = merge_pair_risks(scat(other_s, 0), scat(hit_s, False),
-                              scat(risk_s, 0.0), scat(ttc_s, jnp.inf),
-                              scat(dist_s, jnp.inf), merge_k)
-    return merged + (cl.overflow,)
+    return (scat(other_r, 0), scat(valid_r, False), scat(risk_r, 0.0),
+            scat(ttc_r, jnp.inf), scat(dist_r, jnp.inf), overflow)

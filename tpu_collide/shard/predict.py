@@ -88,18 +88,68 @@ def _local_predict(state: ObjectState, hist: TrajectoryHistory,
             take(dist), dropped.reshape(1))
 
 
+def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
+                         bx: jax.Array, by: jax.Array, cfg: SystemConfig,
+                         horizon: float, step: float, sub_window: float,
+                         merge_k: int, width: float, capacity: int,
+                         window_rows, interpret: bool):
+    """Per-shard fused prediction (kernels/refine.fused_predict_rows):
+    candidate selection rides the cell-list kernel per shard — the
+    production-scale path (11x the gather path at 100k, BENCH_NOTES).
+    Halo mirrors enter with MARKED oids and stationary class; their query
+    rows are masked by own_flat (as candidates their class is irrelevant:
+    candidates advance const-accel, reference :808-812). Row-space
+    outputs: per shard m = ceil((slots + 2*capacity*phases)/TILE)*TILE
+    sorted rows."""
+    from tpu_collide.detect.predict import classify_trajectories
+    from tpu_collide.kernels.refine import fused_predict_rows
+
+    sx, sy = _shard_coords(cfg)
+    bufx, valx, dropx = halo_exchange(state, cfg, sx, bx, dim=0,
+                                      width=width, capacity=capacity)
+    ext = extend_with_halo(state, bufx, valx, mark_halo=True)
+    dropped = dropx
+    if cfg.shard.num_shards_y > 1:
+        bufy, valy, dropy = halo_exchange(ext, cfg, sy, by, dim=1,
+                                          width=width, capacity=capacity)
+        ext = extend_with_halo(ext, bufy, valy, mark_halo=True)
+        dropped = dropped + dropy
+
+    cls = jnp.concatenate([
+        classify_trajectories(hist),
+        jnp.zeros((ext.n - state.n,), jnp.int32)])
+    other, valid, risk, ttc, dist, soid, own, overflow = \
+        fused_predict_rows(ext, cls, cfg, horizon=horizon, step=step,
+                           sub_window=sub_window, merge_k=merge_k,
+                           window_rows=window_rows, interpret=interpret)
+    valid = valid & own[:, None]
+    return (jnp.where(valid, other, -1), valid, risk, ttc, dist,
+            jnp.where(own, soid, -1), dropped.reshape(1),
+            overflow.reshape(1))
+
+
 def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
                          horizon: float = 10.0, step: float = 0.5,
                          sub_window: float = 1.0, merge_k: int = 32,
-                         halo_capacity: int | None = None):
+                         halo_capacity: int | None = None,
+                         backend: str = "xla",
+                         window_rows: int | None = None,
+                         interpret: bool = False):
     """Compile per-shard trajectory prediction over the mesh.
 
-    Returns predict(state_sharded, hist_sharded, boundaries=None,
+    backend='xla' (default): the canonical gather path per shard; returns
+    predict(state_sharded, hist_sharded, boundaries=None,
     boundaries_y=None) -> (other_oid [D*slots, merge_k] i32, valid, risk,
     ttc, dist, dropped [D]) — the merged per-object predicted risks of
     every OWNED object, equal to single-device `predict_collisions` for
     fleets whose per-band population fits `halo_capacity` (overflow is
     counted in `dropped`, never silent).
+
+    backend='fused': the cell-list kernel per shard (production scale,
+    ~11x the gather path at 100k) — results come back in SORTED-ROW space:
+    (other_oid [D*m, merge_k], valid, risk, ttc, dist, row_oid [D*m],
+    dropped [D], window_overflow [D]); join on row_oid (-1 = halo/dead
+    row). Same pair set and values as 'xla' (tested).
 
     The widened band must fit inside one slab (single-hop ppermute);
     asserted against the equal-slab width — callers moving walls
@@ -124,14 +174,24 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
         otype=P(sdim), alive=P(sdim), oid=P(sdim))
     spec_hist = TrajectoryHistory(pos=P(sdim), t=P(sdim), count=P(sdim),
                                   head=P(sdim))
-    body = partial(_local_predict, cfg=cfg, horizon=horizon, step=step,
-                   sub_window=sub_window, merge_k=merge_k,
-                   width=reach, capacity=halo_capacity)
+    if backend == "fused":
+        body = partial(_local_predict_fused, cfg=cfg, horizon=horizon,
+                       step=step, sub_window=sub_window, merge_k=merge_k,
+                       width=reach, capacity=halo_capacity,
+                       window_rows=window_rows, interpret=interpret)
+        n_out = 8
+        check_vma = False      # pallas outputs carry no VMA metadata
+    else:
+        body = partial(_local_predict, cfg=cfg, horizon=horizon, step=step,
+                       sub_window=sub_window, merge_k=merge_k,
+                       width=reach, capacity=halo_capacity)
+        n_out = 6
+        check_vma = True
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(spec_state, spec_hist, P(), P()),
-        out_specs=(P(sdim), P(sdim), P(sdim), P(sdim), P(sdim), P(sdim)),
-        check_vma=True,
+        out_specs=tuple([P(sdim)] * n_out),
+        check_vma=check_vma,
     )
     jf = jax.jit(f)
     default_bx = equal_boundaries(cfg, 0)
