@@ -240,3 +240,31 @@ def test_sharded_fused_predict_matches_single_device():
     for k in single:
         np.testing.assert_allclose(sharded[k], single[k],
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_scene_fused_predict_end_to_end():
+    """ShardedScene(backend='fused').predict auto-selects the per-shard
+    fused prediction (interpret on the CPU mesh) and returns the same
+    risks the XLA-backed scene does."""
+    from tpu_collide.api import ShardedScene
+
+    cfg = base_cfg(n=200, shards=8)
+    fleet = generate_fleet(jax.random.key(3), cfg)
+    horizon, step = 3.0, 0.5
+
+    def run(backend):
+        sc = ShardedScene(cfg, fleet=fleet, auto_rebalance=False,
+                          backend=backend, interpret=(backend == "fused"))
+        sc.record_trajectories()
+        sc.record_trajectories()
+        return sc.predict(horizon=horizon, step=step)
+
+    rx = {(r.vehicle_id, r.other_vehicle_id):
+          (r.risk_level, r.time_to_collision) for r in run("xla")}
+    rf = {(r.vehicle_id, r.other_vehicle_id):
+          (r.risk_level, r.time_to_collision) for r in run("fused")}
+    assert rx, "no predicted risks, test vacuous"
+    assert set(rf) == set(rx)
+    for k in rf:
+        np.testing.assert_allclose(rf[k], rx[k], rtol=1e-5, atol=1e-5)

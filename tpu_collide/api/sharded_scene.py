@@ -339,14 +339,30 @@ class ShardedScene:
             key2 = (float(horizon), float(step))
             fns = self._predict_cache.get(key2)
             if fns is None:
-                pfn = make_sharded_predict(self.cfg, self.mesh,
-                                           horizon=key2[0], step=key2[1])
+                # the fused cell-list kernel carries prediction at
+                # production scale (~11x the gather path at 100k,
+                # BENCH_NOTES) — auto-selected like the single-device
+                # Scene.predict, canonical XLA otherwise
+                from tpu_collide.kernels.cell_list import resolve_band_cells
+                use_fused = (self._backend == "fused"
+                             and resolve_band_cells(self.cfg)
+                             == self.cfg.grid_dims[0])
+                pfn = make_sharded_predict(
+                    self.cfg, self.mesh, horizon=key2[0], step=key2[1],
+                    backend="fused" if use_fused else "xla",
+                    interpret=self._interpret)
                 r_cap = int(min(a.max_scene_alerts,
                                 self.state.alive.shape[0] * 32))
 
                 def compact(state, hist, bx, by):
-                    other, valid, risk, ttc, dist, dropped = pfn(
-                        state, hist, bx, by)
+                    res = pfn(state, hist, bx, by)
+                    if use_fused:
+                        (other, valid, risk, ttc, dist, row_oid,
+                         dropped, _oflow) = res
+                        voids_src = row_oid
+                    else:
+                        other, valid, risk, ttc, dist, dropped = res
+                        voids_src = state.oid
                     keep = valid & (risk >= a.risk_low)
                     keyv = jnp.where(keep, risk, -1.0).reshape(-1)
                     top_r, top_i = jax.lax.top_k(keyv,
@@ -354,7 +370,7 @@ class ShardedScene:
                     kk = risk.shape[1]
                     rows = top_i // kk
                     sel = lambda x: x.reshape(-1)[top_i]
-                    return (top_r, state.oid[rows], sel(other), sel(ttc),
+                    return (top_r, voids_src[rows], sel(other), sel(ttc),
                             sel(dist), jnp.sum(keep, dtype=jnp.int32),
                             jnp.sum(dropped))
 
