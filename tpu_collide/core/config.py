@@ -118,6 +118,13 @@ class DetectionConfig:
     # DEVIATIONS #18). 'direct' evaluates the reference expression
     # literally (collision_detection.py:364-365).
     angle_form: str = "product"
+    # Fused-kernel stage-3/4 gate: True (default) skips the post-stage-2
+    # block math when a [128x128] pair block has no stage-2 survivor — a
+    # clear win at sparse densities (3D swarms) for the ~200 ns/block
+    # vector->scalar sync it costs. At dense 2D configs nearly every block
+    # fires and the gate is pure overhead; False compiles it out (results
+    # identical — the emit tail keeps its own guards).
+    gate_stage2: bool = True
     # Stage-1 pair counter (num_pairs_checked): the cross-backend honesty
     # metric costs a per-block accumulate in the fused kernel (~12 ms at 1M,
     # measured). False compiles it out; num_pairs_checked then reports -1.

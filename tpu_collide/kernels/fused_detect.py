@@ -563,14 +563,14 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             # insertion — only matters for stage-2
                             # SURVIVORS, the rare class. Gating the block
                             # on having any survivor skips ~half the block
-                            # math most of the time; measured a clear win
-                            # despite the vector->scalar sync the branch
-                            # costs (widened from the earlier
-                            # extraction-only guard).
-                            s2max = jnp.max(jnp.where(ok2, 1.0, 0.0))
-
-                            @pl.when(s2max > 0.5)
-                            def _():
+                            # math most of the time at SPARSE densities
+                            # (3D swarms) — a clear win despite the
+                            # ~200 ns/block vector->scalar sync. At DENSE
+                            # 2D configs nearly every block fires and the
+                            # gate is pure overhead: gate_stage2=False
+                            # compiles it out (results identical — the
+                            # emit tail keeps its own guards).
+                            def s34_body():
                                 if emit == "hits":
                                     # stage 3 (fast): first |p + v t| = safe
                                     # crossing, snapped to the dt lattice
@@ -639,6 +639,12 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                     emitted = ok2
                                     qual = ok2
                                 emit_slots(key, emitted, qual)
+
+                            if det.gate_stage2:
+                                s2max = jnp.max(jnp.where(ok2, 1.0, 0.0))
+                                pl.when(s2max > 0.5)(s34_body)
+                            else:
+                                s34_body()
 
                         return 0
                     return crow_pass
