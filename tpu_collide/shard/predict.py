@@ -159,8 +159,8 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
     dy = cfg.shard.num_shards_y
     assert reach <= (cfg.world.hi[0] - cfg.world.lo[0]) / dx, (
         f"prediction halo {reach:.0f} m exceeds the x-slab width — "
-        "prediction visibility is single-hop; use fewer/wider shards or a "
-        "shorter horizon")
+        "prediction visibility is single-hop; use fewer/wider shards, a "
+        "2D (x, y) tiling (num_shards_y), or a shorter horizon")
     if dy > 1:
         assert reach <= (cfg.world.hi[1] - cfg.world.lo[1]) / dy, (
             f"prediction halo {reach:.0f} m exceeds the y-slab width")
