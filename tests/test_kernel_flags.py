@@ -88,3 +88,41 @@ def test_angle_form_product_parity(dim):
     assert set(ad) == set(ap)
     for k in ad:
         np.testing.assert_allclose(ad[k][0], ap[k][0], atol=1e-5)
+
+
+def test_packed_counter_saturates_instead_of_wrapping(monkeypatch):
+    """The packed emitted/qual counter SATURATES at CNT_MAX per half. A
+    plain wrap at CNT_PACK would read (qual mod CNT_PACK) — e.g. 20 mod 16
+    = 4 <= k — and FALSELY certify alert completeness (review finding).
+    Shrink the pack constants so a 21-object converging ring crosses them:
+    the center object's ~20 qualifying pairs must decode as the saturated
+    CNT_MAX, keeping alert_overflow > 0."""
+    from tpu_collide.kernels import fused_detect as fd
+    from tpu_collide.core.state import state_from_numpy
+
+    monkeypatch.setattr(fd, "CNT_PACK", 16.0)
+    monkeypatch.setattr(fd, "CNT_MAX", 7.0)
+
+    n = 21
+    pos = np.zeros((n, 3), np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    for i in range(n - 1):
+        ang = 2 * np.pi * i / (n - 1)
+        pos[i + 1] = [60 * np.cos(ang), 60 * np.sin(ang), 0.0]
+        vel[i + 1] = [-12 * np.cos(ang), -12 * np.sin(ang), 0.0]
+    pos += 500.0
+    pos[:, 2] = 0.0
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(1000.0, 1000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=64))
+    _, out = step_fused(st, jax.random.key(0), cfg, interpret=True)
+    # the center object alone has ~20 qualifying pairs > CNT_MAX=7:
+    # saturation keeps the overflow certificate FAILED (a wrap would give
+    # 20 mod 16 = 4 <= k = 4 -> aoflow 0, silently incomplete)
+    assert int(out.alert_overflow) > 0

@@ -2,6 +2,7 @@
 makes skewed fleets certify on the FIRST build — no hand-tuning, no regrow
 warm-up."""
 import numpy as np
+import pytest
 import jax
 
 import tpu_collide as tc
@@ -19,6 +20,7 @@ def skew_cfg(n=20_000):
         detect=DetectionConfig(mode="fast"))
 
 
+@pytest.mark.slow
 def test_suggested_windows_clear_dense_skew_on_first_build():
     """A fleet with 60% of objects crammed into one dense strip: the
     mean-density default window overflows; the fleet-exact suggestion

@@ -260,6 +260,11 @@ class Scene:
             logger.error(
                 "dropped %d location reports: fleet capacity %d exhausted "
                 "(raise SystemConfig.num_objects)", dropped, self.state.n)
+        if not self.cfg.world.is_3d:
+            # 2D-world contract: z/vz/az are exactly 0 (DEVIATIONS #16)
+            pos[:, 2] = 0.0
+            vel[:, 2] = 0.0
+            acc[:, 2] = 0.0
         self.state = _apply_updates(
             self.state, jnp.asarray(slot), jnp.asarray(pos),
             jnp.asarray(vel), jnp.asarray(acc), jnp.asarray(heading),
@@ -271,7 +276,11 @@ class Scene:
 
     def adopt_fleet(self, state: ObjectState,
                     ids: Optional[Sequence[str]] = None) -> None:
-        """Replace the fleet wholesale (e.g. from a generator or restore)."""
+        """Replace the fleet wholesale (e.g. from a generator or restore).
+        The fleet is conformed to the config's contracts (2D worlds zero
+        z components; narrow-oid range validated) — core.state.conform_fleet."""
+        from tpu_collide.core.state import conform_fleet
+        state = conform_fleet(state, self.cfg)
         self.state = state
         self._num_alive = int(np.asarray(jnp.sum(state.alive)))
         self._id_to_slot.clear()
@@ -565,7 +574,8 @@ class Scene:
         with self._device_lock:
             return self.ckpt.save_async(
                 self.state, self.step_count,
-                metadata={"ids": self._id_to_slot, **(metadata or {})})
+                metadata={"ids": self._id_to_slot, **(metadata or {})},
+                transfer_lock=self._device_lock)
 
     def restore_checkpoint(self, step: Optional[int] = None) -> int:
         assert self.ckpt is not None, "Scene built without checkpoint_dir"

@@ -112,7 +112,11 @@ class ShardedScene:
     # ---- fleet management ----
 
     def adopt_fleet(self, fleet: ObjectState) -> None:
-        """Distribute a host/global fleet across the mesh by slab/tile."""
+        """Distribute a host/global fleet across the mesh by slab/tile.
+        The fleet is conformed to the config's contracts first (2D worlds
+        zero z components; narrow-oid range validated)."""
+        from tpu_collide.core.state import conform_fleet
+        fleet = conform_fleet(fleet, self.cfg)
         with self._lock:
             self.state = distribute_state(
                 fleet, self.cfg, self.mesh, boundaries=self.boundaries,
@@ -186,6 +190,11 @@ class ShardedScene:
             upd["size"][i] = size
             upd["otype"][i] = otype
         self._pending.clear()
+        if not self.cfg.world.is_3d:
+            # 2D-world contract: z/vz/az are exactly 0 (DEVIATIONS #16)
+            upd["pos"][:, 2] = 0.0
+            upd["vel"][:, 2] = 0.0
+            upd["acc"][:, 2] = 0.0
         self.state, dropped = self._apply(self.state, upd, self.boundaries,
                                           self.boundaries_y)
         self.dropped_total += int(np.asarray(dropped).sum())
@@ -212,6 +221,7 @@ class ShardedScene:
         out = None
         with self._lock:
             self._flush_locked()
+            self._ensure_state()
             for _ in range(n):
                 self._key, sub = jax.random.split(self._key)
                 with Timer() as t:
@@ -241,12 +251,13 @@ class ShardedScene:
                 self.stats_timing["max_ms"] = max(
                     self.stats_timing["max_ms"], t.elapsed_ms)
                 if self.balancer and self.balancer.should_rebalance(self.state):
-                    old_state = self.state if self._traj is not None else None
+                    old_state = self.state     # pre-rebalance slot layout
                     (self.state, self.boundaries,
                      self.boundaries_y) = self.balancer.rebalance(
-                        old_state if old_state is not None else self.state,
-                        self.mesh)
-                    if old_state is not None:
+                        old_state, self.mesh)
+                    if self._traj is not None:
+                        # trajectory rings follow their objects to the
+                        # new slots
                         self._traj = self._redistribute_hist(old_state)
                 if self._auto_window and int(out.overflow) > 0:
                     self._grow_window(int(out.overflow))
@@ -307,6 +318,7 @@ class ShardedScene:
 
         with self._lock:
             self._flush_locked()
+            self._ensure_state()
             if self._traj is None:
                 sharding = NamedSharding(self.mesh,
                                          P(_state_spec_axes(self.cfg)))
@@ -358,11 +370,12 @@ class ShardedScene:
                     res = pfn(state, hist, bx, by)
                     if use_fused:
                         (other, valid, risk, ttc, dist, row_oid,
-                         dropped, _oflow) = res
+                         dropped, oflow) = res
                         voids_src = row_oid
                     else:
                         other, valid, risk, ttc, dist, dropped = res
                         voids_src = state.oid
+                        oflow = jnp.zeros((1,), jnp.int32)
                     keep = valid & (risk >= a.risk_low)
                     keyv = jnp.where(keep, risk, -1.0).reshape(-1)
                     top_r, top_i = jax.lax.top_k(keyv,
@@ -372,17 +385,21 @@ class ShardedScene:
                     sel = lambda x: x.reshape(-1)[top_i]
                     return (top_r, voids_src[rows], sel(other), sel(ttc),
                             sel(dist), jnp.sum(keep, dtype=jnp.int32),
-                            jnp.sum(dropped))
+                            jnp.sum(dropped), jnp.sum(oflow))
 
                 fns = (jax.jit(compact), r_cap)
                 self._predict_cache[key2] = fns
             fn, r_cap = fns
             fetched = jax.device_get(fn(self.state, self._traj,
-                                        self.boundaries
-                                        if self.boundaries is not None
-                                        else None,
+                                        self.boundaries,
                                         self.boundaries_y))
-        top_r, voids, ooids, t_sel, d_sel, total, dropped = fetched
+        top_r, voids, ooids, t_sel, d_sel, total, dropped, oflow = fetched
+        if int(oflow) > 0:
+            logger.warning(
+                "sharded predict: %d candidate-window slots overflowed — "
+                "pass window_rows to make_sharded_predict / raise it "
+                "(missed predicted candidates are counted, never silent)",
+                int(oflow))
         if int(dropped) > 0:
             logger.warning(
                 "sharded predict: %d halo-band objects beyond capacity "
@@ -534,7 +551,8 @@ class ShardedScene:
         assert self.ckpt is not None
         with self._lock:
             return self.ckpt.save_async(self.state, self.step_count,
-                                        metadata=metadata)
+                                        metadata=metadata,
+                                        transfer_lock=self._lock)
 
     def restore_checkpoint(self, step: Optional[int] = None) -> int:
         """Failover: reload the latest snapshot and redistribute it across

@@ -81,14 +81,20 @@ class CheckpointManager:
         return final
 
     def save_async(self, state: ObjectState, step: int,
-                   metadata: Optional[Dict[str, Any]] = None
-                   ) -> threading.Thread:
+                   metadata: Optional[Dict[str, Any]] = None,
+                   transfer_lock=None) -> threading.Thread:
         """Non-blocking snapshot (VERDICT r2 #7; the orbax-style async
         SURVEY §7.6 planned): takes a DEVICE-SIDE copy of the state
         synchronously (cheap HBM->HBM, so later donation/mutation of the
         live state cannot race the snapshot), then moves the device->host
         transfer + npz compression + atomic rename to a background thread.
         The step loop stalls only for the device copy.
+
+        transfer_lock: when given, the worker's device->host transfer
+        acquires it — the Scene facades pass their device lock so the read
+        never overlaps a donating step dispatch (concurrent reads +
+        donation wedge some backends, CLAUDE.md; compression + IO — the
+        bulk of a compressed snapshot's wall time — still overlap).
 
         One async save in flight at a time: a second call joins the
         previous one first. Returns the thread (join() to wait);
@@ -102,8 +108,13 @@ class CheckpointManager:
 
         def worker():
             try:
-                arrays = {f: np.asarray(jax.device_get(v))
-                          for f, v in snap.items()}
+                if transfer_lock is not None:
+                    with transfer_lock:
+                        arrays = {f: np.asarray(jax.device_get(v))
+                                  for f, v in snap.items()}
+                else:
+                    arrays = {f: np.asarray(jax.device_get(v))
+                              for f, v in snap.items()}
                 self._write(arrays, step, metadata)
                 self.stats["async_saves"] += 1
             except BaseException as e:          # surfaced by wait_async

@@ -76,3 +76,32 @@ def state_from_numpy(pos, vel, acc, heading, size, otype, oid=None,
         oid=(jnp.arange(n, dtype=jnp.int32) if oid is None
              else jnp.asarray(oid, jnp.int32)),
     )
+
+
+def conform_fleet(state: ObjectState, cfg) -> ObjectState:
+    """Clamp a fleet to the config's contracts at the HOST entry points
+    (Scene/ShardedScene adopt/ingest):
+
+    * 2D worlds treat z/vz/az as exactly 0 on the fused path
+      (DEVIATIONS #16) — zero them so both backends see identical data;
+    * narrow-oid fleets (GridConfig.wide_oid unset/False) must keep ids
+      f32-exact: ids at/past 2^24 - 2 raise with guidance instead of
+      silently rounding inside the cell-list co-sort."""
+    import numpy as np
+
+    if not cfg.world.is_3d:
+        state = state.replace(
+            pos=state.pos.at[:, 2].set(0.0),
+            vel=state.vel.at[:, 2].set(0.0),
+            acc=state.acc.at[:, 2].set(0.0))
+    wide = cfg.grid.wide_oid
+    if wide is None:
+        wide = cfg.num_objects + 2 > 2 ** 24
+    if not wide:
+        oid_max = int(np.asarray(jnp.max(jnp.where(
+            state.alive, state.oid, 0))))
+        if oid_max + 2 > 2 ** 24:
+            raise ValueError(
+                f"fleet carries oid {oid_max} past the f32-exact narrow "
+                "range (2^24 - 2); set GridConfig.wide_oid=True")
+    return state

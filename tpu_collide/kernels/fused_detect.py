@@ -103,11 +103,13 @@ PACKED_NONE = KEY_NONE * KEY_Q * LANE   # packed form of an empty slot
 PACKED_OCC_MIN = KEY_SUB * KEY_Q * LANE - 1.0
 # per-object emitted/qualifying counters pack into ONE buffer (one RMW per
 # firing block instead of two): value = emitted * CNT_PACK + qualifying.
-# Exact in f32 while emitted <= CNT_MAX (packed value < 2^23); an object
-# with more simultaneous hits than that failed the alert_overflow
-# certificate (qualifying > k slots) long before the counter saturates.
+# Each half SATURATES at CNT_MAX (the accumulate clamps both components) —
+# exact below it, and a saturated qualifying count still FAILS the
+# alert_overflow certificate (CNT_MAX >> k <= 16), so saturation can never
+# falsely certify completeness (a plain wrap at CNT_PACK could: 4100 mod
+# 4096 = 4 <= k would read as "fits in slots").
 CNT_PACK = 4096.0
-CNT_MAX = 2047
+CNT_MAX = 2047.0
 
 (_X, _Y, _Z, _VX, _VY, _VZ, _AX, _AY, _AZ,
  _SIZE, _HEAD, _TYPE, _OID, _ROW) = range(NF)
@@ -369,10 +371,17 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
                             @pl.when(cmax > 0.5)
                             def _():
+                                old = ocnt[1][s, :]
+                                e_old = jnp.floor(old * (1.0 / CNT_PACK))
+                                q_old = old - e_old * CNT_PACK
+                                e_new = jnp.minimum(e_old + emitted_row,
+                                                    CNT_MAX)
+                                q_new = jnp.minimum(
+                                    q_old + jnp.sum(
+                                        jnp.where(qual, 1.0, 0.0), axis=1),
+                                    CNT_MAX)
                                 ocnt[1][pl.ds(s, 1), :] = (
-                                    ocnt[1][s, :] + emitted_row * CNT_PACK
-                                    + jnp.sum(jnp.where(qual, 1.0, 0.0),
-                                              axis=1))[None, :]
+                                    e_new * CNT_PACK + q_new)[None, :]
                                 kb = [okey[j][s, :] for j in range(k)]
                                 ib = [oidx[j][s, :] for j in range(k)]
 

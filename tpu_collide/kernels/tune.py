@@ -84,22 +84,20 @@ def suggest_window_rows(state, cfg: SystemConfig, margin_rows: int = 8,
 def suggest_cell_size(cfg: SystemConfig) -> float:
     """Smallest legal cell for the fused path: the search radius (the
     1-cell stencil must cover it). Larger cells only add dead pair math;
-    smaller ones are illegal on the kernel path — so the policy is simply
-    r, unless the user already chose a legal value."""
-    return max(cfg.grid.cell_size
-               if cfg.grid.cell_size >= cfg.detect.search_radius
-               else cfg.detect.search_radius,
-               cfg.detect.search_radius)
+    smaller ones are illegal on the kernel path — so the policy is
+    max(cell_size, r)."""
+    return max(cfg.grid.cell_size, cfg.detect.search_radius)
 
 
 def tune_config(cfg: SystemConfig, state=None) -> tuple:
     """(cfg', window_rows): cell size clamped legal + fleet-exact window
     capacity (None when no fleet is given — the mean-density default then
-    applies). The Scene facade calls this when adopting a fleet."""
+    applies). A host-side helper for config authors; the Scene facades
+    apply the window half themselves (suggest_window_rows) when adopting
+    a fleet."""
+    import dataclasses
     cs = suggest_cell_size(cfg)
     if cs != cfg.grid.cell_size:
-        cfg = cfg.replace(grid=cfg.grid.__class__(
-            cell_size=cs, cell_capacity=cfg.grid.cell_capacity,
-            band_cells=cfg.grid.band_cells, wide_oid=cfg.grid.wide_oid))
+        cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, cell_size=cs))
     wr = suggest_window_rows(state, cfg) if state is not None else None
     return cfg, wr
