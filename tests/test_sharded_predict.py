@@ -208,6 +208,176 @@ def test_history_redistributes_on_rebalance():
     assert isinstance(risks, list)
 
 
+def test_halo_exchange_hops_visibility():
+    """Multi-hop halo (ROADMAP #6): a band wider than one slab is mirrored
+    exactly — every shard sees precisely the alive objects within `width`
+    of its slab, delivered over a 3-hop ppermute chain."""
+    from jax.sharding import PartitionSpec as P
+    from tpu_collide.core.state import ObjectState
+    from tpu_collide.shard.halo import halo_exchange_hops
+    from tpu_collide.shard.step import (_shard_coords, _state_spec_axes,
+                                        equal_boundaries, shard_slots)
+
+    cfg = base_cfg(n=40, shards=8).replace(world=WorldConfig(
+        hi=(4000.0, 4000.0, 0.0)))
+    width, hops = 1200.0, 3          # 2.4 x 500 m slabs -> 3 hops
+    n = cfg.num_objects
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = 50.0 + 100.0 * np.arange(n)     # one per 100 m across x
+    pos[:, 1] = 2000.0
+    fleet = state_from_numpy(pos, np.zeros_like(pos), np.zeros_like(pos),
+                             np.zeros(n, np.float32),
+                             np.full(n, 2.0, np.float32),
+                             np.zeros(n, np.int32))
+    mesh = make_mesh(cfg)
+    st = distribute_state(fleet, cfg, mesh)
+
+    def body(state, b):
+        sx, _ = _shard_coords(cfg)
+        buf, valid, dropped = halo_exchange_hops(
+            state, cfg, sx, b, dim=0, width=width, capacity=16, hops=hops)
+        return jnp.where(valid, buf["oid"], -1), dropped.reshape(1)
+
+    sdim = _state_spec_axes(cfg)
+    spec_state = ObjectState(
+        pos=P(sdim), vel=P(sdim), acc=P(sdim), heading=P(sdim),
+        size=P(sdim), otype=P(sdim), alive=P(sdim), oid=P(sdim))
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec_state, P()),
+        out_specs=(P(sdim), P(sdim)), check_vma=False))
+    oids, dropped = f(st, equal_boundaries(cfg, 0))
+    assert int(np.asarray(dropped).sum()) == 0
+
+    d = cfg.shard.num_shards
+    slab = (cfg.world.hi[0] - cfg.world.lo[0]) / d
+    rows_per = np.asarray(oids).shape[0] // d
+    for sh in range(d):
+        got = set(np.asarray(oids)[sh * rows_per:(sh + 1) * rows_per])
+        got.discard(-1)
+        lo, hi = sh * slab, (sh + 1) * slab
+        want = {int(o) for o, x in zip(fleet.oid, pos[:, 0])
+                if (lo - width <= x < lo) or (hi <= x < hi + width)}
+        assert got == want, f"shard {sh}: {sorted(got)} != {sorted(want)}"
+
+
+def test_sharded_predict_multihop_matches_single_device():
+    """A prediction horizon whose displacement bound spans TWO slabs: the
+    multi-hop chain delivers the far candidates and per-shard prediction
+    stays exactly equal to single-device — including a crafted pair whose
+    query (shard 0) meets a candidate owned by shard 2."""
+    from tpu_collide.shard.predict import predict_hops
+
+    n = 42
+    cfg = base_cfg(n=n, shards=8).replace(world=WorldConfig(
+        hi=(4000.0, 4000.0, 0.0)))
+    horizon, step = 20.0, 2.0        # o_max 18 -> reach 802 m > 500 m slab
+    reach = predict_reach(cfg, horizon, step)
+    assert predict_hops(cfg, reach, 0) == 2
+
+    pos = np.zeros((n, 3), np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    # spread background objects (no pairs among themselves: 95 m+ apart in y)
+    pos[2:, 0] = 80.0 + 93.0 * np.arange(n - 2)
+    pos[2:, 1] = 300.0 + 83.0 * np.arange(n - 2)
+    # query: right edge of shard 0, heading right at 30 m/s
+    pos[0] = [495.0, 2000.0, 0.0]
+    vel[0] = [30.0, 0.0, 0.0]
+    # candidate: stationary where the query lands at offset 18 s — shard 2
+    pos[1] = [495.0 + 30.0 * 18.0, 2000.0, 0.0]
+    fleet = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                             np.zeros(n, np.float32),
+                             np.full(n, 2.0, np.float32),
+                             np.zeros(n, np.int32))
+    hist = empty_history(fleet.n)
+    dt = cfg.sim.dt
+    for i in range(3):
+        past = fleet.replace(pos=fleet.pos - fleet.vel * (2 - i) * dt)
+        hist = update_history(hist, past, (i + 1) * dt)
+
+    o1, v1, r1, t1, d1 = jax.jit(
+        lambda s, h: predict_collisions(
+            s, h, build_grid(s.pos, s.alive, cfg), cfg,
+            horizon=horizon, step=step))(fleet, hist)
+    single = predict_map(np.asarray(fleet.oid)[np.asarray(o1)], v1, r1, t1,
+                         fleet.oid)
+    assert (0, 1) in single, "crafted cross-2-slab pair missing upstream"
+
+    mesh = make_mesh(cfg)
+    st = distribute_state(fleet, cfg, mesh)
+    hs = distribute_history(hist, cfg, mesh, fleet)
+    pfn = make_sharded_predict(cfg, mesh, horizon=horizon, step=step)
+    o8, v8, r8, t8, d8, dropped = pfn(st, hs)
+    assert int(np.asarray(dropped).sum()) == 0
+    sharded = predict_map(o8, v8, r8, t8, st.oid)
+
+    assert set(sharded) == set(single)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k],
+                                   rtol=1e-5, atol=1e-5)
+
+    # and the single-hop chain provably CANNOT see that pair
+    pfn1 = make_sharded_predict(cfg, mesh, horizon=horizon, step=step,
+                                hops=1)
+    o8b, v8b, r8b, t8b, _, _ = pfn1(st, hs)
+    assert (0, 1) not in predict_map(o8b, v8b, r8b, t8b, st.oid)
+
+
+def test_sharded_predict_multihop_2d_mesh():
+    """Multi-hop on the (x, y) tile grid: a crafted pair two Y-slabs apart
+    rides the y-phase forwarding chain (which re-mirrors the x-extended
+    state); per-shard prediction equals single-device exactly."""
+    from tpu_collide.shard.predict import predict_hops
+
+    n = 24
+    cfg = base_cfg(n=n, shards=2, dy=4).replace(world=WorldConfig(
+        hi=(2000.0, 2400.0, 0.0)))
+    horizon, step = 24.0, 2.0       # o_max 22 -> reach 1002 m; y slab 600
+    reach = predict_reach(cfg, horizon, step)
+    assert predict_hops(cfg, reach, 0) == 1      # x: clamped to d-1
+    assert predict_hops(cfg, reach, 1) == 2
+
+    pos = np.zeros((n, 3), np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    pos[2:, 0] = 60.0 + 85.0 * np.arange(n - 2)
+    pos[2:, 1] = np.tile([150.0, 800.0], (n - 2 + 1) // 2)[:n - 2]
+    pos[2:, 0] %= 2000.0
+    # query: top edge of y-slab 0, heading +y at 30 m/s (const-vel class)
+    pos[0] = [1000.0, 595.0, 0.0]
+    vel[0] = [0.0, 30.0, 0.0]
+    # candidate: stationary where the query lands at offset 22 s — y-slab 2
+    pos[1] = [1000.0, 595.0 + 30.0 * 22.0, 0.0]
+    fleet = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                             np.zeros(n, np.float32),
+                             np.full(n, 2.0, np.float32),
+                             np.zeros(n, np.int32))
+    hist = empty_history(fleet.n)
+    dt = cfg.sim.dt
+    for i in range(3):
+        past = fleet.replace(pos=fleet.pos - fleet.vel * (2 - i) * dt)
+        hist = update_history(hist, past, (i + 1) * dt)
+
+    o1, v1, r1, t1, d1 = jax.jit(
+        lambda s, h: predict_collisions(
+            s, h, build_grid(s.pos, s.alive, cfg), cfg,
+            horizon=horizon, step=step))(fleet, hist)
+    single = predict_map(np.asarray(fleet.oid)[np.asarray(o1)], v1, r1, t1,
+                         fleet.oid)
+    assert (0, 1) in single, "crafted cross-2-y-slab pair missing upstream"
+
+    mesh = make_mesh(cfg)
+    st = distribute_state(fleet, cfg, mesh)
+    hs = distribute_history(hist, cfg, mesh, fleet)
+    pfn = make_sharded_predict(cfg, mesh, horizon=horizon, step=step)
+    o8, v8, r8, t8, d8, dropped = pfn(st, hs)
+    assert int(np.asarray(dropped).sum()) == 0
+    sharded = predict_map(o8, v8, r8, t8, st.oid)
+
+    assert set(sharded) == set(single)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k],
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_sharded_fused_predict_matches_single_device():
     """backend='fused' sharded prediction (cell-list kernel per shard,

@@ -199,6 +199,61 @@ def halo_exchange(state: ObjectState, cfg: SystemConfig,
     return halo_buf, halo_valid, drop_l + drop_r
 
 
+def halo_exchange_hops(state: ObjectState, cfg: SystemConfig,
+                       shard_idx: jax.Array,
+                       boundaries: jax.Array | None = None,
+                       dim: int = 0, width: float | None = None,
+                       capacity: int | None = None, hops: int = 1):
+    """Multi-hop halo: mirror bands of width `width` that span up to `hops`
+    slab neighbors per side (ROADMAP #6 — lifts the single-hop horizon cap
+    on narrow slabs; the sharded PREDICT path needs bands wider than one
+    slab when the predicted-displacement bound exceeds the slab width).
+
+    Hop 1 packs each shard's own band exactly like `halo_exchange`; hop
+    h > 1 FORWARDS what arrived from h-1 slabs away, re-filtered against
+    this shard's own reach predicate (`c < slab_lo + w` leftward,
+    `c >= slab_hi - w` rightward). An object owned by shard i±h reaches
+    shard i iff it satisfies every intermediate shard's predicate, which
+    is monotone in the wall positions — so the chain delivers EXACTLY the
+    objects within `width` of this slab, across arbitrary (dynamic) walls,
+    provided each slab is at least `width / hops` wide. No duplicates:
+    hop h delivers only objects owned h slabs away.
+
+    Returns (halo_buf, halo_valid [2 * hops * capacity], dropped); drops
+    can only happen at the initial pack (counted, never silent)."""
+    if hops <= 1:
+        return halo_exchange(state, cfg, shard_idx, boundaries, dim,
+                             width=width, capacity=capacity)
+    slab_lo, slab_hi = slab_bounds(cfg, shard_idx, boundaries, dim)
+    d, _ = axis_shards(cfg, dim)
+    h = cfg.shard.halo_capacity if capacity is None else capacity
+    w = cfg.shard.halo_width if width is None else width
+
+    c = state.pos[:, dim]
+    near_l = state.alive & (c < slab_lo + w) & (shard_idx > 0)
+    near_r = state.alive & (c >= slab_hi - w) & (shard_idx < d - 1)
+    buf_l, val_l, drop_l = pack(state, near_l, h, slab_lo, dim=dim)
+    buf_r, val_r, drop_r = pack(state, near_r, h, slab_hi, dim=dim)
+    dropped = drop_l + drop_r
+
+    bufs, vals = [], []
+    for hop in range(hops):
+        (in_r, inval_r), (in_l, inval_l) = exchange_neighbors(
+            buf_l, val_l, buf_r, val_r, cfg, dim)
+        bufs += [in_l, in_r]
+        vals += [inval_l, inval_r]
+        if hop + 1 < hops:
+            # keep leftward flow flowing left, rightward flowing right
+            buf_l = in_r
+            val_l = inval_r & (in_r["pos"][:, dim] < slab_lo + w)
+            buf_r = in_l
+            val_r = inval_l & (in_l["pos"][:, dim] >= slab_hi - w)
+
+    halo_buf = jax.tree.map(lambda *a: jnp.concatenate(a), *bufs)
+    halo_valid = jnp.concatenate(vals)
+    return halo_buf, halo_valid, dropped
+
+
 def extend_with_halo(state: ObjectState, halo_buf, halo_valid,
                      mark_halo: bool = False) -> ObjectState:
     """Concatenate owned slots with halo mirrors into one detection-ready

@@ -31,7 +31,7 @@ from tpu_collide.core.state import ObjectState
 from tpu_collide.detect.predict import (TrajectoryHistory,
                                         predict_collisions)
 from tpu_collide.index.grid import build_grid
-from tpu_collide.shard.halo import halo_exchange, extend_with_halo
+from tpu_collide.shard.halo import halo_exchange_hops, extend_with_halo
 from tpu_collide.shard.step import (_shard_coords, _state_spec_axes,
                                     equal_boundaries, shard_slots)
 
@@ -44,18 +44,35 @@ def predict_reach(cfg: SystemConfig, horizon: float, step: float) -> float:
     return cfg.shard.halo_width + disp
 
 
+def predict_hops(cfg: SystemConfig, reach: float, dim: int) -> int:
+    """ppermute hops per side needed for a `reach`-wide visibility band on
+    world axis `dim`, from the equal-slab width (clamped to d-1: beyond
+    that the chain already spans the whole axis). Callers moving walls
+    dynamically must keep every slab >= reach / hops wide."""
+    d = cfg.shard.num_shards if dim == 0 else cfg.shard.num_shards_y
+    if d <= 1:
+        return 1
+    import math
+    slab = (cfg.world.hi[dim] - cfg.world.lo[dim]) / d
+    return min(d - 1, max(1, math.ceil(reach / slab)))
+
+
 def _local_predict(state: ObjectState, hist: TrajectoryHistory,
                    bx: jax.Array, by: jax.Array, cfg: SystemConfig,
                    horizon: float, step: float, sub_window: float,
-                   merge_k: int, width: float, capacity: int):
+                   merge_k: int, width: float, capacity: int,
+                   hops_x: int = 1, hops_y: int = 1):
     sx, sy = _shard_coords(cfg)
-    bufx, valx, dropx = halo_exchange(state, cfg, sx, bx, dim=0,
-                                      width=width, capacity=capacity)
+    bufx, valx, dropx = halo_exchange_hops(state, cfg, sx, bx, dim=0,
+                                           width=width, capacity=capacity,
+                                           hops=hops_x)
     ext = extend_with_halo(state, bufx, valx)
     dropped = dropx
     if cfg.shard.num_shards_y > 1:
-        bufy, valy, dropy = halo_exchange(ext, cfg, sy, by, dim=1,
-                                          width=width, capacity=capacity)
+        bufy, valy, dropy = halo_exchange_hops(ext, cfg, sy, by, dim=1,
+                                               width=width,
+                                               capacity=capacity,
+                                               hops=hops_y)
         ext = extend_with_halo(ext, bufy, valy)
         dropped = dropped + dropy
 
@@ -92,7 +109,8 @@ def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
                          bx: jax.Array, by: jax.Array, cfg: SystemConfig,
                          horizon: float, step: float, sub_window: float,
                          merge_k: int, width: float, capacity: int,
-                         window_rows, interpret: bool):
+                         window_rows, interpret: bool,
+                         hops_x: int = 1, hops_y: int = 1):
     """Per-shard fused prediction (kernels/refine.fused_predict_rows):
     candidate selection rides the cell-list kernel per shard — the
     production-scale path (11x the gather path at 100k, BENCH_NOTES).
@@ -105,13 +123,16 @@ def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
     from tpu_collide.kernels.refine import fused_predict_rows
 
     sx, sy = _shard_coords(cfg)
-    bufx, valx, dropx = halo_exchange(state, cfg, sx, bx, dim=0,
-                                      width=width, capacity=capacity)
+    bufx, valx, dropx = halo_exchange_hops(state, cfg, sx, bx, dim=0,
+                                           width=width, capacity=capacity,
+                                           hops=hops_x)
     ext = extend_with_halo(state, bufx, valx, mark_halo=True)
     dropped = dropx
     if cfg.shard.num_shards_y > 1:
-        bufy, valy, dropy = halo_exchange(ext, cfg, sy, by, dim=1,
-                                          width=width, capacity=capacity)
+        bufy, valy, dropy = halo_exchange_hops(ext, cfg, sy, by, dim=1,
+                                               width=width,
+                                               capacity=capacity,
+                                               hops=hops_y)
         ext = extend_with_halo(ext, bufy, valy, mark_halo=True)
         dropped = dropped + dropy
 
@@ -134,7 +155,8 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
                          halo_capacity: int | None = None,
                          backend: str = "xla",
                          window_rows: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         hops: int | None = None):
     """Compile per-shard trajectory prediction over the mesh.
 
     backend='xla' (default): the canonical gather path per shard; returns
@@ -151,22 +173,22 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
     dropped [D], window_overflow [D]); join on row_oid (-1 = halo/dead
     row). Same pair set and values as 'xla' (tested).
 
-    The widened band must fit inside one slab (single-hop ppermute);
-    asserted against the equal-slab width — callers moving walls
-    dynamically must keep slabs at least `predict_reach` wide."""
+    Bands wider than one slab ride a MULTI-HOP ppermute chain
+    (halo_exchange_hops, ROADMAP #6): hops = ceil(reach / slab width) per
+    axis, computed from the equal-slab width. Callers moving walls
+    dynamically must keep every slab at least `predict_reach / hops`
+    wide (pass `hops` explicitly to budget for narrower dynamic slabs)."""
     reach = predict_reach(cfg, horizon, step)
-    dx = cfg.shard.num_shards
-    dy = cfg.shard.num_shards_y
-    assert reach <= (cfg.world.hi[0] - cfg.world.lo[0]) / dx, (
-        f"prediction halo {reach:.0f} m exceeds the x-slab width — "
-        "prediction visibility is single-hop; use fewer/wider shards, a "
-        "2D (x, y) tiling (num_shards_y), or a shorter horizon")
-    if dy > 1:
-        assert reach <= (cfg.world.hi[1] - cfg.world.lo[1]) / dy, (
-            f"prediction halo {reach:.0f} m exceeds the y-slab width")
+    if hops is None:
+        hops_x = predict_hops(cfg, reach, 0)
+        hops_y = predict_hops(cfg, reach, 1)
+    else:
+        hops_x = hops_y = hops
     if halo_capacity is None:
         scale = -(-int(reach) // max(1, int(cfg.shard.halo_width)))
-        halo_capacity = cfg.shard.halo_capacity * scale
+        # per-hop buffers each carry at most one slab's worth of the band
+        halo_capacity = cfg.shard.halo_capacity * max(
+            1, -(-scale // max(1, max(hops_x, hops_y))))
 
     sdim = _state_spec_axes(cfg)
     spec_state = ObjectState(
@@ -178,13 +200,15 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
         body = partial(_local_predict_fused, cfg=cfg, horizon=horizon,
                        step=step, sub_window=sub_window, merge_k=merge_k,
                        width=reach, capacity=halo_capacity,
-                       window_rows=window_rows, interpret=interpret)
+                       window_rows=window_rows, interpret=interpret,
+                       hops_x=hops_x, hops_y=hops_y)
         n_out = 8
         check_vma = False      # pallas outputs carry no VMA metadata
     else:
         body = partial(_local_predict, cfg=cfg, horizon=horizon, step=step,
                        sub_window=sub_window, merge_k=merge_k,
-                       width=reach, capacity=halo_capacity)
+                       width=reach, capacity=halo_capacity,
+                       hops_x=hops_x, hops_y=hops_y)
         n_out = 6
         check_vma = True
     f = jax.shard_map(
