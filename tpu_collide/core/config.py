@@ -61,6 +61,16 @@ class GridConfig:
     # sort operand + DMA field costs a few % of the build, so it stays off
     # for ordinary fleets.
     wide_oid: bool | None = None
+    # Cell-list co-sort backend. True = staged Pallas bitonic sort
+    # (kernels/block_sort.py); False/None (default) = XLA lax.sort.
+    # Results are equivalent up to key-tie order (both are unstable
+    # sorts; exact on the real chip, tests/test_block_sort.py). MEASURED
+    # SLOWER than lax.sort at 1M x 14 operands (29.7 vs 17.6 ms
+    # device-rate, BENCH_NOTES r3): XLA's TPU sort lowering is already
+    # well staged, not one-HBM-pass-per-stage as the design premise
+    # assumed. Kept as a documented negative result / baseline for any
+    # future multi-pass sort work, not as a perf knob.
+    pallas_sort: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

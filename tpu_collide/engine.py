@@ -210,7 +210,8 @@ def detect_and_alerts_fused(state: ObjectState, cfg: SystemConfig,
     from tpu_collide.kernels.refine import (fused_scene_fast,
                                             fused_scene_precise)
 
-    cl = build_cell_list(state, cfg, window_rows=window_rows)
+    cl = build_cell_list(state, cfg, window_rows=window_rows,
+                         interpret=interpret)
     scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
                 else fused_scene_precise)
     res = scene_fn(cl, cfg, interpret=interpret)

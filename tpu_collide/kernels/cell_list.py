@@ -46,9 +46,16 @@ import jax.numpy as jnp
 from tpu_collide.core.config import SystemConfig
 from tpu_collide.core.state import ObjectState
 
+import os
+
 LANE = 128          # elements per storage row (1 VPU lane-group)
-TILE = 1024         # objects per kernel tile = 8 storage rows (DMA aligned)
-ALIGN = 1024
+# objects per kernel tile (fused_detect processes TILE//LANE own storage
+# rows per grid step; window DMA starts align to one tile). 2048 halves
+# the per-tile fixed costs (window DMA re-reads, slot init, loop setup)
+# vs the round-2 tile of 1024; overridable for A/B probes.
+TILE = int(os.environ.get("TPU_COLLIDE_TILE", "1024"))
+ALIGN = TILE
+assert TILE % (8 * LANE) == 0, "TILE must be a multiple of 8 storage rows"
 
 
 # `row` is the brow id, -1 for dead/padding objects — it doubles as the
@@ -234,7 +241,8 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
                     window_rows: int | None = None,
                     extra: jax.Array | None = None,
                     brow_widen=0, z_reach: int = 1,
-                    wide_oid: bool | None = None) -> CellList:
+                    wide_oid: bool | None = None,
+                    interpret: bool = False) -> CellList:
     """See module docstring. Two optional knobs serve the fused PREDICT
     path (kernels/fused_detect.py emit='predict'):
 
@@ -347,7 +355,13 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         ops = ops + (oid_hi.astype(jnp.float32),)
     if extra is not None:
         ops = ops + (extra.astype(jnp.float32),)
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False, dimension=0)
+    use_pallas = bool(cfg.grid.pallas_sort)
+    if use_pallas:
+        from tpu_collide.kernels.block_sort import co_sort
+        sorted_ops = co_sort(ops, interpret=interpret)
+    else:
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False,
+                                  dimension=0)
     sflat = sorted_ops[0]
     srow_f = jnp.where(sflat < num_ids,
                        jnp.clip(sflat // bandc, 0,

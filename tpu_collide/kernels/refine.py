@@ -366,7 +366,8 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         window_rows = -(-(-(-elems // LANE)) // 8) * 8
     cl = build_cell_list(state, cfg, window_rows=window_rows,
                          extra=cls.astype(jnp.float32),
-                         brow_widen=widen_max, z_reach=z_reach)
+                         brow_widen=widen_max, z_reach=z_reach,
+                         interpret=interpret)
 
     flat = cl.fields.reshape(cl.fields.shape[0], -1)
     nmax = flat.shape[1] - 1

@@ -130,7 +130,8 @@ def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
                                             fused_scene_precise)
     ax = _mesh_axes(cfg)
     ext, halo_dropped = _halo_extend(state, cfg, sx, sy, bx, by, mark=True)
-    cl = build_cell_list(ext, cfg, window_rows=window_rows)
+    cl = build_cell_list(ext, cfg, window_rows=window_rows,
+                         interpret=interpret)
     scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
                 else fused_scene_precise)
     res = scene_fn(cl, cfg, interpret=interpret)
