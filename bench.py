@@ -223,7 +223,10 @@ def main():
             world=WorldConfig(hi=(10000., 10000., 500.)),
             grid=GridConfig(cell_size=50.0),
             detect=DetectionConfig(mode="fast", search_radius=50.0,
-                                   count_checked=False),
+                                   count_checked=False,
+                                   # sparse 3D: ~6 ms win, results
+                                   # identical (BENCH_NOTES stage-1 gate)
+                                   gate_stage1=True),
             alerts=AlertConfig(max_scene_alerts=4096))
         a, best, out = bench_fused_scan(cfg1m, steps=15, chunk=5)
         extra["fused_1m_3d_avg_ms"] = round(a, 2)

@@ -126,3 +126,33 @@ def test_packed_counter_saturates_instead_of_wrapping(monkeypatch):
     # saturation keeps the overflow certificate FAILED (a wrap would give
     # 20 mod 16 = 4 <= k = 4 -> aoflow 0, silently incomplete)
     assert int(out.alert_overflow) > 0
+
+
+@pytest.mark.parametrize("mode", ["fast", "precise"])
+def test_block_gates_do_not_change_results(mode):
+    """gate_stage1/gate_stage2 are pure skip-dead-block-math levers: every
+    combination must produce identical risks, counters and alert maps (a
+    sparse 3D fleet so a real fraction of pair blocks IS dead at each
+    gate)."""
+    base = tc.SystemConfig(
+        num_objects=800, world=WorldConfig(hi=(1000.0, 1000.0, 300.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode=mode),
+        alerts=AlertConfig(max_scene_alerts=256))
+    st = generate_fleet(jax.random.key(5), base, distribution="uniform")
+    st = st.replace(pos=st.pos.at[:, 2].set(
+        jax.random.uniform(jax.random.key(6), (800,)) * 300.0))
+    key = jax.random.key(7)
+    outs = {}
+    for g1 in (False, True):
+        for g2 in (False, True):
+            import dataclasses
+            cfg = base.replace(detect=dataclasses.replace(
+                base.detect, gate_stage1=g1, gate_stage2=g2))
+            _, o = step_fused(st, key, cfg, interpret=True)
+            outs[(g1, g2)] = (int(o.num_risks), int(o.num_pairs_checked),
+                              int(o.alert_overflow), amap(o))
+    ref = outs[(False, True)]                      # the default config
+    assert ref[0] > 0
+    for combo, got in outs.items():
+        assert got == ref, combo

@@ -135,6 +135,15 @@ class DetectionConfig:
     # fires and the gate is pure overhead; False compiles it out (results
     # identical — the emit tail keeps its own guards).
     gate_stage2: bool = True
+    # Fused-kernel stage-1 gate: True additionally skips stage-2 AND the
+    # stage-2 gate's sync when a pair block has no stage-1 hit at all (no
+    # alive non-self pair within search_radius) — the same pattern the
+    # predict kernel mode always uses. Worth it only when a meaningful
+    # fraction of x-overlap-surviving blocks are completely dead (see
+    # BENCH_NOTES "stage-1 gate" for the measured trade per config).
+    # Results are identical either way (skipped blocks emit nothing; the
+    # stage-1 counter adds zero for dead blocks). Default False.
+    gate_stage1: bool = False
     # Stage-1 pair counter (num_pairs_checked): the cross-backend honesty
     # metric costs a per-block accumulate in the fused kernel (~12 ms at 1M,
     # measured). False compiles it out; num_pairs_checked then reports -1.

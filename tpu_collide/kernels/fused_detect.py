@@ -530,130 +530,140 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             ok1 = (c_ok & o_ok & not_self
                                    & (d2 <= r2_max))
 
-                            # stage 2: closest approach (const-accel distance at
-                            # t*, reference collision_detection.py:229-294)
-                            dvx, dvy = cvx - ovx, cvy - ovy
-                            dvz = None if flat2d else cvz - ovz
-                            rs2 = s3(dvx * dvx + dvy * dvy,
-                                     None if flat2d else dvz * dvz)
-                            dot = s3(dxp * dvx + dyp * dvy,
-                                     None if flat2d else dzp * dvz)
-                            rs2s = jnp.where(rs2 > 1e-12, rs2, 1.0)
-                            ts = -(conv * dot) / rs2s
-                            dax, day = cax - oax, cay - oay
-                            daz = None if flat2d else caz - oaz
-                            cdx = dxp + dvx * ts + 0.5 * dax * ts * ts
-                            cdy = dyp + dvy * ts + 0.5 * day * ts * ts
-                            cdz = (None if flat2d else
-                                   dzp + dvz * ts + 0.5 * daz * ts * ts)
-                            cd2 = s3(cdx * cdx + cdy * cdy,
-                                     None if flat2d else cdz * cdz)
-                            safe = ((osize + csize) * 0.5
-                                    + det.safe_distance_base)
-                            safe2 = safe * safe
-                            ok2 = ok1 & ((rs2 >= det.min_relative_speed ** 2)
-                                         & (ts >= 0.0) & (ts <= det.time_window)
-                                         & (cd2 <= safe2))
+                            # Optional stage-1 gate (gate_stage1): skip stage-2,
+                            # its counter add (zero for dead blocks — exact) and
+                            # BOTH syncs when the block has no stage-1 hit at all.
+                            def s2_body():
+                                # stage 2: closest approach (const-accel distance at
+                                # t*, reference collision_detection.py:229-294)
+                                dvx, dvy = cvx - ovx, cvy - ovy
+                                dvz = None if flat2d else cvz - ovz
+                                rs2 = s3(dvx * dvx + dvy * dvy,
+                                         None if flat2d else dvz * dvz)
+                                dot = s3(dxp * dvx + dyp * dvy,
+                                         None if flat2d else dzp * dvz)
+                                rs2s = jnp.where(rs2 > 1e-12, rs2, 1.0)
+                                ts = -(conv * dot) / rs2s
+                                dax, day = cax - oax, cay - oay
+                                daz = None if flat2d else caz - oaz
+                                cdx = dxp + dvx * ts + 0.5 * dax * ts * ts
+                                cdy = dyp + dvy * ts + 0.5 * day * ts * ts
+                                cdz = (None if flat2d else
+                                       dzp + dvz * ts + 0.5 * daz * ts * ts)
+                                cd2 = s3(cdx * cdx + cdy * cdy,
+                                         None if flat2d else cdz * cdz)
+                                safe = ((osize + csize) * 0.5
+                                        + det.safe_distance_base)
+                                safe2 = safe * safe
+                                ok2 = ok1 & ((rs2 >= det.min_relative_speed ** 2)
+                                             & (ts >= 0.0) & (ts <= det.time_window)
+                                             & (cd2 <= safe2))
 
-                            # stage-1 counter: a sublane reduce +
-                            # broadcast add (all ROWS rows get the same
-                            # partial, so the scene total is the buffer
-                            # sum / ROWS — exact in f32, and ~2x cheaper
-                            # than the old per-own-row RMW, measured).
-                            # Compiled out entirely by count_checked=False
-                            # (~12 ms at 1M).
-                            if det.count_checked:
-                                ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
-                                    jnp.where(ok1, 1.0, 0.0), axis=0,
-                                    keepdims=True)
+                                # stage-1 counter: a sublane reduce +
+                                # broadcast add (all ROWS rows get the same
+                                # partial, so the scene total is the buffer
+                                # sum / ROWS — exact in f32, and ~2x cheaper
+                                # than the old per-own-row RMW, measured).
+                                # Compiled out entirely by count_checked=False
+                                # (~12 ms at 1M).
+                                if det.count_checked:
+                                    ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
+                                        jnp.where(ok1, 1.0, 0.0), axis=0,
+                                        keepdims=True)
 
-                            # Everything downstream — stage 3/4, priority,
-                            # key packing, the remaining counters, slot
-                            # insertion — only matters for stage-2
-                            # SURVIVORS, the rare class. Gating the block
-                            # on having any survivor skips ~half the block
-                            # math most of the time at SPARSE densities
-                            # (3D swarms) — a clear win despite the
-                            # ~200 ns/block vector->scalar sync. At DENSE
-                            # 2D configs nearly every block fires and the
-                            # gate is pure overhead: gate_stage2=False
-                            # compiles it out (results identical — the
-                            # emit tail keeps its own guards).
-                            def s34_body():
-                                if emit == "hits":
-                                    # stage 3 (fast): first |p + v t| = safe
-                                    # crossing, snapped to the dt lattice
-                                    bq = 2.0 * dot
-                                    cq = d2 - safe2
-                                    disc = bq * bq - 4.0 * rs2 * cq
-                                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                                    t_en = (-bq - sq) / (2.0 * rs2s)
-                                    t_ex = (-bq + sq) / (2.0 * rs2s)
-                                    inside = cq <= 0.0
-                                    t_fi = jnp.where(inside, 0.0,
-                                                     jnp.maximum(t_en, 0.0))
-                                    t_sn = jnp.ceil(t_fi / dtt - 1e-6) * dtt
-                                    sok = inside | ((t_sn >= t_en - 1e-6)
-                                                    & (t_sn <= t_ex + 1e-6))
-                                    hit = (ok2 & (disc >= 0.0) & (rs2 > 1e-12)
-                                           & sok & (t_sn <= t_max))
-                                    t_hit = jnp.where(inside, 0.0, t_sn)
-                                    hdx = dxp + dvx * t_hit
-                                    hdy = dyp + dvy * t_hit
-                                    hdz = (None if flat2d else
-                                           dzp + dvz * t_hit)
-                                    d_hit = jnp.sqrt(s3(
-                                        hdx * hdx + hdy * hdy,
-                                        None if flat2d else hdz * hdz))
+                                # Everything downstream — stage 3/4, priority,
+                                # key packing, the remaining counters, slot
+                                # insertion — only matters for stage-2
+                                # SURVIVORS, the rare class. Gating the block
+                                # on having any survivor skips ~half the block
+                                # math most of the time at SPARSE densities
+                                # (3D swarms) — a clear win despite the
+                                # ~200 ns/block vector->scalar sync. At DENSE
+                                # 2D configs nearly every block fires and the
+                                # gate is pure overhead: gate_stage2=False
+                                # compiles it out (results identical — the
+                                # emit tail keeps its own guards).
+                                def s34_body():
+                                    if emit == "hits":
+                                        # stage 3 (fast): first |p + v t| = safe
+                                        # crossing, snapped to the dt lattice
+                                        bq = 2.0 * dot
+                                        cq = d2 - safe2
+                                        disc = bq * bq - 4.0 * rs2 * cq
+                                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                                        t_en = (-bq - sq) / (2.0 * rs2s)
+                                        t_ex = (-bq + sq) / (2.0 * rs2s)
+                                        inside = cq <= 0.0
+                                        t_fi = jnp.where(inside, 0.0,
+                                                         jnp.maximum(t_en, 0.0))
+                                        t_sn = jnp.ceil(t_fi / dtt - 1e-6) * dtt
+                                        sok = inside | ((t_sn >= t_en - 1e-6)
+                                                        & (t_sn <= t_ex + 1e-6))
+                                        hit = (ok2 & (disc >= 0.0) & (rs2 > 1e-12)
+                                               & sok & (t_sn <= t_max))
+                                        t_hit = jnp.where(inside, 0.0, t_sn)
+                                        hdx = dxp + dvx * t_hit
+                                        hdy = dyp + dvy * t_hit
+                                        hdz = (None if flat2d else
+                                               dzp + dvz * t_hit)
+                                        d_hit = jnp.sqrt(s3(
+                                            hdx * hdx + hdy * hdy,
+                                            None if flat2d else hdz * hdz))
 
-                                    # stage 4: weighted risk
-                                    risk = (
-                                        det.weight_distance * (1.0 - d_hit / safe)
-                                        + det.weight_time
-                                        * (1.0 - jnp.minimum(
-                                            1.0, t_hit / det.max_warning_time))
-                                        + det.weight_speed
-                                        * jnp.minimum(1.0, jnp.sqrt(rs2)
-                                                      / det.max_relative_speed)
-                                        + det.weight_angle
-                                        * angle_f(s, c, ohead, chead)
-                                        + det.weight_type
-                                        * jnp.where(ctype == otype,
-                                                    det.same_type_factor,
-                                                    det.diff_type_factor))
-                                    risk = jnp.clip(risk, 0.0, 1.0)
+                                        # stage 4: weighted risk
+                                        risk = (
+                                            det.weight_distance * (1.0 - d_hit / safe)
+                                            + det.weight_time
+                                            * (1.0 - jnp.minimum(
+                                                1.0, t_hit / det.max_warning_time))
+                                            + det.weight_speed
+                                            * jnp.minimum(1.0, jnp.sqrt(rs2)
+                                                          / det.max_relative_speed)
+                                            + det.weight_angle
+                                            * angle_f(s, c, ohead, chead)
+                                            + det.weight_type
+                                            * jnp.where(ctype == otype,
+                                                        det.same_type_factor,
+                                                        det.diff_type_factor))
+                                        risk = jnp.clip(risk, 0.0, 1.0)
 
-                                    # priority rules (warning_system.py:287-311) —
-                                    # the packed key 2*prio + risk IS the XLA scene
-                                    # ranking key (alerts/extract.py)
-                                    crit = ((risk >= al.risk_high)
-                                            & (t_hit < al.ttc_critical))
-                                    high = ((risk >= al.risk_high)
-                                            | (t_hit < al.ttc_high))
-                                    med = risk >= al.risk_medium
-                                    prio = jnp.where(
-                                        crit, 3.0, jnp.where(high, 2.0,
-                                                             jnp.where(med, 1.0,
-                                                                       0.0)))
-                                    qual = hit & (risk >= al.risk_low)
-                                    key = jnp.where(
-                                        qual, 2.0 * prio + risk,
-                                        jnp.where(hit, risk + KEY_SUB, KEY_NONE))
-                                    emitted = hit
+                                        # priority rules (warning_system.py:287-311) —
+                                        # the packed key 2*prio + risk IS the XLA scene
+                                        # ranking key (alerts/extract.py)
+                                        crit = ((risk >= al.risk_high)
+                                                & (t_hit < al.ttc_critical))
+                                        high = ((risk >= al.risk_high)
+                                                | (t_hit < al.ttc_high))
+                                        med = risk >= al.risk_medium
+                                        prio = jnp.where(
+                                            crit, 3.0, jnp.where(high, 2.0,
+                                                                 jnp.where(med, 1.0,
+                                                                           0.0)))
+                                        qual = hit & (risk >= al.risk_low)
+                                        key = jnp.where(
+                                            qual, 2.0 * prio + risk,
+                                            jnp.where(hit, risk + KEY_SUB, KEY_NONE))
+                                        emitted = hit
+                                    else:
+                                        # stage-2 survivors for the XLA precise sweep;
+                                        # rank by closest-approach proximity
+                                        key = jnp.where(ok2, 1.0 - cd2 / safe2,
+                                                        KEY_NONE)
+                                        emitted = ok2
+                                        qual = ok2
+                                    emit_slots(key, emitted, qual)
+
+                                if det.gate_stage2:
+                                    s2max = jnp.max(jnp.where(ok2, 1.0, 0.0))
+                                    pl.when(s2max > 0.5)(s34_body)
                                 else:
-                                    # stage-2 survivors for the XLA precise sweep;
-                                    # rank by closest-approach proximity
-                                    key = jnp.where(ok2, 1.0 - cd2 / safe2,
-                                                    KEY_NONE)
-                                    emitted = ok2
-                                    qual = ok2
-                                emit_slots(key, emitted, qual)
+                                    s34_body()
 
-                            if det.gate_stage2:
-                                s2max = jnp.max(jnp.where(ok2, 1.0, 0.0))
-                                pl.when(s2max > 0.5)(s34_body)
+                            if det.gate_stage1:
+                                g1max = jnp.max(jnp.where(ok1, 1.0, 0.0))
+                                pl.when(g1max > 0.5)(s2_body)
                             else:
-                                s34_body()
+                                s2_body()
 
                         return 0
                     return crow_pass
