@@ -65,11 +65,12 @@ class GridConfig:
     # (kernels/block_sort.py); False/None (default) = XLA lax.sort.
     # Results are equivalent up to key-tie order (both are unstable
     # sorts; exact on the real chip, tests/test_block_sort.py). MEASURED
-    # SLOWER than lax.sort at 1M x 14 operands (29.7 vs 17.6 ms
-    # device-rate, BENCH_NOTES r3): XLA's TPU sort lowering is already
-    # well staged, not one-HBM-pass-per-stage as the design premise
-    # assumed. Kept as a documented negative result / baseline for any
-    # future multi-pass sort work, not as a perf knob.
+    # SLOWER than lax.sort at 1M x 14 operands by ~12 ms — and the clean
+    # re-measure puts lax.sort itself at ~1.0 ms (BENCH_NOTES r3
+    # "CORRECTION"): XLA's TPU sort lowering is already well staged, not
+    # one-HBM-pass-per-stage as the design premise assumed. Kept as a
+    # documented negative result / baseline for any future multi-pass
+    # sort work, not as a perf knob.
     pallas_sort: bool | None = None
 
 

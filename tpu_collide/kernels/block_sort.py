@@ -2,17 +2,17 @@
 multi-operand `lax.sort` (GridConfig.pallas_sort).
 
 STATUS — measured NEGATIVE result (r3, real v5e, device-rate, 1M x 14
-operands): this staged sort runs 29.7 ms vs lax.sort's 17.6 ms. The
-design premise was that XLA lowers the bitonic network as one HBM
-round-trip per compare-exchange stage (~210 passes at 1M); the
-measurement refutes that — 210 passes x 112 MB in 17.6 ms would need
-1.3 TB/s, above v5e HBM, so XLA's sort lowering is already well staged.
-The VMEM-resident local pass here costs 24.4 ms for 120 stages (the
-roll/reshape+select compare-exchanges run far below VPU peak), and
-sort-permutation-then-gather loses too (13-field gather alone is 19 ms;
-lax.sort is payload-insensitive: 2 ops 13.3 ms -> 14 ops 17.3 ms).
-Kept (default OFF) as a tested, exact baseline for future multi-pass
-sort work; see BENCH_NOTES "Pallas sort probe".
+operands): this staged sort loses to lax.sort by ~12 ms, and a clean
+re-measure (BENCH_NOTES "CORRECTION") puts lax.sort itself at only
+~1.0 ms — XLA's TPU sort lowering is already well staged (the design
+premise of one-HBM-round-trip-per-stage would need >HBM bandwidth to
+explain the measured time) and payload-insensitive (2 -> 14 operands
+costs ~nothing), while this module's VMEM-resident compare-exchange
+passes run far below VPU peak. Sort-permutation-then-gather loses too
+(TPU gathers: ~1.5 ns/element). Kept (default OFF) as a tested, exact
+baseline for future multi-pass sort work; see BENCH_NOTES "Pallas sort
+probe" + its CORRECTION section for both the polluted and clean probe
+matrices.
 
 The network itself is TPU-friendly (no per-lane gathers — only
 compare-exchanges at power-of-two distances, all expressible as rolls /
