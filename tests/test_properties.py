@@ -168,9 +168,15 @@ def test_cell_list_invariants_random(seed):
     else:
         rlo = np.asarray(cl.row_rb_a)
         rhi = np.asarray(cl.row_rb_b)
-    from tpu_collide.kernels.cell_list import X_PACK
-    xlo = np.asarray(cl.row_x) // X_PACK
-    xhi = np.asarray(cl.row_x) % X_PACK - 1
+    if cl.tables_packed:
+        from tpu_collide.kernels.cell_list import X_PACK
+        xlo = np.asarray(cl.row_xa) // X_PACK
+        xhi = np.asarray(cl.row_xa) % X_PACK - 1
+        x_slack = 1.0 + 1e-3          # meter quantization (floor/ceil)
+    else:
+        xlo = np.asarray(cl.row_xa)   # raw f32 bounds: exact
+        xhi = np.asarray(cl.row_xb)
+        x_slack = 0.0
     for r in range(R):
         m = row2d[r] >= 0
         if not m.any():
@@ -178,7 +184,7 @@ def test_cell_list_invariants_random(seed):
         assert rlo[r] <= row2d[r][m].min()
         assert rhi[r] >= row2d[r][m].max()
         assert xlo[r] <= x2d[r][m].min() + 1e-3
-        assert xhi[r] >= x2d[r][m].max() - 1.0 - 1e-3
+        assert xhi[r] >= x2d[r][m].max() - x_slack
 
     # windows of one tile never overlap in storage rows
     W = cl.n_windows

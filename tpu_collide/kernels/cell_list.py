@@ -76,8 +76,10 @@ Z_FIELD_IDX = (2, 5, 8)
 # Packing caps brow ids below ROW_PACK - 2, so banded layouts (whose brow
 # count is nbands * ny * nz) use separate lo/hi tables whenever they fit the
 # budget — chosen automatically in build_cell_list. X bounds are quantized
-# to whole meters RELATIVE to world lo in BOTH modes (the x guard is a
-# conservative pruning hint — 1 m slack vs a >= 1 m search radius).
+# to whole meters RELATIVE to world lo only in PACKED mode (conservative:
+# 1 m slack vs a >= 1 m search radius); unpacked mode carries raw f32
+# (lo, hi) pairs — exact bounds, no per-iteration div/mod in the kernel,
+# and no 32.7 km world-extent cap.
 ROW_PACK = 32768     # packed mode: brow ids must stay below ROW_PACK - 2
 X_PACK = 65536       # packed x-extent must stay below 32767 m
 X_MAX = 32765.0
@@ -90,7 +92,7 @@ _SMEM_TOTAL_MAX = 980_000
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["fields", "w_rw", "w_rb_a", "w_rb_b",
-                      "row_rb_a", "row_rb_b", "row_x",
+                      "row_rb_a", "row_rb_b", "row_xa", "row_xb",
                       "cr_start",
                       "n_alive", "overflow"],
          meta_fields=["num_tiles", "window_rows", "n_windows", "shifts",
@@ -109,9 +111,17 @@ class CellList:
     w_rb_a/w_rb_b: [T, W] int32 — inclusive BROW range the window must match
     (alignment padding is masked by this). tables_packed=True packs the pair
     ROW_PACK-style into w_rb_a (w_rb_b is a dummy).
-    row_rb_a/row_rb_b, row_x: per-STORAGE-row guard tables (brow range,
-    x range) consumed as scalar prefetch by the kernel so block pruning
-    costs zero in-kernel reductions. Same packing convention.
+    row_rb_a/row_rb_b, row_xa/row_xb: per-STORAGE-row guard tables (brow
+    range, x range) consumed as scalar prefetch by the kernel so block
+    pruning costs zero in-kernel reductions. Brow tables follow the same
+    packing convention. X tables: unpacked mode carries RAW f32 (lo, hi)
+    bounds in row_xa/row_xb — no quantization, and no per-iteration
+    integer div/mod on the scalar core (the block loop pays ~160 ns of
+    scalar/branch machinery per candidate row even when x-pruned —
+    BENCH_NOTES r3 microprobe — and the unpack was part of it; raw
+    bounds also tighten pruning slightly vs the meter-quantized ones).
+    Packed mode (SMEM pressure, >~4.6M objects) keeps the quantized
+    X_PACK pair in row_xa with row_xb a dummy.
     cr_start: [nbrows+1] int32 — sorted ELEMENT index where each brow
     begins; the kernel derives storage-row floors/ceils from it (one table
     instead of separate floor/ceil tables — SMEM).
@@ -124,7 +134,8 @@ class CellList:
     w_rb_b: jax.Array
     row_rb_a: jax.Array
     row_rb_b: jax.Array
-    row_x: jax.Array     # [R] i32 packed (min, max) x of alive objs
+    row_xa: jax.Array    # [R] f32 x-lo (unpacked) | i32 packed pair
+    row_xb: jax.Array    # [R] f32 x-hi (unpacked) | [1] i32 dummy
     cr_start: jax.Array  # [nbrows+1] i32 sorted element index of brow start
     n_alive: jax.Array
     overflow: jax.Array
@@ -292,7 +303,7 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
 
     # Guard-table encoding: separate lo/hi tables unless SMEM pressure
     # demands the packed pairs (which cap brow ids at ROW_PACK - 2).
-    smem_unpacked = 4 * (3 * R + (nbrows + 1)
+    smem_unpacked = 4 * (4 * R + (nbrows + 1)
                          + 3 * num_tiles * n_windows + num_tiles)
     tables_packed = smem_unpacked > _SMEM_UNPACKED_MAX
     if tables_packed:
@@ -302,14 +313,16 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
             "cells in y/z, or shard the world")
         smem = 4 * (2 * R + (nbrows + 1)
                     + 2 * num_tiles * n_windows + num_tiles)
+        # only the PACKED x encoding quantizes lo-relative meters into
+        # 15 bits; unpacked raw-f32 guards carry any world extent
+        assert cfg.world.hi[0] - cfg.world.lo[0] <= X_MAX, (
+            "packed x-guard tables cap the world x-extent at ~32.7 km; "
+            "shard wider worlds (or stay under the unpacked-table scale)")
     else:
         smem = smem_unpacked
     assert smem < _SMEM_TOTAL_MAX, (
         f"guard tables need ~{smem} B of SMEM (> {_SMEM_TOTAL_MAX}); use "
         "larger band_cells / larger cells, or shard the world")
-    assert cfg.world.hi[0] - cfg.world.lo[0] <= X_MAX, (
-        "packed x-guard tables cap the world x-extent at ~32.7 km; "
-        "shard wider worlds")
 
     lo = jnp.asarray(cfg.world.lo, jnp.float32)
     nd = jnp.asarray((nx, ny, nz), jnp.int32)
@@ -457,12 +470,20 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     row_rlo = jnp.where(row_rhi < 0, jnp.float32(nbrows + 9), row_rlo)
     row_rhi = jnp.maximum(row_rhi, -1.0)
 
-    # x guards quantize to whole meters relative to world lo — conservative
-    # (floor lo / ceil hi), never wrong
-    wlo = jnp.float32(cfg.world.lo[0])
-    xq_lo = jnp.clip(jnp.floor(row_xlo - wlo), 0.0, X_MAX).astype(jnp.int32)
-    xq_hi = jnp.clip(jnp.ceil(row_xhi - wlo), 0.0, X_MAX).astype(jnp.int32)
-    row_x = xq_lo * X_PACK + xq_hi + 1
+    # x guards: raw f32 (lo, hi) pair in unpacked mode (exact bounds, no
+    # in-kernel div/mod); packed mode quantizes to whole meters relative
+    # to world lo — conservative (floor lo / ceil hi), never wrong
+    if tables_packed:
+        wlo = jnp.float32(cfg.world.lo[0])
+        xq_lo = jnp.clip(jnp.floor(row_xlo - wlo), 0.0,
+                         X_MAX).astype(jnp.int32)
+        xq_hi = jnp.clip(jnp.ceil(row_xhi - wlo), 0.0,
+                         X_MAX).astype(jnp.int32)
+        row_xa = xq_lo * X_PACK + xq_hi + 1
+        row_xb = jnp.zeros((1,), jnp.int32)
+    else:
+        row_xa = row_xlo
+        row_xb = row_xhi
 
     w_row = jnp.stack(wr, axis=1).astype(jnp.int32)
     w_nrows = jnp.stack(wn, axis=1).astype(jnp.int32)
@@ -484,7 +505,7 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         w_rw=w_row * 4096 + w_nrows,
         w_rb_a=w_rb_a.reshape(-1), w_rb_b=w_rb_b.reshape(-1),
         row_rb_a=row_rb_a, row_rb_b=row_rb_b,
-        row_x=row_x,
+        row_xa=row_xa, row_xb=row_xb,
         cr_start=row_start.astype(jnp.int32),
         n_alive=n_alive.astype(jnp.int32),
         overflow=excess.astype(jnp.int32),

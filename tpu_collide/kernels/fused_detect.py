@@ -116,7 +116,7 @@ CNT_MAX = 2047.0
 
 
 def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
-            row_rb_a_ref, row_rb_b_ref, row_x_ref,
+            row_rb_a_ref, row_rb_b_ref, row_xa_ref, row_xb_ref,
             cr_start_ref, pred_ref,
             *refs,
             cfg: SystemConfig, window_rows: int, shifts: tuple,
@@ -229,12 +229,20 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
             return v // ROW_PACK, v % ROW_PACK - 2
         return a_ref[i], b_ref[i]
 
-    def unpack_x(v):
-        """(x_lo, x_hi) f32 from a packed, lo-relative, meter-quantized
-        guard scalar (conservative bounds)."""
-        from tpu_collide.kernels.cell_list import X_PACK
-        return ((v // X_PACK).astype(jnp.float32) + wlo_x,
-                (v % X_PACK - 1).astype(jnp.float32) + wlo_x)
+    if tables_packed:
+        def read_x(i):
+            """(x_lo, x_hi) f32 from the packed, lo-relative,
+            meter-quantized guard scalar (conservative bounds)."""
+            from tpu_collide.kernels.cell_list import X_PACK
+            v = row_xa_ref[i]
+            return ((v // X_PACK).astype(jnp.float32) + wlo_x,
+                    (v % X_PACK - 1).astype(jnp.float32) + wlo_x)
+    else:
+        def read_x(i):
+            """Raw f32 bounds — two SMEM reads, no scalar-core div/mod
+            in the block loop (BENCH_NOTES r3 microprobe: the loop pays
+            ~160 ns/row of scalar machinery even on x-pruned rows)."""
+            return row_xa_ref[i], row_xb_ref[i]
 
     def window_pass(w, slot):
         # window tables are flattened [T*W] (2D SMEM operands pad to 128
@@ -268,7 +276,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
             def sub_pass(s, _):
                 go = base + s
                 sr_lo, sr_hi = unpack_rb(row_rb_a_ref, row_rb_b_ref, go)
-                ox_lo, ox_hi = unpack_x(row_x_ref[go])
+                ox_lo, ox_hi = read_x(go)
                 o_ok = own[_ROW][s, :][:, None] >= 0.0   # row -1 = dead
                 # z-component loads are None for 2D worlds; every z term
                 # downstream is compiled out via the `s3` helper
@@ -311,7 +319,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                     # candidates twice
                     def crow_pass(c, _):
                         gr = wrow + c
-                        cx_lo, cx_hi = unpack_x(row_x_ref[gr])
+                        cx_lo, cx_hi = read_x(gr)
 
                         def insert_cands(kb, ib, cands):
                             """Insert (m_v, i_v) candidates into the
@@ -758,7 +766,7 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
                              k=k, emit=mode, sub_steps=sub_steps,
                              wide_oid=cl.wide_oid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nfk,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
@@ -785,7 +793,7 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         out_shape=out_shape,
         interpret=interpret,
     )(cl.w_rw.reshape(-1), cl.w_rb_a, cl.w_rb_b,
-      cl.row_rb_a, cl.row_rb_b, cl.row_x,
+      cl.row_rb_a, cl.row_rb_b, cl.row_xa, cl.row_xb,
       cl.cr_start, pred, *field_list)
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
