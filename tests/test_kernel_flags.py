@@ -156,3 +156,34 @@ def test_block_gates_do_not_change_results(mode):
     assert ref[0] > 0
     for combo, got in outs.items():
         assert got == ref, combo
+
+
+@pytest.mark.parametrize("mode", ["fast", "precise"])
+def test_cand_lanes_exact_parity(mode):
+    """cand_lanes=256/512 (wide candidate rows: [128 own x CL cand] pair
+    blocks) must produce IDENTICAL results to the classic 128-lane blocks
+    in both detection modes — risks, checked counter, overflow counters
+    and the alert map. The slot-key quantizer rescales (kq*CL invariant)
+    so even packed slot ordering is preserved up to documented
+    selection-order granularity; at these densities the outputs are
+    bit-equal."""
+    import dataclasses
+    base = tc.SystemConfig(
+        num_objects=800, world=WorldConfig(hi=(1500.0, 1500.0, 200.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode=mode),
+        alerts=AlertConfig(max_scene_alerts=256))
+    st = generate_fleet(jax.random.key(0), base, distribution="uniform")
+    st = st.replace(pos=st.pos.at[:, 2].set(
+        jax.random.uniform(jax.random.key(1), (800,)) * 200.0))
+    key = jax.random.key(2)
+    outs = {}
+    for clw in (None, 256, 512):
+        cfg = base.replace(grid=dataclasses.replace(base.grid,
+                                                    cand_lanes=clw))
+        _, o = step_fused(st, key, cfg, interpret=True)
+        outs[clw] = (int(o.num_risks), int(o.num_pairs_checked),
+                     int(o.overflow), int(o.alert_overflow), amap(o))
+    assert outs[None][0] > 0
+    assert outs[256] == outs[None]
+    assert outs[512] == outs[None]

@@ -72,6 +72,20 @@ class GridConfig:
     # documented negative result / baseline for any future multi-pass
     # sort work, not as a perf knob.
     pallas_sort: bool | None = None
+    # Candidate-row width (lanes) of the fused kernel's pair blocks:
+    # None/128 = classic [128 own x 128 cand] blocks; 256/512 process 2/4
+    # storage rows of candidates per block-loop iteration, amortizing the
+    # ~160 ns/iteration loop/branch/sync machinery (BENCH_NOTES r3
+    # microprobe) at the cost of coarser x-guard granularity. Detection
+    # results are EXACTLY identical at any width (parity-tested both
+    # modes; the slot key quantizer rescales so packed ordering is
+    # unchanged). MEASURED A LOSS at the 1M-3D bench config (256: 240 ms
+    # vs 208.5 at 128): unbanded storage rows span ~2.5 km of x there, so
+    # 2-row groups overlap nearly everything and the x-guard stops
+    # pruning — examined math grows faster than loop overhead shrinks.
+    # Kept for dense/short-row regimes; default None. Requires unpacked
+    # guard tables (fleets under the ~4.6M-object SMEM threshold).
+    cand_lanes: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)

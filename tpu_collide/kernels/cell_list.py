@@ -93,10 +93,11 @@ _SMEM_TOTAL_MAX = 980_000
 @partial(jax.tree_util.register_dataclass,
          data_fields=["fields", "w_rw", "w_rb_a", "w_rb_b",
                       "row_rb_a", "row_rb_b", "row_xa", "row_xb",
+                      "row_xa_w", "row_xb_w",
                       "cr_start",
                       "n_alive", "overflow"],
          meta_fields=["num_tiles", "window_rows", "n_windows", "shifts",
-                      "tables_packed", "wide_oid"])
+                      "tables_packed", "wide_oid", "cand_lanes"])
 @dataclasses.dataclass(frozen=True)
 class CellList:
     """Sorted SoA fleet + per-tile candidate windows.
@@ -136,15 +137,25 @@ class CellList:
     row_rb_b: jax.Array
     row_xa: jax.Array    # [R] f32 x-lo (unpacked) | i32 packed pair
     row_xb: jax.Array    # [R] f32 x-hi (unpacked) | [1] i32 dummy
+    # candidate-granularity x-guard tables ([R / (cand_lanes/LANE)]; [1]
+    # dummies when cand_lanes == LANE — the kernel reads the narrow
+    # tables for candidates then): the kernel's block loop walks
+    # candidate rows of cand_lanes lanes, so its x guard reads these;
+    # the per-own-row guards keep the tighter LANE tables. (Candidate
+    # brow-range correctness is per-element via c_ok, so no wide rb
+    # tables are needed.)
+    row_xa_w: jax.Array
+    row_xb_w: jax.Array
     cr_start: jax.Array  # [nbrows+1] i32 sorted element index of brow start
     n_alive: jax.Array
     overflow: jax.Array
     num_tiles: int
-    window_rows: int
+    window_rows: int     # in cand_lanes-wide rows (kernel window length)
     n_windows: int
     shifts: tuple
     tables_packed: bool
     wide_oid: bool = False
+    cand_lanes: int = LANE
 
     @property
     def oid_flat(self) -> jax.Array:
@@ -296,16 +307,31 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
     if window_rows is None:
         window_rows = default_window_rows(cfg, bandc)
     assert window_rows % 8 == 0
-    assert window_rows < 4096, "w_rw packing caps windows at 4095 rows"
-    window_max = window_rows * LANE
+    # candidate-row width: the kernel processes [LANE own x cl_w cand]
+    # pair blocks; group = storage rows per candidate block row. The
+    # `window_rows` PARAMETER stays in LANE-row units (external sizing
+    # contract); CellList.window_rows carries the WIDE count.
+    cl_w = cfg.grid.cand_lanes or LANE
+    assert cl_w in (LANE, 2 * LANE, 4 * LANE), (
+        f"cand_lanes must be 128, 256 or 512 (got {cl_w})")
+    group = cl_w // LANE
+    window_rows_w = -(-window_rows // group)
+    window_rows_w = -(-window_rows_w // 8) * 8
+    assert window_rows_w < 4096, "w_rw packing caps windows at 4095 rows"
+    window_max = window_rows_w * cl_w
     np_pad = num_tiles * TILE + window_max
+    np_pad = -(-np_pad // (8 * cl_w)) * (8 * cl_w)
     R = np_pad // LANE
 
     # Guard-table encoding: separate lo/hi tables unless SMEM pressure
     # demands the packed pairs (which cap brow ids at ROW_PACK - 2).
-    smem_unpacked = 4 * (4 * R + (nbrows + 1)
+    smem_unpacked = 4 * (4 * R + (4 * R // group if group > 1 else 0)
+                         + (nbrows + 1)
                          + 3 * num_tiles * n_windows + num_tiles)
     tables_packed = smem_unpacked > _SMEM_UNPACKED_MAX
+    assert group == 1 or not tables_packed, (
+        "cand_lanes > 128 needs unpacked guard tables; this fleet's scale "
+        "forces the packed encoding — use cand_lanes=None here")
     if tables_packed:
         assert nbrows + 16 < ROW_PACK, (
             f"{nbrows} brows need packed guard tables at this scale but "
@@ -443,16 +469,18 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         b = jnp.maximum(b, a)
         st_ = row_start[a]
         en_ = row_start[b]
-        # only DMA STARTS need 8-row (ALIGN-element) alignment; ends just
-        # round up to whole storage rows (the DMA length is the static
-        # window_rows either way — wn only drives the in-kernel guards)
-        st_a = (st_ // ALIGN) * ALIGN
-        en_a = jnp.minimum(-(-en_ // LANE) * LANE, num_tiles * TILE)
+        # only DMA STARTS need 8-row alignment (8 * cl_w elements in the
+        # wide candidate-row space); ends just round up to whole candidate
+        # rows (the DMA length is the static window_rows either way — wn
+        # only drives the in-kernel guards)
+        align_w = max(ALIGN, 8 * cl_w)
+        st_a = (st_ // align_w) * align_w
+        en_a = jnp.minimum(-(-en_ // cl_w) * cl_w, num_tiles * TILE)
         en_a = jnp.maximum(en_a, st_a)
         ln = jnp.where(tile_dead, 0, en_a - st_a)
         excess = excess + jnp.sum(jnp.maximum(ln - window_max, 0))
-        wr.append(st_a // LANE)
-        wn.append(jnp.minimum(ln, window_max) // LANE)
+        wr.append(st_a // cl_w)
+        wn.append(jnp.minimum(ln, window_max) // cl_w)
         rlo_l.append(a)
         rhi_l.append(b - 1)
 
@@ -485,6 +513,18 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         row_xa = row_xlo
         row_xb = row_xhi
 
+    # candidate-granularity x-guard tables: per-group union of the
+    # LANE-row bounds (min lo / max hi — empty-row sentinels compose:
+    # lo=big, hi=-big never pass). group == 1 passes [1] dummies — the
+    # kernel reads the narrow tables for candidates then, and aliasing
+    # real tables here would silently double the SMEM spend.
+    if group > 1:
+        R_w = R // group
+        row_xa_w = jnp.min(row_xlo.reshape(R_w, group), axis=1)
+        row_xb_w = jnp.max(row_xhi.reshape(R_w, group), axis=1)
+    else:
+        row_xa_w = row_xb_w = None
+
     w_row = jnp.stack(wr, axis=1).astype(jnp.int32)
     w_nrows = jnp.stack(wn, axis=1).astype(jnp.int32)
     w_rlo = jnp.stack(rlo_l, axis=1).astype(jnp.int32)
@@ -506,8 +546,11 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         w_rb_a=w_rb_a.reshape(-1), w_rb_b=w_rb_b.reshape(-1),
         row_rb_a=row_rb_a, row_rb_b=row_rb_b,
         row_xa=row_xa, row_xb=row_xb,
+        row_xa_w=(dummy if row_xa_w is None else row_xa_w),
+        row_xb_w=(dummy if row_xb_w is None else row_xb_w),
         cr_start=row_start.astype(jnp.int32),
         n_alive=n_alive.astype(jnp.int32),
         overflow=excess.astype(jnp.int32),
-        num_tiles=num_tiles, window_rows=window_rows, n_windows=n_windows,
-        shifts=shifts, tables_packed=tables_packed, wide_oid=wide_oid)
+        num_tiles=num_tiles, window_rows=window_rows_w, n_windows=n_windows,
+        shifts=shifts, tables_packed=tables_packed, wide_oid=wide_oid,
+        cand_lanes=cl_w)

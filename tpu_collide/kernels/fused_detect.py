@@ -81,6 +81,14 @@ scratch because lax.cond with vector-carried values SIGABRTs the compiler
 from __future__ import annotations
 
 import functools
+import os
+
+# Ablation instrumentation (perf attribution on real hardware, BENCH_NOTES
+# r3 "kernel ablation"): "noblocks" keeps the full loop/guard/DMA skeleton
+# but replaces every pair-block body with one tiny RMW; "s1" additionally
+# runs the candidate reads + stage-1 math + its reduce. Results are
+# MEANINGLESS under ablation — measurement only, never set in production.
+_ABLATE = os.environ.get("TPU_COLLIDE_ABLATE", "")
 
 import jax
 import jax.numpy as jnp
@@ -117,13 +125,23 @@ CNT_MAX = 2047.0
 
 def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
             row_rb_a_ref, row_rb_b_ref, row_xa_ref, row_xb_ref,
+            row_xa_w_ref, row_xb_w_ref,
             cr_start_ref, pred_ref,
             *refs,
             cfg: SystemConfig, window_rows: int, shifts: tuple,
             tables_packed: bool, k: int, emit: str, sub_steps: int = 0,
-            wide_oid: bool = False):
+            wide_oid: bool = False, cand_lanes: int = LANE):
     n_windows = len(shifts)
     n_out = 2 * k + 2
+    # candidate-row width: pair blocks are [LANE own x CL cand]; the block
+    # loop walks CL-lane candidate rows (GridConfig.cand_lanes), amortizing
+    # the per-iteration loop/branch/sync machinery over `group` storage
+    # rows at the cost of group-granular x pruning. window_rows, window
+    # starts (w_rw) and the wide x-guard tables are all in CL-row units;
+    # the slot key quantizer rescales (kq * CL invariant) so the packed
+    # slot constants and ordering are unchanged.
+    CL = cand_lanes
+    kq = KEY_Q * (LANE / CL)      # exact: KEY_Q and CL are powers of two
     # wide_oid carries the oid hi-half as fields[NF]; predict mode carries
     # the trajectory class as the LAST sorted field; pred_ref = [offset_s,
     # brow_widen, max_disp_m] scalars (zeros in the detection modes)
@@ -147,11 +165,12 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
         skip_f.add(_HI)
     skip_f = frozenset(skip_f)
     field_ids = [f for f in range(NFK) if f not in skip_f]
-    hbm = refs[:NFK]
-    outs = refs[NFK:NFK + n_out]
-    rest = refs[NFK + n_out:]
+    hbm = refs[:NFK]                       # [R, LANE] views (own-tile DMA)
+    hbm_w = refs[NFK:2 * NFK]              # [R/group, CL] views (windows)
+    outs = refs[2 * NFK:2 * NFK + n_out]
+    rest = refs[2 * NFK + n_out:]
     own = rest[:NFK]                       # NFK x VMEM (ROWS, LANE)
-    win = rest[NFK:3 * NFK]                # 2 x NFK VMEM (window_rows, LANE)
+    win = rest[NFK:3 * NFK]                # 2 x NFK VMEM (window_rows, CL)
     okey = rest[3 * NFK:3 * NFK + k]       # k x VMEM (ROWS, LANE) slot keys
     oidx = rest[3 * NFK + k:3 * NFK + 2 * k]  # k x VMEM slot cand indices
     # counters: [0] scene-total stage-1 checked (broadcast-accumulated;
@@ -186,7 +205,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
         def _():
             for f in field_ids:
                 pltpu.make_async_copy(
-                    hbm[f].at[pl.ds(wrow, window_rows), :],
+                    hbm_w[f].at[pl.ds(wrow, window_rows), :],
                     win[slot * NFK + f], sem_win.at[slot * NFK + f]).start()
 
     issue_window(0, 0)
@@ -198,8 +217,11 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     for j in range(k):
         okey[j][:, :] = zero + PACKED_NONE
         oidx[j][:, :] = zero - 1.0
-    for j in range(2):
-        ocnt[j][:, :] = zero
+    # ocnt[0] (scene-total checked) is CL lanes wide: its accumulate is a
+    # sublane-reduced broadcast of the [LANE, CL] block, and the total is
+    # layout-independent (buffer sum / ROWS)
+    ocnt[0][:, :] = jnp.zeros((ROWS, CL), jnp.float32)
+    ocnt[1][:, :] = zero
 
     def s3(ab, c):
         """ab + c where c is an optional z term (None in 2D worlds —
@@ -214,12 +236,13 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
     wlo_x = cfg.world.lo[0]       # packed x-guard values are lo-relative
     # tpu.iota only produces integers; cast to f32 for the select math
     col_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (LANE, LANE), 1).astype(jnp.float32)
-    # static diagonal mask for the index self-test: pair (i, j) of a block
-    # is the SAME object exactly when the candidate row IS the own row and
-    # j == i (see skip_f note above)
-    not_diag = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-                != jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1))
+        jnp.int32, (LANE, CL), 1).astype(jnp.float32)
+    # index self-test: pair (i, j) is the SAME object exactly when its
+    # global sorted indices coincide: go*LANE + i == gr*CL + j. The iota
+    # difference is static; one scalar add + compare per block resolves it
+    # (see skip_f note above)
+    diag_base = (jax.lax.broadcasted_iota(jnp.int32, (LANE, CL), 0)
+                 - jax.lax.broadcasted_iota(jnp.int32, (LANE, CL), 1))
 
     def unpack_rb(a_ref, b_ref, i):
         """(brow_lo, brow_hi) guard pair at index i (packed or split)."""
@@ -237,12 +260,21 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
             v = row_xa_ref[i]
             return ((v // X_PACK).astype(jnp.float32) + wlo_x,
                     (v % X_PACK - 1).astype(jnp.float32) + wlo_x)
+
     else:
         def read_x(i):
             """Raw f32 bounds — two SMEM reads, no scalar-core div/mod
             in the block loop (BENCH_NOTES r3 microprobe: the loop pays
             ~160 ns/row of scalar machinery even on x-pruned rows)."""
             return row_xa_ref[i], row_xb_ref[i]
+
+    if CL == LANE:
+        # candidate rows ARE storage rows; the wide refs are [1] dummies
+        read_x_cand = read_x
+    else:
+        def read_x_cand(i):
+            """Candidate-row bounds at CL-row granularity."""
+            return row_xa_w_ref[i], row_xb_w_ref[i]
 
     def window_pass(w, slot):
         # window tables are flattened [T*W] (2D SMEM operands pad to 128
@@ -319,7 +351,7 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                     # candidates twice
                     def crow_pass(c, _):
                         gr = wrow + c
-                        cx_lo, cx_hi = read_x(gr)
+                        cx_lo, cx_hi = read_x_cand(gr)
 
                         def insert_cands(kb, ib, cands):
                             """Insert (m_v, i_v) candidates into the
@@ -354,8 +386,8 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             ordered by (quantized key, column), so the max
                             IS the best pair, masking is an exact value
                             compare, and the column decodes with a mod."""
-                            gbase = (gr * LANE).astype(jnp.float32)
-                            cm = (jnp.round(keym * KEY_Q) * LANE
+                            gbase = (gr * CL).astype(jnp.float32)
+                            cm = (jnp.round(keym * kq) * CL
                                   + col_iota)
                             out = []
                             for _t in range(n_iter):
@@ -366,13 +398,17 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                                    cm)
                                 m_v = m2[:, 0]
                                 col = m_v - jnp.floor(
-                                    m_v * (1.0 / LANE)) * LANE
+                                    m_v * (1.0 / CL)) * CL
                                 out.append((m_v, gbase + col))
                             return out
 
                         def emit_slots(key, emitted, qual):
                             """Shared tail: packed emitted/qualifying
                             counter + sparsity-switched top-k insertion."""
+                            if _ABLATE == "noemit":
+                                ocnt[1][0:1, :] = ocnt[1][0:1, :] + jnp.max(
+                                    jnp.where(emitted, 1.0, 0.0))
+                                return
                             emitted_row = jnp.sum(
                                 jnp.where(emitted, 1.0, 0.0), axis=1)
                             cmax = jnp.max(emitted_row)
@@ -417,6 +453,9 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                         @pl.when((cx_lo <= ox_hi + r_max + max_disp)
                                  & (cx_hi >= ox_lo - r_max - max_disp))
                         def _():
+                            if _ABLATE == "noblocks":
+                                ocnt[0][0:1, :] = ocnt[0][0:1, :] + 1.0
+                                return
                             rowv = lambda f: (None if f in skip_f
                                               else wbuf[f][c, :][None, :])
                             cx, cy, cz = rowv(_X), rowv(_Y), rowv(_Z)
@@ -426,7 +465,8 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                             ctype = rowv(_TYPE)
                             # pair identity = index diagonal (one sorted
                             # slot per object; see skip_f note)
-                            not_self = not_diag | (gr != go)
+                            not_self = (diag_base
+                                        + (go * LANE - gr * CL)) != 0
                             # span bounds are clipped to >= 0, so the
                             # brow range test alone rejects dead/padding
                             # rows (their brow is -1)
@@ -537,6 +577,12 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                     None if flat2d else dzp * dzp)
                             ok1 = (c_ok & o_ok & not_self
                                    & (d2 <= r2_max))
+
+                            if _ABLATE == "s1":
+                                ocnt[0][:, :] = ocnt[0][:, :] + jnp.sum(
+                                    jnp.where(ok1, 1.0, 0.0), axis=0,
+                                    keepdims=True)
+                                return
 
                             # Optional stage-1 gate (gate_stage1): skip stage-2,
                             # its counter add (zero for dead blocks — exact) and
@@ -683,9 +729,9 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                     b_c = jnp.clip(b + 1, 0, tab_max)
                     # storage floor/ceil of a brow boundary from its sorted
                     # element index (one SMEM table serves both)
-                    c_lo = jnp.clip(cr_start_ref[a_c] // LANE - wrow,
+                    c_lo = jnp.clip(cr_start_ref[a_c] // CL - wrow,
                                     0, wn_eff)
-                    c_hi = jnp.clip((cr_start_ref[b_c] + LANE - 1) // LANE
+                    c_hi = jnp.clip((cr_start_ref[b_c] + CL - 1) // CL
                                     - wrow, 0, wn_eff)
                     c_hi = jnp.where(b < a, c_lo, c_hi)
                     jax.lax.fori_loop(
@@ -757,31 +803,41 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         "of 16; densities needing more should raise max_scene_alerts and "
         "accept the counted alert_overflow, or shard the world")
     T = cl.num_tiles
-    wr = cl.window_rows
+    wr = cl.window_rows                 # in cand_lanes-wide rows
+    CL = cl.cand_lanes
     n_out = 2 * k + 2
     nfk = NF + n_wide + (1 if mode == "predict" else 0)
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
                              shifts=cl.shifts,
                              tables_packed=cl.tables_packed,
                              k=k, emit=mode, sub_steps=sub_steps,
-                             wide_oid=cl.wide_oid)
+                             wide_oid=cl.wide_oid, cand_lanes=CL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=11,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nfk,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * (2 * nfk),
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_out,
         scratch_shapes=(
             [pltpu.VMEM((ROWS, LANE), jnp.float32)] * nfk   # own
-            + [pltpu.VMEM((wr, LANE), jnp.float32)] * (2 * nfk)  # windows x2
-            + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * n_out  # slots+cnts
+            + [pltpu.VMEM((wr, CL), jnp.float32)] * (2 * nfk)  # windows x2
+            # slots + the per-object packed counter are LANE wide; the
+            # scene-total checked counter (index 2k) is CL wide
+            + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * (2 * k)
+            + [pltpu.VMEM((ROWS, CL), jnp.float32)]
+            + [pltpu.VMEM((ROWS, LANE), jnp.float32)]
             + [pltpu.SemaphoreType.DMA((nfk,)),
                pltpu.SemaphoreType.DMA((2 * nfk,)),
                pltpu.SemaphoreType.DMA((n_out,))]
         ),
     )
-    out_shape = [jax.ShapeDtypeStruct((T * ROWS, LANE), jnp.float32)
-                 for _ in range(n_out)]
+    out_shape = ([jax.ShapeDtypeStruct((T * ROWS, LANE), jnp.float32)
+                  for _ in range(2 * k)]
+                 + [jax.ShapeDtypeStruct((T * ROWS, CL), jnp.float32),
+                    jax.ShapeDtypeStruct((T * ROWS, LANE), jnp.float32)])
     field_list = [cl.fields[i] for i in range(nfk)]
+    # wide views for the window DMAs: [R, LANE] -> [R/group, CL] is a pure
+    # row-major reinterpret (same bytes)
+    field_list_w = [cl.fields[i].reshape(-1, CL) for i in range(nfk)]
     if pred_params is None:
         pred = jnp.zeros((3,), jnp.float32)
     else:
@@ -794,7 +850,8 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
         interpret=interpret,
     )(cl.w_rw.reshape(-1), cl.w_rb_a, cl.w_rb_b,
       cl.row_rb_a, cl.row_rb_b, cl.row_xa, cl.row_xb,
-      cl.cr_start, pred, *field_list)
+      cl.row_xa_w, cl.row_xb_w,
+      cl.cr_start, pred, *field_list, *field_list_w)
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
     idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)

@@ -39,18 +39,20 @@ NF = len(FIELD_NAMES)
 _FI = {name: i for i, name in enumerate(FIELD_NAMES)}
 
 
-def decode_key(slots: jax.Array) -> jax.Array:
+def decode_key(slots: jax.Array, cand_lanes: int = LANE) -> jax.Array:
     """Ranking key (2*priority + risk, or risk - 2 for sub-threshold hits)
-    from a packed slot value (combined = round(key*KEY_Q)*LANE + column).
-    Quantized to 1/KEY_Q."""
-    return jnp.floor(slots * (1.0 / LANE)) * (1.0 / KEY_Q)
+    from a packed slot value (combined = round(key*kq)*CL + column, with
+    kq*CL == KEY_Q*LANE invariant across candidate-row widths).
+    Quantized to 1/kq."""
+    kq = KEY_Q * (LANE / cand_lanes)
+    return jnp.floor(slots * (1.0 / cand_lanes)) * (1.0 / kq)
 
 
-def decode_risk(slots: jax.Array) -> jax.Array:
+def decode_risk(slots: jax.Array, cand_lanes: int = LANE) -> jax.Array:
     """risk from a packed slot value (valid only where occupied):
     qualifying keys are 2*priority + risk, sub-threshold keys are risk - 2;
-    both satisfy risk = key - 2*floor(key/2). Quantized to 1/KEY_Q."""
-    key = decode_key(slots)
+    both satisfy risk = key - 2*floor(key/2). Quantized to 1/kq."""
+    key = decode_key(slots, cand_lanes)
     return key - 2.0 * jnp.floor(key * 0.5)
 
 
@@ -221,7 +223,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     valid &= ref.hit & (ref.risk >= cfg.alerts.risk_low)
     alerts = _alert_batch(valid, soid[own_slot], ref, cfg)
 
-    slot_risk = jnp.where(occupied, decode_risk(keys), 0.0)
+    slot_risk = jnp.where(occupied, decode_risk(keys, cl.cand_lanes), 0.0)
     return FusedSceneResult(
         alerts=alerts,
         num_checked=checked,
