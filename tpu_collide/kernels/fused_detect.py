@@ -415,39 +415,45 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
                             @pl.when(cmax > 0.5)
                             def _():
-                                old = ocnt[1][s, :]
-                                e_old = jnp.floor(old * (1.0 / CNT_PACK))
-                                q_old = old - e_old * CNT_PACK
-                                e_new = jnp.minimum(e_old + emitted_row,
-                                                    CNT_MAX)
-                                q_new = jnp.minimum(
-                                    q_old + jnp.sum(
-                                        jnp.where(qual, 1.0, 0.0), axis=1),
-                                    CNT_MAX)
-                                ocnt[1][pl.ds(s, 1), :] = (
-                                    e_new * CNT_PACK + q_new)[None, :]
+                                if _ABLATE != "emitnc":
+                                    old = ocnt[1][s, :]
+                                    e_old = jnp.floor(old * (1.0 / CNT_PACK))
+                                    q_old = old - e_old * CNT_PACK
+                                    e_new = jnp.minimum(e_old + emitted_row,
+                                                        CNT_MAX)
+                                    q_new = jnp.minimum(
+                                        q_old + jnp.sum(
+                                            jnp.where(qual, 1.0, 0.0),
+                                            axis=1),
+                                        CNT_MAX)
+                                    ocnt[1][pl.ds(s, 1), :] = (
+                                        e_new * CNT_PACK + q_new)[None, :]
                                 kb = [okey[j][s, :] for j in range(k)]
                                 ib = [oidx[j][s, :] for j in range(k)]
 
-                                @pl.when(cmax <= 1.5)
-                                def _():
-                                    nkb, nib = insert_cands(
-                                        kb, ib, extract(key, 1))
+                                def write_slots(nkb, nib):
+                                    if _ABLATE == "emitnw":
+                                        acc = nkb[0] + nib[0]
+                                        for j in range(1, k):
+                                            acc = acc + nkb[j] + nib[j]
+                                        okey[0][pl.ds(s, 1), :] = \
+                                            acc[None, :]
+                                        return
                                     for j in range(k):
                                         okey[j][pl.ds(s, 1), :] = \
                                             nkb[j][None, :]
                                         oidx[j][pl.ds(s, 1), :] = \
                                             nib[j][None, :]
 
+                                @pl.when(cmax <= 1.5)
+                                def _():
+                                    write_slots(*insert_cands(
+                                        kb, ib, extract(key, 1)))
+
                                 @pl.when(cmax > 1.5)
                                 def _():
-                                    nkb, nib = insert_cands(
-                                        kb, ib, extract(key, k))
-                                    for j in range(k):
-                                        okey[j][pl.ds(s, 1), :] = \
-                                            nkb[j][None, :]
-                                        oidx[j][pl.ds(s, 1), :] = \
-                                            nib[j][None, :]
+                                    write_slots(*insert_cands(
+                                        kb, ib, extract(key, k)))
 
                         # x-overlap guard (sorted order makes rows x-coherent)
                         @pl.when((cx_lo <= ox_hi + r_max + max_disp)
