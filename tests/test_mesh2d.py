@@ -193,7 +193,7 @@ def test_mesh2d_y_skew_balances_where_x_walls_cannot():
 
     bal = LoadBalancer(cfg, slots, check_every=1)
     assert bal.should_rebalance(st)
-    st2, bx, by = bal.rebalance(st, mesh)
+    st2, bx, by, bz = bal.rebalance(st, mesh)
     occ2 = shard_occupancy(st2, cfg, slots)
     assert imbalance(occ2) < 1.25
     assert by is not None

@@ -137,7 +137,7 @@ def test_load_balancer_moves_walls():
 
     bal = LoadBalancer(cfg, slots, check_every=1)
     assert bal.should_rebalance(st)
-    st, b, _ = bal.rebalance(st, mesh)
+    st, b, _, _ = bal.rebalance(st, mesh)
     occ = shard_occupancy(st, cfg, slots)
     assert imbalance(occ) < 1.2
     assert bal.stats["rebalances"] == 1
@@ -175,7 +175,7 @@ def test_clamped_rebalance_backs_off_and_2d_mesh_escapes():
     st1 = distribute_state(fleet, cfg1, mesh1)
     bal = LoadBalancer(cfg1, slots1, check_every=1)
     assert bal.should_rebalance(st1)
-    st1, bx, _ = bal.rebalance(st1, mesh1)
+    st1, bx, _, _ = bal.rebalance(st1, mesh1)
     occ = shard_occupancy(st1, cfg1, slots1)
     # min_slab_width clamps every wall: one shard still owns ~everything
     assert imbalance(occ) > 4.0
@@ -194,5 +194,5 @@ def test_clamped_rebalance_backs_off_and_2d_mesh_escapes():
     st2 = distribute_state(fleet, cfg2, mesh2)
     bal2 = LoadBalancer(cfg2, slots2, check_every=1)
     assert bal2.should_rebalance(st2)
-    st2, bx2, by2 = bal2.rebalance(st2, mesh2)
+    st2, bx2, by2, _ = bal2.rebalance(st2, mesh2)
     assert imbalance(shard_occupancy(st2, cfg2, slots2)) < 1.3

@@ -187,7 +187,8 @@ def test_history_redistributes_on_rebalance():
 
     # force the rebalance path exactly as step() runs it
     old_state = sc.state
-    (sc.state, sc.boundaries, sc.boundaries_y) = sc.balancer.rebalance(
+    (sc.state, sc.boundaries, sc.boundaries_y,
+     sc.boundaries_z) = sc.balancer.rebalance(
         old_state, sc.mesh)
     sc._traj = sc._redistribute_hist(old_state)
 
@@ -233,7 +234,7 @@ def test_halo_exchange_hops_visibility():
     st = distribute_state(fleet, cfg, mesh)
 
     def body(state, b):
-        sx, _ = _shard_coords(cfg)
+        sx, _, _ = _shard_coords(cfg)
         buf, valid, dropped = halo_exchange_hops(
             state, cfg, sx, b, dim=0, width=width, capacity=16, hops=hops)
         return jnp.where(valid, buf["oid"], -1), dropped.reshape(1)

@@ -119,7 +119,7 @@ def test_load_balancer_occupancy_and_rebalance():
 
     lb = LoadBalancer(cfg, slots, check_every=1)
     assert lb.should_rebalance(st)
-    st2, boundaries, _ = lb.rebalance(st, mesh)
+    st2, boundaries, _, _ = lb.rebalance(st, mesh)
     occ2 = shard_occupancy(st2, cfg, slots)
     assert occ2.sum() == 400             # conservation
     assert imbalance(occ2) < 1.2         # walls moved into the dense zone

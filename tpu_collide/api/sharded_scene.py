@@ -102,6 +102,7 @@ class ShardedScene:
         self.dropped_total = 0
         self.boundaries = None        # [Dx+1] dynamic slab walls (None=equal)
         self.boundaries_y = None      # [Dy+1] walls of the 2D tiling
+        self.boundaries_z = None      # [Dz+1] walls of the 3D tiling
         self._key = jax.random.key(0)
         self._lock = threading.RLock()
         self.stats_timing = {"steps": 0, "total_ms": 0.0, "max_ms": 0.0}
@@ -120,7 +121,8 @@ class ShardedScene:
         with self._lock:
             self.state = distribute_state(
                 fleet, self.cfg, self.mesh, boundaries=self.boundaries,
-                boundaries_y=self.boundaries_y)
+                boundaries_y=self.boundaries_y,
+                boundaries_z=self.boundaries_z)
 
     def collect(self) -> ObjectState:
         """Gather the sharded fleet to one addressable host state."""
@@ -167,7 +169,8 @@ class ShardedScene:
             from tpu_collide.core.state import empty_state
             self.state = distribute_state(
                 empty_state(self.cfg.num_objects), self.cfg, self.mesh,
-                boundaries=self.boundaries, boundaries_y=self.boundaries_y)
+                boundaries=self.boundaries, boundaries_y=self.boundaries_y,
+                boundaries_z=self.boundaries_z)
         oids = sorted(self._pending)
         nb = len(oids)
         b = 16
@@ -196,7 +199,8 @@ class ShardedScene:
             upd["vel"][:, 2] = 0.0
             upd["acc"][:, 2] = 0.0
         self.state, dropped = self._apply(self.state, upd, self.boundaries,
-                                          self.boundaries_y)
+                                          self.boundaries_y,
+                                          self.boundaries_z)
         self.dropped_total += int(np.asarray(dropped).sum())
         return nb
 
@@ -213,7 +217,8 @@ class ShardedScene:
             from tpu_collide.core.state import empty_state
             self.state = distribute_state(
                 empty_state(self.cfg.num_objects), self.cfg, self.mesh,
-                boundaries=self.boundaries, boundaries_y=self.boundaries_y)
+                boundaries=self.boundaries, boundaries_y=self.boundaries_y,
+                boundaries_z=self.boundaries_z)
 
     # ---- stepping ----
 
@@ -238,11 +243,12 @@ class ShardedScene:
                         (self.state, self._traj, out,
                          dropped) = self._step_h(
                             self.state, self._traj, sub,
-                            self.boundaries, self.boundaries_y)
+                            self.boundaries, self.boundaries_y,
+                            self.boundaries_z)
                     else:
                         self.state, out, dropped = self._step(
                             self.state, sub, self.boundaries,
-                            self.boundaries_y)
+                            self.boundaries_y, self.boundaries_z)
                     jax.block_until_ready(out.num_risks)
                 self.step_count += 1
                 self.dropped_total += int(np.asarray(dropped).sum())
@@ -252,8 +258,8 @@ class ShardedScene:
                     self.stats_timing["max_ms"], t.elapsed_ms)
                 if self.balancer and self.balancer.should_rebalance(self.state):
                     old_state = self.state     # pre-rebalance slot layout
-                    (self.state, self.boundaries,
-                     self.boundaries_y) = self.balancer.rebalance(
+                    (self.state, self.boundaries, self.boundaries_y,
+                     self.boundaries_z) = self.balancer.rebalance(
                         old_state, self.mesh)
                     if self._traj is not None:
                         # trajectory rings follow their objects to the
@@ -289,7 +295,8 @@ class ShardedScene:
             head=np.asarray(self._traj.head)[idx])
         return distribute_history(hist_packed, self.cfg, self.mesh, packed,
                                   boundaries=self.boundaries,
-                                  boundaries_y=self.boundaries_y)
+                                  boundaries_y=self.boundaries_y,
+                                  boundaries_z=self.boundaries_z)
 
     def _grow_window(self, overflow: int) -> None:
         """Density outgrew the kernel's candidate windows on some shard:
@@ -366,8 +373,8 @@ class ShardedScene:
                 r_cap = int(min(a.max_scene_alerts,
                                 self.state.alive.shape[0] * 32))
 
-                def compact(state, hist, bx, by):
-                    res = pfn(state, hist, bx, by)
+                def compact(state, hist, bx, by, bz):
+                    res = pfn(state, hist, bx, by, bz)
                     if use_fused:
                         (other, valid, risk, ttc, dist, row_oid,
                          dropped, oflow) = res
@@ -392,7 +399,8 @@ class ShardedScene:
             fn, r_cap = fns
             fetched = jax.device_get(fn(self.state, self._traj,
                                         self.boundaries,
-                                        self.boundaries_y))
+                                        self.boundaries_y,
+                                        self.boundaries_z))
         top_r, voids, ooids, t_sel, d_sel, total, dropped, oflow = fetched
         if int(oflow) > 0:
             logger.warning(
@@ -445,7 +453,8 @@ class ShardedScene:
                 self._detect = make_sharded_detect(self.cfg, self.mesh)
             with Timer() as t:
                 out, dropped = self._detect(self.state, self.boundaries,
-                                            self.boundaries_y)
+                                            self.boundaries_y,
+                                            self.boundaries_z)
                 jax.block_until_ready(out.num_risks)
             self.dropped_total += int(np.asarray(dropped).sum())
             self.stats_timing["steps"] += 1
@@ -574,6 +583,7 @@ class ShardedScene:
                 oid=np.asarray(host.oid)[idx])
             self.state = distribute_state(
                 packed, self.cfg, self.mesh, boundaries=self.boundaries,
-                boundaries_y=self.boundaries_y)
+                boundaries_y=self.boundaries_y,
+                boundaries_z=self.boundaries_z)
             self.step_count = meta["step"]
         return self.step_count

@@ -228,10 +228,19 @@ class ShardConfig:
     # neighborhoods are covered. halo_width applies to both axes.
     num_shards_y: int = 1
     axis_name_y: str = "shard_y"
+    # 3D tiling: num_shards_z > 1 additionally splits the world along z,
+    # making an (x, y, z) device grid — useful for deep-z worlds (stacked
+    # aviation layers) where per-shard z extent also bounds the fused
+    # kernel's z-window count. Halo/migration gain a third phase (x, then
+    # y, then z; each later pass re-mirrors the earlier-extended state so
+    # edge/corner neighborhoods arrive in <= 3 hops). halo_width applies
+    # to every sharded axis.
+    num_shards_z: int = 1
+    axis_name_z: str = "shard_z"
 
     @property
     def total_shards(self) -> int:
-        return self.num_shards * self.num_shards_y
+        return self.num_shards * self.num_shards_y * self.num_shards_z
 
 
 @dataclasses.dataclass(frozen=True)

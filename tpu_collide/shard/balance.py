@@ -118,18 +118,20 @@ class LoadBalancer:
     def rebalance(self, state_sharded: ObjectState, mesh):
         """Collect -> compute quantile slab walls PER AXIS -> redistribute
         under them. Returns (new_state, boundaries_x [Dx+1], boundaries_y
-        [Dy+1] or None); feed both to every subsequent step call. This is
-        the TPU-native replacement for the reference's region split/merge +
-        shard migration (spatial_index.py:585-679, data_sharding.py:
-        513-564); with a 2D tiling the per-axis quantiles are the
-        octree-split analog — a y-skewed fleet that x walls cannot balance
-        gets balanced by the y walls."""
+        [Dy+1] or None, boundaries_z [Dz+1] or None); feed all of them to
+        every subsequent step call. This is the TPU-native replacement for
+        the reference's region split/merge + shard migration
+        (spatial_index.py:585-679, data_sharding.py:513-564); with a
+        2D/3D tiling the per-axis quantiles are the octree-split analog —
+        a y- or z-skewed fleet that x walls cannot balance gets balanced
+        by the y/z walls."""
         from tpu_collide.shard.step import (distribute_state,
                                             check_boundaries)
         from tpu_collide.core.state import state_from_numpy
 
         dx = self.cfg.shard.num_shards
         dy = self.cfg.shard.num_shards_y
+        dz = self.cfg.shard.num_shards_z
         fields = {f: np.asarray(getattr(state_sharded, f))
                   for f in ("pos", "vel", "acc", "heading", "size",
                             "otype", "alive", "oid")}
@@ -152,16 +154,25 @@ class LoadBalancer:
                 self.cfg.world.lo[1], self.cfg.world.hi[1],
                 self.min_slab_width())
             check_boundaries(self.cfg, by, dim=1)
+        bz = None
+        if dz > 1:
+            bz = quantile_boundaries(
+                fields["pos"][alive_idx, 2], dz,
+                self.cfg.world.lo[2], self.cfg.world.hi[2],
+                self.min_slab_width())
+            check_boundaries(self.cfg, bz, dim=2)
         self.stats["rebalances"] += 1
-        logger.info("rebalanced %d objects across %dx%d shards "
-                    "(occupancy %s, x walls %s, y walls %s)",
-                    len(alive_idx), dx, dy,
+        logger.info("rebalanced %d objects across %dx%dx%d shards "
+                    "(occupancy %s, x walls %s, y walls %s, z walls %s)",
+                    len(alive_idx), dx, dy, dz,
                     self.last_occupancy.tolist()
                     if self.last_occupancy is not None else "?",
                     np.round(bx, 1).tolist(),
-                    np.round(by, 1).tolist() if by is not None else "-")
+                    np.round(by, 1).tolist() if by is not None else "-",
+                    np.round(bz, 1).tolist() if bz is not None else "-")
         new_state = distribute_state(packed, self.cfg, mesh,
-                                     boundaries=bx, boundaries_y=by)
+                                     boundaries=bx, boundaries_y=by,
+                                     boundaries_z=bz)
         self._post_rebalance_occ = shard_occupancy(new_state, self.cfg,
                                                    self.slots)
-        return new_state, bx, by
+        return new_state, bx, by, bz

@@ -32,11 +32,13 @@ _XCHG_FIELDS = ("pos", "vel", "acc", "heading", "size", "otype", "oid")
 
 def axis_shards(cfg: SystemConfig, dim: int) -> Tuple[int, str]:
     """(device count, mesh axis name) of world axis `dim` (0 = x slabs,
-    1 = y slabs of the 2D tiling)."""
+    1 = y slabs of the 2D tiling, 2 = z slabs of the 3D tiling)."""
     if dim == 0:
         return cfg.shard.num_shards, cfg.shard.axis_name
-    assert dim == 1
-    return cfg.shard.num_shards_y, cfg.shard.axis_name_y
+    if dim == 1:
+        return cfg.shard.num_shards_y, cfg.shard.axis_name_y
+    assert dim == 2
+    return cfg.shard.num_shards_z, cfg.shard.axis_name_z
 
 
 def slab_bounds(cfg: SystemConfig, shard_idx: jax.Array,

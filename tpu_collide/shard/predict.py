@@ -49,7 +49,8 @@ def predict_hops(cfg: SystemConfig, reach: float, dim: int) -> int:
     world axis `dim`, from the equal-slab width (clamped to d-1: beyond
     that the chain already spans the whole axis). Callers moving walls
     dynamically must keep every slab >= reach / hops wide."""
-    d = cfg.shard.num_shards if dim == 0 else cfg.shard.num_shards_y
+    d = (cfg.shard.num_shards, cfg.shard.num_shards_y,
+         cfg.shard.num_shards_z)[dim]
     if d <= 1:
         return 1
     import math
@@ -58,11 +59,12 @@ def predict_hops(cfg: SystemConfig, reach: float, dim: int) -> int:
 
 
 def _local_predict(state: ObjectState, hist: TrajectoryHistory,
-                   bx: jax.Array, by: jax.Array, cfg: SystemConfig,
+                   bx: jax.Array, by: jax.Array, bz: jax.Array,
+                   cfg: SystemConfig,
                    horizon: float, step: float, sub_window: float,
                    merge_k: int, width: float, capacity: int,
-                   hops_x: int = 1, hops_y: int = 1):
-    sx, sy = _shard_coords(cfg)
+                   hops_x: int = 1, hops_y: int = 1, hops_z: int = 1):
+    sx, sy, sz = _shard_coords(cfg)
     bufx, valx, dropx = halo_exchange_hops(state, cfg, sx, bx, dim=0,
                                            width=width, capacity=capacity,
                                            hops=hops_x)
@@ -75,6 +77,13 @@ def _local_predict(state: ObjectState, hist: TrajectoryHistory,
                                                hops=hops_y)
         ext = extend_with_halo(ext, bufy, valy)
         dropped = dropped + dropy
+    if cfg.shard.num_shards_z > 1:
+        bufz, valz, dropz = halo_exchange_hops(ext, cfg, sz, bz, dim=2,
+                                               width=width,
+                                               capacity=capacity,
+                                               hops=hops_z)
+        ext = extend_with_halo(ext, bufz, valz)
+        dropped = dropped + dropz
 
     # halo mirrors need no history: they are candidates only (class drives
     # the QUERY advance; candidates move const-accel, reference :808-812)
@@ -106,11 +115,13 @@ def _local_predict(state: ObjectState, hist: TrajectoryHistory,
 
 
 def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
-                         bx: jax.Array, by: jax.Array, cfg: SystemConfig,
+                         bx: jax.Array, by: jax.Array, bz: jax.Array,
+                         cfg: SystemConfig,
                          horizon: float, step: float, sub_window: float,
                          merge_k: int, width: float, capacity: int,
                          window_rows, interpret: bool,
-                         hops_x: int = 1, hops_y: int = 1):
+                         hops_x: int = 1, hops_y: int = 1,
+                         hops_z: int = 1):
     """Per-shard fused prediction (kernels/refine.fused_predict_rows):
     candidate selection rides the cell-list kernel per shard — the
     production-scale path (11x the gather path at 100k, BENCH_NOTES).
@@ -122,7 +133,7 @@ def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
     from tpu_collide.detect.predict import classify_trajectories
     from tpu_collide.kernels.refine import fused_predict_rows
 
-    sx, sy = _shard_coords(cfg)
+    sx, sy, sz = _shard_coords(cfg)
     bufx, valx, dropx = halo_exchange_hops(state, cfg, sx, bx, dim=0,
                                            width=width, capacity=capacity,
                                            hops=hops_x)
@@ -135,6 +146,13 @@ def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
                                                hops=hops_y)
         ext = extend_with_halo(ext, bufy, valy, mark_halo=True)
         dropped = dropped + dropy
+    if cfg.shard.num_shards_z > 1:
+        bufz, valz, dropz = halo_exchange_hops(ext, cfg, sz, bz, dim=2,
+                                               width=width,
+                                               capacity=capacity,
+                                               hops=hops_z)
+        ext = extend_with_halo(ext, bufz, valz, mark_halo=True)
+        dropped = dropped + dropz
 
     cls = jnp.concatenate([
         classify_trajectories(hist),
@@ -182,13 +200,14 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
     if hops is None:
         hops_x = predict_hops(cfg, reach, 0)
         hops_y = predict_hops(cfg, reach, 1)
+        hops_z = predict_hops(cfg, reach, 2)
     else:
-        hops_x = hops_y = hops
+        hops_x = hops_y = hops_z = hops
     if halo_capacity is None:
         scale = -(-int(reach) // max(1, int(cfg.shard.halo_width)))
         # per-hop buffers each carry at most one slab's worth of the band
         halo_capacity = cfg.shard.halo_capacity * max(
-            1, -(-scale // max(1, max(hops_x, hops_y))))
+            1, -(-scale // max(1, max(hops_x, hops_y, hops_z))))
 
     sdim = _state_spec_axes(cfg)
     spec_state = ObjectState(
@@ -201,38 +220,41 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
                        step=step, sub_window=sub_window, merge_k=merge_k,
                        width=reach, capacity=halo_capacity,
                        window_rows=window_rows, interpret=interpret,
-                       hops_x=hops_x, hops_y=hops_y)
+                       hops_x=hops_x, hops_y=hops_y, hops_z=hops_z)
         n_out = 8
         check_vma = False      # pallas outputs carry no VMA metadata
     else:
         body = partial(_local_predict, cfg=cfg, horizon=horizon, step=step,
                        sub_window=sub_window, merge_k=merge_k,
                        width=reach, capacity=halo_capacity,
-                       hops_x=hops_x, hops_y=hops_y)
+                       hops_x=hops_x, hops_y=hops_y, hops_z=hops_z)
         n_out = 6
         check_vma = True
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec_state, spec_hist, P(), P()),
+        in_specs=(spec_state, spec_hist, P(), P(), P()),
         out_specs=tuple([P(sdim)] * n_out),
         check_vma=check_vma,
     )
     jf = jax.jit(f)
     default_bx = equal_boundaries(cfg, 0)
     default_by = equal_boundaries(cfg, 1)
+    default_bz = equal_boundaries(cfg, 2)
 
-    def predict(state, hist, boundaries=None, boundaries_y=None):
+    def predict(state, hist, boundaries=None, boundaries_y=None,
+                boundaries_z=None):
         return jf(state, hist,
                   default_bx if boundaries is None else boundaries,
-                  default_by if boundaries_y is None else boundaries_y)
+                  default_by if boundaries_y is None else boundaries_y,
+                  default_bz if boundaries_z is None else boundaries_z)
 
     return predict
 
 
 def distribute_history(hist_global: TrajectoryHistory, cfg: SystemConfig,
                        mesh: Mesh, state_global: ObjectState,
-                       boundaries=None, boundaries_y=None
-                       ) -> TrajectoryHistory:
+                       boundaries=None, boundaries_y=None,
+                       boundaries_z=None) -> TrajectoryHistory:
     """Host-side: scatter a global fleet's trajectory history into the same
     per-shard slots `distribute_state` assigns its objects (bootstrap /
     checkpoint-restore path)."""
@@ -244,7 +266,7 @@ def distribute_history(hist_global: TrajectoryHistory, cfg: SystemConfig,
     slots = shard_slots(cfg)
     pos = np.asarray(state_global.pos)
     alive = np.asarray(state_global.alive)
-    shard_of = _shard_of(pos, cfg, boundaries, boundaries_y)
+    shard_of = _shard_of(pos, cfg, boundaries, boundaries_y, boundaries_z)
     h = hist_global.capacity
     out = {
         "pos": np.zeros((d * slots, h, 3), np.float32),

@@ -45,7 +45,8 @@ def make_mesh(cfg: SystemConfig, devices=None) -> Mesh:
     import numpy as np
     dx = cfg.shard.num_shards
     dy = cfg.shard.num_shards_y
-    d = dx * dy
+    dz = cfg.shard.num_shards_z
+    d = dx * dy * dz
     if devices is None:
         devices = jax.devices()[:d]
     assert len(devices) == d, f"need {d} devices, have {len(devices)}"
@@ -57,24 +58,39 @@ def make_mesh(cfg: SystemConfig, devices=None) -> Mesh:
     if dy > 1:
         assert step_reach < (cfg.world.hi[1] - cfg.world.lo[1]) / dy, \
             "objects could cross more than one y-slab per step"
-        return Mesh(np.asarray(devices).reshape(dx, dy),
-                    (cfg.shard.axis_name, cfg.shard.axis_name_y))
-    return Mesh(np.asarray(devices), (cfg.shard.axis_name,))
+    if dz > 1:
+        assert step_reach < (cfg.world.hi[2] - cfg.world.lo[2]) / dz, \
+            "objects could cross more than one z-slab per step"
+    names = [cfg.shard.axis_name]
+    shape = [dx]
+    if dy > 1 or dz > 1:
+        names.append(cfg.shard.axis_name_y)
+        shape.append(dy)
+    if dz > 1:
+        names.append(cfg.shard.axis_name_z)
+        shape.append(dz)
+    if len(names) == 1:
+        return Mesh(np.asarray(devices), (names[0],))
+    return Mesh(np.asarray(devices).reshape(*shape), tuple(names))
 
 
 def _mesh_axes(cfg: SystemConfig):
-    """Mesh axis names to psum over: (x,) for 1D, (x, y) for the 2D grid."""
-    if cfg.shard.num_shards_y > 1:
-        return (cfg.shard.axis_name, cfg.shard.axis_name_y)
-    return (cfg.shard.axis_name,)
+    """Mesh axis names to psum over: (x,), (x, y), or (x, y, z)."""
+    ax = [cfg.shard.axis_name]
+    if cfg.shard.num_shards_y > 1 or cfg.shard.num_shards_z > 1:
+        ax.append(cfg.shard.axis_name_y)
+    if cfg.shard.num_shards_z > 1:
+        ax.append(cfg.shard.axis_name_z)
+    return tuple(ax)
 
 
 def _halo_extend(state: ObjectState, cfg: SystemConfig,
-                 sx: jax.Array, sy: jax.Array,
-                 bx: jax.Array, by: jax.Array, mark: bool):
-    """The (up to) two-phase halo: mirror x bands, then — on a 2D grid —
-    mirror y bands of the x-EXTENDED state so corner neighborhoods arrive
-    via two hops. Returns (ext_state, dropped)."""
+                 sx: jax.Array, sy: jax.Array, sz: jax.Array,
+                 bx: jax.Array, by: jax.Array, bz: jax.Array, mark: bool):
+    """The (up to) three-phase halo: mirror x bands, then — on a 2D/3D
+    grid — mirror y bands of the x-EXTENDED state, then z bands of the
+    xy-extended state, so edge/corner neighborhoods arrive in <= 3 hops.
+    Returns (ext_state, dropped)."""
     bufx, valx, dropx = halo_exchange(state, cfg, sx, bx, dim=0)
     ext = extend_with_halo(state, bufx, valx, mark_halo=mark)
     dropped = dropx
@@ -82,16 +98,22 @@ def _halo_extend(state: ObjectState, cfg: SystemConfig,
         bufy, valy, dropy = halo_exchange(ext, cfg, sy, by, dim=1)
         ext = extend_with_halo(ext, bufy, valy, mark_halo=mark)
         dropped = dropped + dropy
+    if cfg.shard.num_shards_z > 1:
+        bufz, valz, dropz = halo_exchange(ext, cfg, sz, bz, dim=2)
+        ext = extend_with_halo(ext, bufz, valz, mark_halo=mark)
+        dropped = dropped + dropz
     return ext, dropped
 
 
 def _detect_tail_xla(state: ObjectState, cfg: SystemConfig,
-                     sx: jax.Array, sy: jax.Array,
-                     bx: jax.Array, by: jax.Array) -> StepOutput:
+                     sx: jax.Array, sy: jax.Array, sz: jax.Array,
+                     bx: jax.Array, by: jax.Array,
+                     bz: jax.Array) -> StepOutput:
     """Halo exchange + XLA detection over owned + halo rows; alerts
     emitted only for owned rows; stats psum-reduced."""
     ax = _mesh_axes(cfg)
-    ext, halo_dropped = _halo_extend(state, cfg, sx, sy, bx, by, mark=False)
+    ext, halo_dropped = _halo_extend(state, cfg, sx, sy, sz, bx, by, bz,
+                                     mark=False)
     index = build_grid(ext.pos, ext.alive, cfg)
     pairs = detect_pairs(ext, index, cfg)
     n_own = state.n
@@ -117,8 +139,8 @@ def _detect_tail_xla(state: ObjectState, cfg: SystemConfig,
 
 
 def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
-                       sx: jax.Array, sy: jax.Array,
-                       bx: jax.Array, by: jax.Array,
+                       sx: jax.Array, sy: jax.Array, sz: jax.Array,
+                       bx: jax.Array, by: jax.Array, bz: jax.Array,
                        interpret: bool,
                        window_rows: int | None = None) -> StepOutput:
     """Halo exchange + fused-kernel detection (both modes). Halo mirrors
@@ -129,7 +151,8 @@ def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
     from tpu_collide.kernels.refine import (fused_scene_fast,
                                             fused_scene_precise)
     ax = _mesh_axes(cfg)
-    ext, halo_dropped = _halo_extend(state, cfg, sx, sy, bx, by, mark=True)
+    ext, halo_dropped = _halo_extend(state, cfg, sx, sy, sz, bx, by, bz,
+                                     mark=True)
     cl = build_cell_list(ext, cfg, window_rows=window_rows,
                          interpret=interpret)
     scene_fn = (fused_scene_fast if cfg.detect.mode == "fast"
@@ -150,28 +173,39 @@ def _detect_tail_fused(state: ObjectState, cfg: SystemConfig,
 
 
 def _shard_coords(cfg: SystemConfig):
-    """(sx, sy) mesh coordinates of this device (sy = 0 on a 1D mesh)."""
+    """(sx, sy, sz) mesh coordinates of this device (0 on absent axes)."""
     sx = jax.lax.axis_index(cfg.shard.axis_name)
-    if cfg.shard.num_shards_y > 1:
+    if cfg.shard.num_shards_y > 1 or cfg.shard.num_shards_z > 1:
         sy = jax.lax.axis_index(cfg.shard.axis_name_y)
     else:
         sy = jnp.int32(0)
-    return sx, sy
+    if cfg.shard.num_shards_z > 1:
+        sz = jax.lax.axis_index(cfg.shard.axis_name_z)
+    else:
+        sz = jnp.int32(0)
+    return sx, sy, sz
 
 
-def _migrate_phases(state, cfg, sx, sy, bx, by, extra=None):
-    """x-phase migration, then the y phase on a 2D grid (a corner-crossing
-    object reaches its diagonal neighbor in two hops)."""
+def _migrate_phases(state, cfg, sx, sy, sz, bx, by, bz, extra=None):
+    """x-phase migration, then the y and z phases on 2D/3D grids (an
+    edge/corner-crossing object reaches its diagonal neighbor in 2-3
+    hops)."""
     if extra is None:
         state, dropped = migrate(state, cfg, sx, bx, dim=0)
         if cfg.shard.num_shards_y > 1:
             state, dy_ = migrate(state, cfg, sy, by, dim=1)
             dropped = dropped + dy_
+        if cfg.shard.num_shards_z > 1:
+            state, dz_ = migrate(state, cfg, sz, bz, dim=2)
+            dropped = dropped + dz_
         return state, dropped
     state, extra, dropped = migrate(state, cfg, sx, bx, extra=extra, dim=0)
     if cfg.shard.num_shards_y > 1:
         state, extra, dy_ = migrate(state, cfg, sy, by, extra=extra, dim=1)
         dropped = dropped + dy_
+    if cfg.shard.num_shards_z > 1:
+        state, extra, dz_ = migrate(state, cfg, sz, bz, extra=extra, dim=2)
+        dropped = dropped + dz_
     return state, extra, dropped
 
 
@@ -189,26 +223,30 @@ def _hist_from_extra(extra):
 
 
 def _local_step(state: ObjectState, key: jax.Array, bx: jax.Array,
-                by: jax.Array, cfg: SystemConfig, hist=None):
+                by: jax.Array, bz: jax.Array, cfg: SystemConfig,
+                hist=None):
     """Per-shard body. state/key are the LOCAL shard ([slots] arrays);
-    bx/by are the replicated [Dx+1]/[Dy+1] slab-wall arrays (dynamic
-    re-tiling, shard/balance.py). With `hist`, trajectory histories
-    migrate alongside their objects."""
-    sx, sy = _shard_coords(cfg)
-    key = jax.random.fold_in(key, sx * cfg.shard.num_shards_y + sy)
+    bx/by/bz are the replicated [Dx+1]/[Dy+1]/[Dz+1] slab-wall arrays
+    (dynamic re-tiling, shard/balance.py). With `hist`, trajectory
+    histories migrate alongside their objects."""
+    sx, sy, sz = _shard_coords(cfg)
+    key = jax.random.fold_in(
+        key, (sx * cfg.shard.num_shards_y + sy) * cfg.shard.num_shards_z
+        + sz)
 
     # physics on owned objects
     state = integrate(state, key, cfg)
 
     # migration: ownership follows position
     if hist is None:
-        state, mig_dropped = _migrate_phases(state, cfg, sx, sy, bx, by)
+        state, mig_dropped = _migrate_phases(state, cfg, sx, sy, sz,
+                                             bx, by, bz)
     else:
         state, extra, mig_dropped = _migrate_phases(
-            state, cfg, sx, sy, bx, by, extra=_hist_extra(hist))
+            state, cfg, sx, sy, sz, bx, by, bz, extra=_hist_extra(hist))
         hist = _hist_from_extra(extra)
 
-    out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, bx, by)
+    out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, sz, bx, by, bz)
     dropped = mig_dropped.reshape(1) + halo_dropped.reshape(1)
     if hist is None:
         return state, out, dropped
@@ -216,7 +254,8 @@ def _local_step(state: ObjectState, key: jax.Array, bx: jax.Array,
 
 
 def _local_step_fused(state: ObjectState, key: jax.Array,
-                      bx: jax.Array, by: jax.Array, cfg: SystemConfig,
+                      bx: jax.Array, by: jax.Array, bz: jax.Array,
+                      cfg: SystemConfig,
                       interpret: bool = False,
                       window_rows: int | None = None, hist=None):
     """Per-shard body on the fused Pallas kernel (both 'fast' and 'precise'
@@ -224,16 +263,20 @@ def _local_step_fused(state: ObjectState, key: jax.Array,
     fused broad/narrow top-k slots + XLA refine -> per-shard alert top-k.
     The other endpoint's shard emits its own direction of each
     cross-boundary pair, matching the single-device fused path."""
-    sx, sy = _shard_coords(cfg)
-    key = jax.random.fold_in(key, sx * cfg.shard.num_shards_y + sy)
+    sx, sy, sz = _shard_coords(cfg)
+    key = jax.random.fold_in(
+        key, (sx * cfg.shard.num_shards_y + sy) * cfg.shard.num_shards_z
+        + sz)
     state = integrate(state, key, cfg)
     if hist is None:
-        state, mig_dropped = _migrate_phases(state, cfg, sx, sy, bx, by)
+        state, mig_dropped = _migrate_phases(state, cfg, sx, sy, sz,
+                                             bx, by, bz)
     else:
         state, extra, mig_dropped = _migrate_phases(
-            state, cfg, sx, sy, bx, by, extra=_hist_extra(hist))
+            state, cfg, sx, sy, sz, bx, by, bz, extra=_hist_extra(hist))
         hist = _hist_from_extra(extra)
-    out, halo_dropped = _detect_tail_fused(state, cfg, sx, sy, bx, by,
+    out, halo_dropped = _detect_tail_fused(state, cfg, sx, sy, sz,
+                                           bx, by, bz,
                                            interpret, window_rows)
     dropped = mig_dropped.reshape(1) + halo_dropped.reshape(1)
     if hist is None:
@@ -242,7 +285,8 @@ def _local_step_fused(state: ObjectState, key: jax.Array,
 
 
 def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
-                         bx: jax.Array, by: jax.Array, cfg: SystemConfig,
+                         bx: jax.Array, by: jax.Array, bz: jax.Array,
+                         cfg: SystemConfig,
                          roads, cities, backend: str,
                          interpret: bool = False,
                          window_rows: int | None = None):
@@ -252,26 +296,31 @@ def _local_step_scenario(state: ObjectState, scen, key: jax.Array,
     detection tail on either backend."""
     from tpu_collide.sim.scenario import scenario_integrate, ScenarioState
 
-    sx, sy = _shard_coords(cfg)
-    key = jax.random.fold_in(key, sx * cfg.shard.num_shards_y + sy)
+    sx, sy, sz = _shard_coords(cfg)
+    key = jax.random.fold_in(
+        key, (sx * cfg.shard.num_shards_y + sy) * cfg.shard.num_shards_z
+        + sz)
     state, scen = scenario_integrate(state, scen, key, cfg, roads, cities)
     extra = {"mode": scen.mode, "road": scen.road,
              "target": scen.target, "target_ok": scen.target_ok}
-    state, extra, mig_dropped = _migrate_phases(state, cfg, sx, sy, bx, by,
-                                                extra=extra)
+    state, extra, mig_dropped = _migrate_phases(state, cfg, sx, sy, sz,
+                                                bx, by, bz, extra=extra)
     scen = ScenarioState(**extra)
     if backend == "fused":
-        out, halo_dropped = _detect_tail_fused(state, cfg, sx, sy, bx, by,
+        out, halo_dropped = _detect_tail_fused(state, cfg, sx, sy, sz,
+                                               bx, by, bz,
                                                interpret, window_rows)
     else:
-        out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, bx, by)
+        out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, sz,
+                                             bx, by, bz)
     return state, scen, out, mig_dropped.reshape(1) + halo_dropped.reshape(1)
 
 
 def equal_boundaries(cfg: SystemConfig, dim: int = 0):
     """Default [D+1] slab walls along world axis `dim`: equal slabs."""
     import numpy as np
-    d = cfg.shard.num_shards if dim == 0 else cfg.shard.num_shards_y
+    d = (cfg.shard.num_shards, cfg.shard.num_shards_y,
+         cfg.shard.num_shards_z)[dim]
     return jnp.asarray(np.linspace(cfg.world.lo[dim], cfg.world.hi[dim],
                                    d + 1), jnp.float32)
 
@@ -283,7 +332,8 @@ def check_boundaries(cfg: SystemConfig, boundaries, dim: int = 0) -> None:
     than one slab per step."""
     import numpy as np
     b = np.asarray(boundaries)
-    d = cfg.shard.num_shards if dim == 0 else cfg.shard.num_shards_y
+    d = (cfg.shard.num_shards, cfg.shard.num_shards_y,
+         cfg.shard.num_shards_z)[dim]
     assert b.shape == (d + 1,)
     assert abs(b[0] - cfg.world.lo[dim]) < 1e-3
     assert abs(b[-1] - cfg.world.hi[dim]) < 1e-3
@@ -295,9 +345,13 @@ def check_boundaries(cfg: SystemConfig, boundaries, dim: int = 0) -> None:
 
 
 def _state_spec_axes(cfg: SystemConfig):
-    """PartitionSpec leading-dim entry: the x axis alone on a 1D mesh, the
-    (x, y) pair on the 2D grid (device (i, j) owns block i*Dy + j — the
-    same linear order distribute_state writes)."""
+    """PartitionSpec leading-dim entry: the x axis alone on a 1D mesh,
+    (x, y) on the 2D grid, (x, y, z) on the 3D grid (device (i, j, k)
+    owns block (i*Dy + j)*Dz + k — the same linear order
+    distribute_state writes)."""
+    if cfg.shard.num_shards_z > 1:
+        return (cfg.shard.axis_name, cfg.shard.axis_name_y,
+                cfg.shard.axis_name_z)
     if cfg.shard.num_shards_y > 1:
         return (cfg.shard.axis_name, cfg.shard.axis_name_y)
     return cfg.shard.axis_name
@@ -347,43 +401,48 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
         check_vma = True
     default_bx = equal_boundaries(cfg, 0)
     default_by = equal_boundaries(cfg, 1)
+    default_bz = equal_boundaries(cfg, 2)
 
     if with_history:
         from tpu_collide.detect.predict import TrajectoryHistory
         spec_hist = TrajectoryHistory(pos=P(sdim), t=P(sdim),
                                       count=P(sdim), head=P(sdim))
 
-        def body_h(state, hist, key, bx, by):
-            return body(state, key, bx, by, hist=hist)
+        def body_h(state, hist, key, bx, by, bz):
+            return body(state, key, bx, by, bz, hist=hist)
 
         f = jax.shard_map(
             body_h, mesh=mesh,
-            in_specs=(spec_state, spec_hist, P(), P(), P()),
+            in_specs=(spec_state, spec_hist, P(), P(), P(), P()),
             out_specs=(spec_state, spec_hist, spec_out, P(sdim)),
             check_vma=check_vma,
         )
         jf = jax.jit(f, donate_argnums=(0, 1) if donate else ())
 
-        def step_h(state, hist, key, boundaries=None, boundaries_y=None):
+        def step_h(state, hist, key, boundaries=None, boundaries_y=None,
+                   boundaries_z=None):
             return jf(state, hist, key,
                       default_bx if boundaries is None else boundaries,
-                      default_by if boundaries_y is None else boundaries_y)
+                      default_by if boundaries_y is None else boundaries_y,
+                      default_bz if boundaries_z is None else boundaries_z)
 
         return step_h
 
     f = jax.shard_map(
         body, mesh=mesh,
         # key + boundaries replicated (key folded per shard in the body)
-        in_specs=(spec_state, P(), P(), P()),
+        in_specs=(spec_state, P(), P(), P(), P()),
         out_specs=(spec_state, spec_out, P(sdim)),
         check_vma=check_vma,
     )
     jf = jax.jit(f, donate_argnums=(0,) if donate else ())
 
-    def step(state, key, boundaries=None, boundaries_y=None):
+    def step(state, key, boundaries=None, boundaries_y=None,
+             boundaries_z=None):
         return jf(state, key,
                   default_bx if boundaries is None else boundaries,
-                  default_by if boundaries_y is None else boundaries_y)
+                  default_by if boundaries_y is None else boundaries_y,
+                  default_bz if boundaries_z is None else boundaries_z)
 
     return step
 
@@ -406,25 +465,29 @@ def make_sharded_detect(cfg: SystemConfig, mesh: Mesh):
                           num_risks=P(), max_risk=P(), num_alive=P(),
                           overflow=P(), alert_overflow=P())
 
-    def body(state, bx, by):
-        sx, sy = _shard_coords(cfg)
-        out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, bx, by)
+    def body(state, bx, by, bz):
+        sx, sy, sz = _shard_coords(cfg)
+        out, halo_dropped = _detect_tail_xla(state, cfg, sx, sy, sz,
+                                             bx, by, bz)
         return out, halo_dropped.reshape(1)
 
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec_state, P(), P()),
+        in_specs=(spec_state, P(), P(), P()),
         out_specs=(spec_out, P(sdim)),
         check_vma=True,
     )
     jf = jax.jit(f)
     default_bx = equal_boundaries(cfg, 0)
     default_by = equal_boundaries(cfg, 1)
+    default_bz = equal_boundaries(cfg, 2)
 
-    def detect(state, boundaries=None, boundaries_y=None):
+    def detect(state, boundaries=None, boundaries_y=None,
+               boundaries_z=None):
         return jf(state,
                   default_bx if boundaries is None else boundaries,
-                  default_by if boundaries_y is None else boundaries_y)
+                  default_by if boundaries_y is None else boundaries_y,
+                  default_bz if boundaries_z is None else boundaries_z)
 
     return detect
 
@@ -458,13 +521,13 @@ def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
     body = partial(_local_step_scenario, cfg=cfg, backend=backend,
                    interpret=interpret, window_rows=window_rows)
 
-    def wrapped(state, scen, key, bx, by, roads_, cities_):
-        return body(state, scen, key, bx, by, roads=roads_,
+    def wrapped(state, scen, key, bx, by, bz, roads_, cities_):
+        return body(state, scen, key, bx, by, bz, roads=roads_,
                     cities=cities_)
 
     f = jax.shard_map(
         wrapped, mesh=mesh,
-        in_specs=(spec_state, spec_scen, P(), P(), P()) + spec_tables,
+        in_specs=(spec_state, spec_scen, P(), P(), P(), P()) + spec_tables,
         out_specs=(spec_state, spec_scen, spec_out, P(sdim)),
         # fused pallas outputs carry no VMA metadata (see make_sharded_step)
         check_vma=(backend != "fused"),
@@ -472,26 +535,31 @@ def make_sharded_scenario_step(cfg: SystemConfig, mesh: Mesh, roads, cities,
     jf = jax.jit(f, donate_argnums=(0, 1) if donate else ())
     default_bx = equal_boundaries(cfg, 0)
     default_by = equal_boundaries(cfg, 1)
+    default_bz = equal_boundaries(cfg, 2)
 
-    def step(state, scen, key, boundaries=None, boundaries_y=None):
+    def step(state, scen, key, boundaries=None, boundaries_y=None,
+             boundaries_z=None):
         return jf(state, scen, key,
                   default_bx if boundaries is None else boundaries,
                   default_by if boundaries_y is None else boundaries_y,
+                  default_bz if boundaries_z is None else boundaries_z,
                   roads, cities)
 
     return step
 
 
 def _local_apply_updates(state: ObjectState, upd: dict,
-                         bx: jax.Array, by: jax.Array, cfg: SystemConfig):
+                         bx: jax.Array, by: jax.Array, bz: jax.Array,
+                         cfg: SystemConfig):
     """Per-shard body for sharded ingest: apply a replicated batch of
     location updates (SORTED by oid, -1-padded) to whichever shard owns
     each update's position. Existing copies update in place; copies now
     owned by a different shard are killed there; new/migrated objects
     insert into free slots. Returns (state, dropped)."""
-    sx, sy = _shard_coords(cfg)
+    sx, sy, sz = _shard_coords(cfg)
     dx = cfg.shard.num_shards
     dy = cfg.shard.num_shards_y
+    dz = cfg.shard.num_shards_z
     b_oid = upd["oid"]                               # [B] i32 sorted, -1 pad
     bsz = b_oid.shape[0]
     is_mine = (jnp.clip(jnp.searchsorted(bx, upd["pos"][:, 0],
@@ -500,6 +568,10 @@ def _local_apply_updates(state: ObjectState, upd: dict,
         is_mine &= (jnp.clip(jnp.searchsorted(by, upd["pos"][:, 1],
                                               side="right") - 1,
                              0, dy - 1) == sy)
+    if dz > 1:
+        is_mine &= (jnp.clip(jnp.searchsorted(bz, upd["pos"][:, 2],
+                                              side="right") - 1,
+                             0, dz - 1) == sz)
     valid_upd = b_oid >= 0
     mine = valid_upd & is_mine
 
@@ -562,27 +634,33 @@ def make_sharded_ingest(cfg: SystemConfig, mesh: Mesh):
                                  "size", "otype")}
     f = jax.shard_map(
         partial(_local_apply_updates, cfg=cfg), mesh=mesh,
-        in_specs=(spec_state, spec_upd, P(), P()),
+        in_specs=(spec_state, spec_upd, P(), P(), P()),
         out_specs=(spec_state, P(sdim)),
         check_vma=True,
     )
     jf = jax.jit(f, donate_argnums=(0,))
     default_bx = equal_boundaries(cfg, 0)
     default_by = equal_boundaries(cfg, 1)
+    default_bz = equal_boundaries(cfg, 2)
 
-    def apply(state, upd, boundaries=None, boundaries_y=None):
+    def apply(state, upd, boundaries=None, boundaries_y=None,
+              boundaries_z=None):
         return jf(state, upd,
                   default_bx if boundaries is None else boundaries,
-                  default_by if boundaries_y is None else boundaries_y)
+                  default_by if boundaries_y is None else boundaries_y,
+                  default_bz if boundaries_z is None else boundaries_z)
 
     return apply
 
 
-def _shard_of(pos, cfg: SystemConfig, boundaries=None, boundaries_y=None):
-    """[N] linear shard index (ix * Dy + iy) of each position (host-side)."""
+def _shard_of(pos, cfg: SystemConfig, boundaries=None, boundaries_y=None,
+              boundaries_z=None):
+    """[N] linear shard index ((ix * Dy + iy) * Dz + iz) of each position
+    (host-side)."""
     import numpy as np
     dx = cfg.shard.num_shards
     dy = cfg.shard.num_shards_y
+    dz = cfg.shard.num_shards_z
 
     def along(dim, d, b):
         if b is None:
@@ -593,14 +671,17 @@ def _shard_of(pos, cfg: SystemConfig, boundaries=None, boundaries_y=None):
                                        side="right") - 1, 0, d - 1)
 
     ix = along(0, dx, boundaries)
-    if dy == 1:
+    if dy == 1 and dz == 1:
         return ix
-    return ix * dy + along(1, dy, boundaries_y)
+    lin = ix * dy + along(1, dy, boundaries_y)
+    if dz == 1:
+        return lin
+    return lin * dz + along(2, dz, boundaries_z)
 
 
 def distribute_state(state_global: ObjectState, cfg: SystemConfig,
                      mesh: Mesh, boundaries=None, boundaries_y=None,
-                     extra=None):
+                     boundaries_z=None, extra=None):
     """Host-side: scatter a globally-generated fleet into per-shard slots by
     slab/tile (equal walls, or the given [Dx+1]/[Dy+1] dynamic ones).
     Returns the mesh-sharded state ([D * slots] leading dim, D = total
@@ -614,7 +695,7 @@ def distribute_state(state_global: ObjectState, cfg: SystemConfig,
 
     pos = np.asarray(state_global.pos)
     alive = np.asarray(state_global.alive)
-    shard_of = _shard_of(pos, cfg, boundaries, boundaries_y)
+    shard_of = _shard_of(pos, cfg, boundaries, boundaries_y, boundaries_z)
 
     fields = {f: np.asarray(getattr(state_global, f))
               for f in ("pos", "vel", "acc", "heading", "size", "otype",

@@ -273,6 +273,9 @@ def main(argv=None) -> None:
                     help="shard the world over an x-slab device mesh")
     ap.add_argument("--shards-y", type=int, default=None,
                     help="y tiles of a 2D (x, y) device grid")
+    ap.add_argument("--shards-z", type=int, default=None,
+                    help="z tiles of a 3D (x, y, z) device grid "
+                         "(deep-z worlds / stacked airspace layers)")
     ap.add_argument("--detect-mode", choices=("precise", "fast"),
                     default=None,
                     help="override DetectionConfig.mode")
@@ -300,11 +303,12 @@ def main(argv=None) -> None:
         import dataclasses as _dc
         cfg = cfg.replace(detect=_dc.replace(cfg.detect,
                                              mode=args.detect_mode))
-    if args.shards or args.shards_y:
+    if args.shards or args.shards_y or args.shards_z:
         import dataclasses as _dc
         cfg = cfg.replace(shard=_dc.replace(
             cfg.shard, num_shards=args.shards or cfg.shard.num_shards,
-            num_shards_y=args.shards_y or cfg.shard.num_shards_y))
+            num_shards_y=args.shards_y or cfg.shard.num_shards_y,
+            num_shards_z=args.shards_z or cfg.shard.num_shards_z))
 
     def addr(s_):
         host, port = s_.rsplit(":", 1)
