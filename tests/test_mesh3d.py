@@ -2,9 +2,10 @@
 set-equal), 3D-corner halo coverage (all three mirror phases), three-phase
 migration conservation, per-axis dynamic walls including z, z-skew
 balancing that x/y walls cannot express, and the fused kernel inside the
-3D mesh. The z axis is the deep-z escape hatch ROADMAP flagged (stacked
-aviation layers: per-shard z extent also bounds the fused kernel's
-z-window count). Runs on the virtual 8-device CPU mesh (2x2x2)."""
+3D mesh. The z axis serves deep-z worlds (stacked
+aviation layers) whose density skews vertically — z quantile walls
+balance what x/y walls cannot. Runs on the virtual 8-device CPU mesh
+(2x2x2)."""
 import numpy as np
 import jax
 import jax.numpy as jnp

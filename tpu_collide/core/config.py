@@ -230,8 +230,10 @@ class ShardConfig:
     axis_name_y: str = "shard_y"
     # 3D tiling: num_shards_z > 1 additionally splits the world along z,
     # making an (x, y, z) device grid — useful for deep-z worlds (stacked
-    # aviation layers) where per-shard z extent also bounds the fused
-    # kernel's z-window count. Halo/migration gain a third phase (x, then
+    # aviation layers) where z-skewed density needs z walls to balance.
+    # (It does NOT shrink the fused kernel's z-window count: that is
+    # 2*z_reach+1 from cell size and vertical reach, shard-independent.)
+    # Halo/migration gain a third phase (x, then
     # y, then z; each later pass re-mirrors the earlier-extended state so
     # edge/corner neighborhoods arrive in <= 3 hops). halo_width applies
     # to every sharded axis.
