@@ -20,12 +20,16 @@ from tpu_collide.shard.predict import (make_sharded_predict,
                                        distribute_history, predict_reach)
 
 
-def base_cfg(n=300, shards=8, dy=1):
+def base_cfg(n=300, shards=8, dy=1, dz=1):
+    world = (WorldConfig(hi=(4000.0, 4000.0, 800.0)) if dz > 1
+             else WorldConfig())
     return tc.SystemConfig(
         num_objects=n,
+        world=world,
         sim=SimConfig(accel_change_prob=0.0),
         alerts=AlertConfig(max_scene_alerts=512),
-        shard=ShardConfig(num_shards=shards, num_shards_y=dy),
+        shard=ShardConfig(num_shards=shards, num_shards_y=dy,
+                          num_shards_z=dz),
     )
 
 
@@ -59,11 +63,16 @@ def predict_map(other, valid, risk, ttc, oids):
     return out
 
 
-@pytest.mark.parametrize("dy", [1, 2])
-def test_sharded_predict_matches_single_device(dy):
-    shards = 4 if dy == 2 else 8
-    cfg = base_cfg(shards=shards, dy=dy)
+@pytest.mark.parametrize("dy,dz", [(1, 1), (2, 1), (1, 2)])
+def test_sharded_predict_matches_single_device(dy, dz):
+    shards = 8 // (dy * dz)
+    cfg = base_cfg(shards=shards, dy=dy, dz=dz)
     state, hist = fleet_with_history(cfg)
+    if dz > 1:
+        # straddle the z wall within +-12 m: pairs stay detectable AND
+        # the z halo genuinely carries cross-wall prediction candidates
+        state = state.replace(pos=state.pos.at[:, 2].set(
+            400.0 + 12.0 * jnp.sin(state.oid.astype(jnp.float32))))
 
     # single device: candidate indices == positions in state; map to oids
     index = build_grid(state.pos, state.alive, cfg)
