@@ -89,6 +89,14 @@ import os
 # runs the candidate reads + stage-1 math + its reduce. Results are
 # MEANINGLESS under ablation — measurement only, never set in production.
 _ABLATE = os.environ.get("TPU_COLLIDE_ABLATE", "")
+# Experiment (exact semantics, measured LOSS): run the emit tail
+# UNCONDITIONALLY on stage-2-live blocks instead of behind the cmax
+# guard - removes the two emit scalar syncs per firing block; hit-less
+# survivor blocks pay a no-op insert instead (empty-slot noise stays
+# below PACKED_OCC_MIN, the counter adds zero - both already-tolerated
+# behaviors). 1M-3D measured 213.1 ms vs 205-208 gated (BENCH_NOTES):
+# the guard earns its syncs. Kept env-gated for other-density retries.
+_EMIT_NOGATE = os.environ.get("TPU_COLLIDE_EMIT_NOGATE", "") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -411,6 +419,28 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                 return
                             emitted_row = jnp.sum(
                                 jnp.where(emitted, 1.0, 0.0), axis=1)
+                            if _EMIT_NOGATE:
+                                old = ocnt[1][s, :]
+                                e_old = jnp.floor(old * (1.0 / CNT_PACK))
+                                q_old = old - e_old * CNT_PACK
+                                e_new = jnp.minimum(e_old + emitted_row,
+                                                    CNT_MAX)
+                                q_new = jnp.minimum(
+                                    q_old + jnp.sum(
+                                        jnp.where(qual, 1.0, 0.0), axis=1),
+                                    CNT_MAX)
+                                ocnt[1][pl.ds(s, 1), :] = (
+                                    e_new * CNT_PACK + q_new)[None, :]
+                                kb = [okey[j][s, :] for j in range(k)]
+                                ib = [oidx[j][s, :] for j in range(k)]
+                                nkb, nib = insert_cands(
+                                    kb, ib, extract(key, k))
+                                for j in range(k):
+                                    okey[j][pl.ds(s, 1), :] = (
+                                        nkb[j][None, :])
+                                    oidx[j][pl.ds(s, 1), :] = (
+                                        nib[j][None, :])
+                                return
                             cmax = jnp.max(emitted_row)
 
                             @pl.when(cmax > 0.5)
