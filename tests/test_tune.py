@@ -86,3 +86,18 @@ def test_suggest_3d_banded_layouts():
     st = generate_fleet(jax.random.key(3), cfg, distribution="uniform")
     wr = suggest_window_rows(st, cfg)
     assert int(build_cell_list(st, cfg, window_rows=wr).overflow) == 0
+
+
+def test_tune_config_selects_stage1_gate_by_dimensionality():
+    """gate_stage1 policy: on for 3D worlds (sparse blocks, measured win
+    at 1M/10M), off for 2D (dense blocks, measured loss at 100k) —
+    results are identical either way (tests/test_kernel_flags.py), so
+    the tuner just picks the faster compile."""
+    from tpu_collide.core.config import WorldConfig
+    cfg2d = skew_cfg()
+    cfg2d_t, _ = tune_config(cfg2d)
+    assert not cfg2d_t.detect.gate_stage1
+    cfg3d = skew_cfg().replace(world=WorldConfig(hi=(2000.0, 2000.0,
+                                                     300.0)))
+    cfg3d_t, _ = tune_config(cfg3d)
+    assert cfg3d_t.detect.gate_stage1

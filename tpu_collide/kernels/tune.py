@@ -92,12 +92,22 @@ def suggest_cell_size(cfg: SystemConfig) -> float:
 def tune_config(cfg: SystemConfig, state=None) -> tuple:
     """(cfg', window_rows): cell size clamped legal + fleet-exact window
     capacity (None when no fleet is given — the mean-density default then
-    applies). A host-side helper for config authors; the Scene facades
-    apply the window half themselves (suggest_window_rows) when adopting
-    a fleet."""
+    applies) + the stage-1 block gate selected by world dimensionality.
+    A host-side helper for config authors; the Scene facades apply the
+    window half themselves (suggest_window_rows) when adopting a
+    fleet."""
     import dataclasses
     cs = suggest_cell_size(cfg)
     if cs != cfg.grid.cell_size:
         cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, cell_size=cs))
+    # gate_stage1 skips stage-2+ on pair blocks with no stage-1 hit:
+    # measured a clear win at sparse 3D densities (1M: 215 -> 209 ms,
+    # 10M: 2.91 -> 2.50 s) and a small loss at dense 2D (100k: 28.5 ->
+    # 33.9 ms) — BENCH_NOTES "stage-1 gate". Results identical either
+    # way, so the policy is simply: on for 3D worlds, off for 2D.
+    want_g1 = cfg.world.is_3d
+    if cfg.detect.gate_stage1 != want_g1:
+        cfg = cfg.replace(detect=dataclasses.replace(
+            cfg.detect, gate_stage1=want_g1))
     wr = suggest_window_rows(state, cfg) if state is not None else None
     return cfg, wr
