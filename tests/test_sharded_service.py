@@ -86,3 +86,35 @@ def test_collision_system_builds_sharded_scene():
     assert sysm.scene.ingested_count == 1
     sysm.scene.detect()       # boots the empty->ingested path end-to-end
     assert sysm.scene.stats()["num_alive"] == 1
+
+
+def test_sharded_scene_route_surface_3d_mesh():
+    """The same route surface over a 3D (x, y, z) device grid: ingest a
+    converging pair that straddles the z wall, detect over the mesh, and
+    read the risk back — the z-phase halo must carry the cross-wall
+    candidate."""
+    from tpu_collide.core.config import WorldConfig, GridConfig
+    cfg = tc.SystemConfig(
+        num_objects=64,
+        world=WorldConfig(hi=(2000.0, 2000.0, 400.0)),
+        grid=GridConfig(cell_size=100.0),
+        sim=SimConfig(accel_change_prob=0.0),
+        alerts=AlertConfig(max_scene_alerts=128),
+        shard=ShardConfig(num_shards=2, num_shards_y=2, num_shards_z=2))
+    sc = ShardedScene(cfg, auto_rebalance=False)
+    routes = RouteTable(sc)
+    # the pair straddles the z wall at 200 m, 30 m apart, converging in z
+    # fast enough to clear risk_low (a slow vertical approach has zero
+    # angle factor, so +-3 m/s scores ~0.27 — risks but no alert)
+    for vid, z, vz in (("droneA", 185.0, 8.0), ("droneB", 215.0, -8.0)):
+        code, body = routes.handle("POST", "/vehicles/location", {
+            "vehicle_id": vid,
+            "position": {"x": 500.0, "y": 500.0, "z": z},
+            "velocity": {"z": vz},
+            "heading": 0.0}, {})
+        assert code == 200, body
+    batch = sc.detect()
+    assert int(np.asarray(batch.count).sum()) >= 1
+    code, body = routes.handle("GET", "/vehicles/droneA/risks", None, {})
+    assert code == 200 and len(body["data"]) >= 1
+    assert body["data"][0]["other_vehicle_id"] == "droneB"
