@@ -210,6 +210,15 @@ def merge_pair_risks(cand, hit, risk, ttc, dist, merge_k: int):
     records; shared by the XLA predict path and the fused-kernel predict
     path (kernels/refine.fused_predict)."""
     n = cand.shape[0]
+    if cand.shape[1] < merge_k:
+        # fewer candidate columns than the merge width (e.g. a short predict
+        # horizon spanning few offsets): pad with invalid entries so the
+        # [N, merge_k] output contract holds
+        pad = merge_k - cand.shape[1]
+        padf = lambda a, v: jnp.pad(a, ((0, 0), (0, pad)), constant_values=v)
+        cand = padf(cand, 0)
+        hit = padf(hit, False)
+        risk, ttc, dist = padf(risk, 0.0), padf(ttc, jnp.inf), padf(dist, jnp.inf)
     top_risk, top_i = jax.lax.top_k(jnp.where(hit, risk, -1.0), merge_k)
     rows = jnp.arange(n)[:, None]
     top_other = cand[rows, top_i]

@@ -843,6 +843,19 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     CL = cl.cand_lanes
     n_out = 2 * k + 2
     nfk = NF + n_wide + (1 if mode == "predict" else 0)
+    # VMEM budget guard: the double-buffered windows dominate the scratch
+    # bill; past ~16 MiB Mosaic fails with a scoped-vmem OOM only AFTER
+    # minutes of remote compile (observed at window_rows=1024 x 15 predict
+    # fields). Fail fast with the actionable knobs instead.
+    vmem_bytes = 4 * (nfk * ROWS * LANE + 2 * nfk * wr * CL
+                      + (2 * k + 1) * ROWS * LANE + ROWS * CL)
+    if vmem_bytes > 16 * 2 ** 20 and not interpret:
+        raise ValueError(
+            f"fused kernel VMEM scratch {vmem_bytes / 2**20:.1f} MiB "
+            f"(window_rows={wr} x {nfk} fields, double-buffered) exceeds "
+            "the ~16 MiB TPU budget; lower window_rows (denser worlds can "
+            "accept counted window overflow), drop to 2D (z fields compile "
+            "out), or shard the world so each shard's windows shrink")
     kern = functools.partial(_kernel, cfg=cfg, window_rows=wr,
                              shifts=cl.shifts,
                              tables_packed=cl.tables_packed,

@@ -382,10 +382,16 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         from tpu_collide.detect.pipeline import (_pair_safe_distance,
                                                  _precise_sweep, _risk_score)
         occupied = keys > PACKED_OCC_MIN
-        oi = jnp.broadcast_to(jnp.arange(m)[:, None], idx.shape).reshape(-1)
+        kk = idx.shape[1]
         ci = jnp.clip(idx.reshape(-1), 0, nmax)
         g = lambda name, rows: flat[_FI[name]][rows]
-        gv = lambda name: (g(name, oi), g(name, ci))
+        # own rows are arange repeated kk times — gather each own field
+        # ONCE at [m] and broadcast, instead of a [m*kk] gather (gathers,
+        # not math, are the expensive op on TPU)
+        bo = lambda arr: jnp.broadcast_to(
+            arr[:m, None], (m, kk)).reshape(-1)
+        go = lambda name: bo(flat[_FI[name]])
+        gv = lambda name: (go(name), g(name, ci))
         pox, pcx = gv("x")
         poy, pcy = gv("y")
         poz, pcz = gv("z")
@@ -401,7 +407,7 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         v_c = jnp.stack([vcx, vcy, vcz], -1)
         a_o = jnp.stack([aox, aoy, aoz], -1)
         a_c = jnp.stack([acx, acy, acz], -1)
-        c_o = flat[-1][oi].astype(jnp.int32)[:, None]   # trajectory class
+        c_o = bo(flat[-1]).astype(jnp.int32)[:, None]   # trajectory class
                                                         # (last sorted field)
         t_o = jnp.float32(o)
         # class-predicted own position (detect/predict._predicted_position)
@@ -410,12 +416,12 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         pred = jnp.where(c_o == 0, p_o, jnp.where(c_o == 1, p_cv, p_acc))
         # candidate advanced const-accel (predict.py :808-812)
         o_pos = p_c + v_c * t_o + 0.5 * a_c * t_o * t_o
-        alive_o = flat[_FI["row"]][oi] >= 0.0
+        alive_o = bo(flat[_FI["row"]]) >= 0.0
         alive_c = flat[_FI["row"]][ci] >= 0.0
-        lo_o = flat[_FI["oid"]][oi].astype(jnp.int32)
+        lo_o = bo(flat[_FI["oid"]]).astype(jnp.int32)
         lo_c = flat[_FI["oid"]][ci].astype(jnp.int32)
         if cl.wide_oid:
-            hi_o = flat[NF][oi].astype(jnp.int32)
+            hi_o = bo(flat[NF]).astype(jnp.int32)
             hi_c = flat[NF][ci].astype(jnp.int32)
             not_self = (lo_o != lo_c) | (hi_o != hi_c)
             hi_uc = jnp.where(hi_c <= -2, -hi_c - 2, hi_c)
@@ -425,7 +431,7 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
             oid_c = jnp.where(lo_c <= -2, -lo_c - 2, lo_c)
         ok = (alive_o & alive_c & not_self
               & (jnp.linalg.norm(p_c - pred, axis=-1) <= det.search_radius))
-        safe = _pair_safe_distance(g("size", oi), g("size", ci), det)
+        safe = _pair_safe_distance(go("size"), g("size", ci), det)
         sub_det = dataclasses.replace(det, time_window=sub_window)
         hit, t_hit, d_hit = _precise_sweep(o_pos - pred, v_c - v_o,
                                            a_c - a_o, safe, sub_det)
@@ -433,37 +439,56 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         rel_speed = jnp.linalg.norm(v_c - v_o, axis=-1)
         risk = _risk_score(jnp.where(hit, d_hit, 0.0),
                            jnp.where(hit, t_hit, 0.0),
-                           rel_speed, g("heading", oi), g("heading", ci),
-                           g("otype", oi).astype(jnp.int32),
+                           rel_speed, go("heading"), g("heading", ci),
+                           go("otype").astype(jnp.int32),
                            g("otype", ci).astype(jnp.int32), safe, det)
         risk = jnp.where(hit, risk, 0.0)
         ttc = jnp.where(hit, t_hit + t_o, jnp.inf)
         dist = jnp.where(hit, d_hit, jnp.inf)
         other = oid_c
-        kk = idx.shape[1]
         shape = (m, kk)
         return (other.reshape(shape), hit.reshape(shape),
                 risk.reshape(shape), ttc.reshape(shape),
                 dist.reshape(shape))
 
-    per_off = []
-    for o in offsets:
-        keys, idx, _, _, _ = fused_topk(
-            cl, cfg, interpret, mode="predict",
-            pred_params=(jnp.float32(o),
-                         jnp.ceil(disp(o) / cell),
-                         disp(o)),
-            k_slots=k_slots, sub_steps=sub_steps)
-        per_off.append(refine_offset(o, keys, idx))
+    # One offset per lax.scan step: the predict kernel's offset params are
+    # all TRACED scalars (pred_ref), so a single Mosaic compile serves every
+    # offset. The old per-offset python loop instantiated one structurally
+    # identical pallas_call per offset and Mosaic compiled each separately —
+    # ~2.5 min/offset at deep-z configs (BENCH_NOTES r3), linear in
+    # horizon/step. Stacked [n_off, m, k] outputs transpose to the exact
+    # column order the old per-offset concatenation produced.
+    offs = jnp.asarray(offsets, jnp.float32)
+    disps = vmax * offs + 0.5 * amax * offs * offs
+    widens = jnp.ceil(disps / cell)
 
-    cat = lambda j: jnp.concatenate([r[j] for r in per_off], axis=1)
+    own_flat = cl.own_flat
+
+    def off_body(slot_oflow, xs):
+        o, wdn, dsp = xs
+        keys, idx, _, emitted, _ = fused_topk(
+            cl, cfg, interpret, mode="predict",
+            pred_params=(o, wdn, dsp),
+            k_slots=k_slots, sub_steps=sub_steps)
+        # hits beyond an object's k_slots at THIS offset fall out of its
+        # slot list before the merge ever sees them — count them (possible,
+        # not certain, coverage loss; the emitted counter saturates at
+        # CNT_MAX which only UNDER-counts, so 0 still certifies)
+        slot_oflow = slot_oflow + jnp.sum(
+            jnp.where(own_flat, jnp.maximum(emitted - k_slots, 0), 0),
+            dtype=jnp.int32)
+        return slot_oflow, refine_offset(o, keys, idx)
+
+    slot_oflow, stk = jax.lax.scan(off_body, jnp.int32(0),
+                                   (offs, widens, disps))
+    cat = lambda j: stk[j].transpose(1, 0, 2).reshape(m, -1)
     other_s, hit_s, risk_s, ttc_s, dist_s = (cat(j) for j in range(5))
 
     # merge per pair IN SORTED-ROW SPACE (rows map 1:1 to objects, so this
     # commutes with the oid scatter the unsharded wrapper applies after)
     merged = merge_pair_risks(other_s, hit_s, risk_s, ttc_s, dist_s,
                               merge_k)
-    return merged + (soid, cl.own_flat, cl.overflow)
+    return merged + (soid, own_flat, cl.overflow, slot_oflow)
 
 
 def fused_predict(state, hist, cfg: SystemConfig,
@@ -474,14 +499,18 @@ def fused_predict(state, hist, cfg: SystemConfig,
     """Trajectory prediction at fused-kernel scale (ROADMAP r2 #13) for a
     single-device fleet: classify trajectories, run the row-space core,
     scatter merged rows back to object order by oid. Same semantics and
-    return tuple as detect/predict.predict_collisions plus the window
-    overflow counter; `other` entries are OIDs (== state indices for
-    arange-oid fleets)."""
+    return tuple as detect/predict.predict_collisions plus TWO counters:
+    window overflow (candidate windows too small for the density) and slot
+    overflow (some object had more hits at one offset than k_slots — the
+    merge may be missing pairs). Both are counted, never silent; both 0
+    certifies the merged set complete. `other` entries are OIDs (== state
+    indices for arange-oid fleets)."""
     from tpu_collide.detect.predict import classify_trajectories
 
     n = state.n
     cls = classify_trajectories(hist)
-    other_r, valid_r, risk_r, ttc_r, dist_r, soid, own, overflow = \
+    (other_r, valid_r, risk_r, ttc_r, dist_r, soid, own, overflow,
+     slot_oflow) = \
         fused_predict_rows(state, cls, cfg, horizon=horizon, step=step,
                            sub_window=sub_window, merge_k=merge_k,
                            k_slots=k_slots, window_rows=window_rows,
@@ -490,4 +519,5 @@ def fused_predict(state, hist, cfg: SystemConfig,
     scat = lambda a, fill: jnp.full((n + 1, a.shape[1]), fill,
                                     a.dtype).at[tgt].set(a, mode="drop")[:-1]
     return (scat(other_r, 0), scat(valid_r, False), scat(risk_r, 0.0),
-            scat(ttc_r, jnp.inf), scat(dist_r, jnp.inf), overflow)
+            scat(ttc_r, jnp.inf), scat(dist_r, jnp.inf), overflow,
+            slot_oflow)
