@@ -272,6 +272,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) * 1e3)
         extra["predict_100k_fused_ms"] = round(best, 2)
         extra["predict_100k_fused_overflow"] = int(np.asarray(out[5]))
+        extra["predict_100k_fused_slot_oflow"] = int(np.asarray(out[6]))
 
     print(json.dumps({
         "metric": "full-scene steps/s (1000 vehicles, precise 4-stage "

@@ -59,6 +59,7 @@ def test_fused_predict_matches_xla(seed):
     got = fused_predict(st, hist, cfg, horizon=5.0, step=0.5,
                         interpret=True)
     assert int(got[5]) == 0, "window overflow would make coverage partial"
+    assert int(got[6]) == 0, "slot overflow would make the merge partial"
 
     wm = _risk_map(*want[:4])
     gm = _risk_map(*got[:4])
@@ -94,6 +95,7 @@ def test_fused_predict_matches_xla_3d():
     got = fused_predict(st, hist, cfg, horizon=2.0, step=0.5,
                         interpret=True)
     assert int(got[5]) == 0
+    assert int(got[6]) == 0
     wm = _risk_map(*want[:4])
     gm = _risk_map(*got[:4])
     assert wm, "no predicted risks in 3D fleet; vacuous"
@@ -171,3 +173,68 @@ def test_scene_predict_window_regrow():
         if sc._predict_windows == before:
             break
     assert sc.window_regrows >= regrows
+
+
+def test_xla_predict_counts_bucket_overflow(caplog):
+    """The XLA predict path's broad phase drops bucket entries beyond
+    cell_capacity (index/grid.gather_candidates); those misses must be
+    COUNTED and warned about, never silent (found on a real-TPU drive:
+    at a 5k city-skew fleet with the default cell_capacity=16 the XLA
+    predict quietly returned 70 fewer pairs than the fused path, whose
+    windows cover all densities). With adequate capacity both backends
+    return identical risk sets."""
+    import logging
+    from tpu_collide.api import Scene
+
+    def run(cfg, backend):
+        sc = Scene(cfg, backend=backend, interpret=(backend == "fused"))
+        st = generate_fleet(jax.random.key(5), cfg)
+        sc.adopt_fleet(st)
+        for _ in range(3):
+            sc.record_trajectories(dt=0.1)
+            sc.state = sc.state.replace(pos=sc.state.pos + sc.state.vel * 0.1)
+        # the fused path self-heals window/slot overflow on the NEXT call;
+        # loop until a call completes without a regrow
+        for _ in range(5):
+            before = sc.window_regrows
+            out = sc.predict(horizon=5.0, step=0.5)
+            if sc.window_regrows == before:
+                break
+        return out
+
+    tight = tc.SystemConfig(
+        num_objects=200, world=WorldConfig(hi=(500.0, 500.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=4),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=8192))
+    with caplog.at_level(logging.WARNING, logger="tpu_collide.api.scene"):
+        run(tight, "xla")
+    assert any("overflow their grid buckets" in r.message for r in
+               caplog.records), "silent bucket truncation in XLA predict"
+
+    roomy = tight.replace(grid=GridConfig(cell_size=100.0,
+                                          cell_capacity=96))
+    want = run(roomy, "xla")
+    got = run(roomy, "fused")
+    wm = {(r.vehicle_id, r.other_vehicle_id): r.risk_level for r in want}
+    gm = {(r.vehicle_id, r.other_vehicle_id): r.risk_level for r in got}
+    assert wm, "no predicted risks; vacuous"
+    assert set(gm) == set(wm)
+
+
+def test_predict_traces_one_kernel_for_all_offsets():
+    """Offset params are traced scalars riding a lax.scan (refine.py), so
+    the predict kernel appears ONCE in the jaxpr no matter how many offsets
+    the horizon spans — Mosaic compile cost is O(1) in horizon/step. The old
+    per-offset python loop instantiated one structurally identical
+    pallas_call per offset and compiled each separately (~2.5 min/offset at
+    deep-z configs, BENCH_NOTES r3)."""
+    cfg, st, hist = _fleet_with_history(n=128, world=800.0)
+
+    def n_kernels(horizon):
+        jx = jax.make_jaxpr(
+            lambda s, h: fused_predict(s, h, cfg, horizon=horizon,
+                                       step=0.5, interpret=True))(st, hist)
+        return str(jx).count("pallas_call")
+
+    assert n_kernels(1.0) == n_kernels(4.0)  # 2 offsets vs 8 offsets

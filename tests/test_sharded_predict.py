@@ -88,8 +88,9 @@ def test_sharded_predict_matches_single_device(dy, dz):
     st = distribute_state(state, cfg, mesh)
     hs = distribute_history(hist, cfg, mesh, state)
     pfn = make_sharded_predict(cfg, mesh)
-    o8, v8, r8, t8, d8, dropped = pfn(st, hs)
+    o8, v8, r8, t8, d8, dropped, goflow = pfn(st, hs)
     assert int(np.asarray(dropped).sum()) == 0
+    assert int(np.asarray(goflow).sum()) == 0
     sharded = predict_map(o8, v8, r8, t8, st.oid)
 
     assert single, "fleet too tame: no predicted risks, test vacuous"
@@ -316,8 +317,9 @@ def test_sharded_predict_multihop_matches_single_device():
     st = distribute_state(fleet, cfg, mesh)
     hs = distribute_history(hist, cfg, mesh, fleet)
     pfn = make_sharded_predict(cfg, mesh, horizon=horizon, step=step)
-    o8, v8, r8, t8, d8, dropped = pfn(st, hs)
+    o8, v8, r8, t8, d8, dropped, goflow = pfn(st, hs)
     assert int(np.asarray(dropped).sum()) == 0
+    assert int(np.asarray(goflow).sum()) == 0
     sharded = predict_map(o8, v8, r8, t8, st.oid)
 
     assert set(sharded) == set(single)
@@ -328,7 +330,7 @@ def test_sharded_predict_multihop_matches_single_device():
     # and the single-hop chain provably CANNOT see that pair
     pfn1 = make_sharded_predict(cfg, mesh, horizon=horizon, step=step,
                                 hops=1)
-    o8b, v8b, r8b, t8b, _, _ = pfn1(st, hs)
+    o8b, v8b, r8b, t8b, _, _, _ = pfn1(st, hs)
     assert (0, 1) not in predict_map(o8b, v8b, r8b, t8b, st.oid)
 
 
@@ -378,8 +380,9 @@ def test_sharded_predict_multihop_2d_mesh():
     st = distribute_state(fleet, cfg, mesh)
     hs = distribute_history(hist, cfg, mesh, fleet)
     pfn = make_sharded_predict(cfg, mesh, horizon=horizon, step=step)
-    o8, v8, r8, t8, d8, dropped = pfn(st, hs)
+    o8, v8, r8, t8, d8, dropped, goflow = pfn(st, hs)
     assert int(np.asarray(dropped).sum()) == 0
+    assert int(np.asarray(goflow).sum()) == 0
     sharded = predict_map(o8, v8, r8, t8, st.oid)
 
     assert set(sharded) == set(single)

@@ -72,16 +72,16 @@ def _apply_updates(state: ObjectState, slot: jax.Array, pos: jax.Array,
 
 
 def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
-                          interpret=False, window_rows=None):
+                          interpret=False, window_rows=None, k_slots=8):
     """Fused-kernel variant of _predict_device (kernels/refine.fused_predict
     — ROADMAP r2 #13): candidate selection rides the cell-list kernel; the
     [N, merge_k] merged risks compact to r_cap on device. `other` entries
     are already oids."""
     from tpu_collide.kernels.refine import fused_predict
     a = cfg.alerts
-    other, valid, risk, ttc, dist, overflow = fused_predict(
+    other, valid, risk, ttc, dist, overflow, slot_oflow = fused_predict(
         state, traj, cfg, horizon=horizon, step=step, interpret=interpret,
-        window_rows=window_rows)
+        window_rows=window_rows, k_slots=k_slots)
     nn, kk = risk.shape
     keep = valid & (risk >= a.risk_low)
     keyv = jnp.where(keep, risk, -1.0).reshape(-1)
@@ -89,15 +89,20 @@ def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
     rows = top_i // kk
     sel = lambda x: x.reshape(-1)[top_i]
     return (top_r, state.oid[rows], sel(other), sel(ttc), sel(dist),
-            jnp.sum(keep, dtype=jnp.int32), overflow)
+            jnp.sum(keep, dtype=jnp.int32), overflow, slot_oflow)
 
 
 def _predict_device(state, traj, cfg, horizon, step, r_cap):
     """Device half of Scene.predict as one jittable program: grid build +
     trajectory prediction (detect/predict.py) + top-r_cap compaction of the
     [N, merge_k] risk matrix — nothing bigger than r_cap crosses to host
-    (VERDICT r1 weak #8)."""
+    (VERDICT r1 weak #8). The overflow slot carries grid bucket truncation
+    (engine.grid_overflow): candidates beyond cell_capacity are dropped
+    from their bucket's gather, so a nonzero count means the predicted-risk
+    list may be missing pairs (counted, never silent — the same contract as
+    StepOutput.overflow on the detect path)."""
     from tpu_collide.detect.predict import predict_collisions
+    from tpu_collide.engine import grid_overflow
     a = cfg.alerts
     index = build_grid(state.pos, state.alive, cfg)
     other, valid, risk, ttc, dist = predict_collisions(
@@ -110,6 +115,7 @@ def _predict_device(state, traj, cfg, horizon, step, r_cap):
     sel = lambda x: x.reshape(-1)[top_i]
     return (top_r, state.oid[rows], state.oid[sel(other)], sel(ttc),
             sel(dist), jnp.sum(keep, dtype=jnp.int32),
+            grid_overflow(index, cfg).astype(jnp.int32),
             jnp.asarray(0, jnp.int32))
 
 
@@ -185,6 +191,8 @@ class Scene:
         self._traj_clock = 0.0
         self._predict_cache = {}   # (horizon, step) -> compiled program
         self._predict_windows = None   # fused-predict window override
+        self._predict_slots = 8        # fused-predict per-object k_slots
+                                       # (self-heals on slot overflow)
 
     # ---- identity ----
 
@@ -419,34 +427,36 @@ class Scene:
             r_cap = min(a.max_scene_alerts,
                         self.state.n * 32)        # merge_k = 32 (predict.py)
             key2 = (float(horizon), float(step))
+            # ONE compiled program for grid + prediction + device
+            # compaction (eager per-op dispatch costs ~25 ms per op
+            # over remote-TPU tunnels). The fused backend selects
+            # candidates through the cell-list kernel — ~50x the
+            # gather path at 100k (BENCH_NOTES) — falling back to the
+            # canonical path where the kernel variant doesn't apply
+            # (3D / banded layouts).
+            from tpu_collide.kernels.cell_list import resolve_band_cells
+            use_fused = (self._backend == "fused"
+                         and resolve_band_cells(self.cfg)
+                         == self.cfg.grid_dims[0])
             fn = self._predict_cache.get(key2)
             if fn is None:
-                # ONE compiled program for grid + prediction + device
-                # compaction (eager per-op dispatch costs ~25 ms per op
-                # over remote-TPU tunnels). The fused backend selects
-                # candidates through the cell-list kernel — ~50x the
-                # gather path at 100k (BENCH_NOTES) — falling back to the
-                # canonical path where the kernel variant doesn't apply
-                # (3D / banded layouts).
-                from tpu_collide.kernels.cell_list import resolve_band_cells
-                use_fused = (self._backend == "fused"
-                             and resolve_band_cells(self.cfg)
-                             == self.cfg.grid_dims[0])
                 if use_fused:
                     fn = jax.jit(partial(_predict_device_fused,
                                          cfg=self.cfg,
                                          horizon=key2[0], step=key2[1],
                                          r_cap=r_cap,
                                          interpret=self._interpret,
-                                         window_rows=self._predict_windows))
+                                         window_rows=self._predict_windows,
+                                         k_slots=self._predict_slots))
                 else:
                     fn = jax.jit(partial(_predict_device, cfg=self.cfg,
                                          horizon=key2[0], step=key2[1],
                                          r_cap=r_cap))
                 self._predict_cache[key2] = fn
             fetched = jax.device_get(fn(self.state, self._traj))
-        top_r, voids, ooids, t_sel, d_sel, total, pred_oflow = fetched
-        if int(pred_oflow) > 0:
+        top_r, voids, ooids, t_sel, d_sel, total, pred_oflow, slot_oflow = \
+            fetched
+        if int(pred_oflow) > 0 and use_fused:
             # same adaptive policy as step windows: this call's misses are
             # counted (never silent); the NEXT predict recompiles with
             # doubled windows
@@ -459,6 +469,37 @@ class Scene:
                 "predict: %d candidate-window slots overflowed — growing "
                 "prediction window_rows to %d and recompiling for the "
                 "next call", int(pred_oflow), self._predict_windows)
+        if int(slot_oflow) > 0:
+            # some object had more hits at one offset than its k_slots —
+            # the merged list may be missing pairs. Same self-healing as
+            # the step path's alert slots, same k <= 16 Mosaic ceiling.
+            _K_MAX = 16
+            if self._predict_slots >= _K_MAX:
+                logger.warning(
+                    "predict: per-object slot overflow (%d) persists at "
+                    "the k=%d Mosaic ceiling; the predicted list stays "
+                    "overflow-flagged — shard the world or thin the fleet",
+                    int(slot_oflow), _K_MAX)
+            else:
+                self._predict_slots = min(self._predict_slots * 2, _K_MAX)
+                self._predict_cache.clear()
+                self.window_regrows += 1
+                logger.warning(
+                    "predict: per-object slot overflow (%d hits beyond "
+                    "k_slots at one offset): growing predict k_slots to "
+                    "%d and recompiling for the next call",
+                    int(slot_oflow), self._predict_slots)
+        if int(pred_oflow) > 0 and not use_fused:
+            # XLA gather path: overflow = grid bucket truncation (objects
+            # beyond cell_capacity dropped from their bucket's candidate
+            # list). Counted, never silent — same contract as the detect
+            # path's StepOutput.overflow; the valve is a config knob, not
+            # a compiled-program resize, so it stays a manual decision.
+            logger.warning(
+                "predict: %d objects overflow their grid buckets — the "
+                "predicted-risk list may be missing pairs (raise "
+                "GridConfig.cell_capacity, or use backend='fused' whose "
+                "candidate windows cover all densities)", int(pred_oflow))
         if int(total) > r_cap:
             logger.warning(
                 "predict: %d predicted risks exceed the %d-slot scene "

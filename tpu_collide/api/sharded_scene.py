@@ -380,9 +380,8 @@ class ShardedScene:
                          dropped, oflow) = res
                         voids_src = row_oid
                     else:
-                        other, valid, risk, ttc, dist, dropped = res
+                        other, valid, risk, ttc, dist, dropped, oflow = res
                         voids_src = state.oid
-                        oflow = jnp.zeros((1,), jnp.int32)
                     keep = valid & (risk >= a.risk_low)
                     keyv = jnp.where(keep, risk, -1.0).reshape(-1)
                     top_r, top_i = jax.lax.top_k(keyv,
@@ -404,10 +403,11 @@ class ShardedScene:
         top_r, voids, ooids, t_sel, d_sel, total, dropped, oflow = fetched
         if int(oflow) > 0:
             logger.warning(
-                "sharded predict: %d candidate-window slots overflowed — "
-                "pass window_rows to make_sharded_predict / raise it "
-                "(missed predicted candidates are counted, never silent)",
-                int(oflow))
+                "sharded predict: %d possible candidate misses (fused: "
+                "window slots + per-object k_slots; xla: grid buckets "
+                "beyond cell_capacity) — raise window_rows / "
+                "cell_capacity; the list may be missing pairs (counted, "
+                "never silent)", int(oflow))
         if int(dropped) > 0:
             logger.warning(
                 "sharded predict: %d halo-band objects beyond capacity "

@@ -110,8 +110,13 @@ def _local_predict(state: ObjectState, hist: TrajectoryHistory,
     other_oid = jnp.where(valid, ext.oid[jnp.clip(other_i, 0, ext.n - 1)],
                           -1)
     take = lambda a: a[:n_own]
+    # grid bucket truncation (objects beyond cell_capacity dropped from
+    # their bucket's gather) — counted, never silent, like the fused
+    # path's window/slot counter
+    from tpu_collide.engine import grid_overflow
+    goflow = grid_overflow(index, cfg).astype(jnp.int32)
     return (take(other_oid), take(valid), take(risk), take(ttc),
-            take(dist), dropped.reshape(1))
+            take(dist), dropped.reshape(1), goflow.reshape(1))
 
 
 def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
@@ -157,14 +162,16 @@ def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
     cls = jnp.concatenate([
         classify_trajectories(hist),
         jnp.zeros((ext.n - state.n,), jnp.int32)])
-    other, valid, risk, ttc, dist, soid, own, overflow = \
+    other, valid, risk, ttc, dist, soid, own, overflow, slot_oflow = \
         fused_predict_rows(ext, cls, cfg, horizon=horizon, step=step,
                            sub_window=sub_window, merge_k=merge_k,
                            window_rows=window_rows, interpret=interpret)
     valid = valid & own[:, None]
+    # one possible-coverage-loss counter per shard: candidate-window
+    # overflow + per-object slot overflow (both 0 certifies completeness)
     return (jnp.where(valid, other, -1), valid, risk, ttc, dist,
             jnp.where(own, soid, -1), dropped.reshape(1),
-            overflow.reshape(1))
+            (overflow + slot_oflow).reshape(1))
 
 
 def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
@@ -180,16 +187,18 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
     backend='xla' (default): the canonical gather path per shard; returns
     predict(state_sharded, hist_sharded, boundaries=None,
     boundaries_y=None) -> (other_oid [D*slots, merge_k] i32, valid, risk,
-    ttc, dist, dropped [D]) — the merged per-object predicted risks of
-    every OWNED object, equal to single-device `predict_collisions` for
-    fleets whose per-band population fits `halo_capacity` (overflow is
-    counted in `dropped`, never silent).
+    ttc, dist, dropped [D], grid_overflow [D]) — the merged per-object
+    predicted risks of every OWNED object, equal to single-device
+    `predict_collisions` for fleets whose per-band population fits
+    `halo_capacity` (halo overflow is counted in `dropped`, grid bucket
+    truncation beyond cell_capacity in `grid_overflow` — never silent).
 
     backend='fused': the cell-list kernel per shard (production scale,
     ~11x the gather path at 100k) — results come back in SORTED-ROW space:
     (other_oid [D*m, merge_k], valid, risk, ttc, dist, row_oid [D*m],
-    dropped [D], window_overflow [D]); join on row_oid (-1 = halo/dead
-    row). Same pair set and values as 'xla' (tested).
+    dropped [D], overflow [D] = candidate-window + per-object-slot
+    overflow); join on row_oid (-1 = halo/dead row). Same pair set and
+    values as 'xla' (tested), complete when both counters are 0.
 
     Bands wider than one slab ride a MULTI-HOP ppermute chain
     (halo_exchange_hops, ROADMAP #6): hops = ceil(reach / slab width) per
@@ -228,7 +237,7 @@ def make_sharded_predict(cfg: SystemConfig, mesh: Mesh,
                        sub_window=sub_window, merge_k=merge_k,
                        width=reach, capacity=halo_capacity,
                        hops_x=hops_x, hops_y=hops_y, hops_z=hops_z)
-        n_out = 6
+        n_out = 7
         check_vma = True
     f = jax.shard_map(
         body, mesh=mesh,
