@@ -205,7 +205,9 @@ def main():
             detect=DetectionConfig(mode="fast", count_checked=False),
             alerts=AlertConfig(max_scene_alerts=1024,
                                max_alerts_per_object=8))
-        a, best, out = bench_fused_scan(cfg100k, steps=40, chunk=10)
+        # chunk sized so the ~25-40 ms tunnel dispatch is <5% of every
+        # timed chunk (the BENCH_NOTES device-rate rule): 25 x ~28 ms
+        a, best, out = bench_fused_scan(cfg100k, steps=75, chunk=25)
         extra["fused_100k_2d_avg_ms"] = round(a, 2)
         extra["fused_100k_2d_best_ms"] = round(best, 2)
         extra["fused_100k_2d_aoflow"] = int(np.asarray(out.alert_overflow))
@@ -214,7 +216,7 @@ def main():
         # NEW in round 2: exact precise semantics at kernel scale
         cfg100kp = cfg100k.replace(detect=DetectionConfig(
             mode="precise", count_checked=False))
-        a, best, out = bench_fused_scan(cfg100kp, steps=10, chunk=5)
+        a, best, out = bench_fused_scan(cfg100kp, steps=30, chunk=15)
         extra["fused_100k_2d_precise_avg_ms"] = round(a, 2)
         extra["fused_100k_2d_precise_aoflow"] = int(
             np.asarray(out.alert_overflow))
@@ -228,7 +230,7 @@ def main():
                                    # identical (BENCH_NOTES stage-1 gate)
                                    gate_stage1=True),
             alerts=AlertConfig(max_scene_alerts=4096))
-        a, best, out = bench_fused_scan(cfg1m, steps=15, chunk=5)
+        a, best, out = bench_fused_scan(cfg1m, steps=45, chunk=15)
         extra["fused_1m_3d_avg_ms"] = round(a, 2)
         extra["fused_1m_3d_best_ms"] = round(best, 2)
         extra["fused_1m_3d_overflow"] = int(np.asarray(out.overflow))

@@ -258,7 +258,14 @@ class RouteTable:
                 return 404, _err("alert not found")
 
             if method == "POST" and path == "/step":
-                out = scene.step(int((body or {}).get("steps", 1)))
+                # burst=true: all steps ride ONE device dispatch
+                # (Scene.step_burst) — device-rate stepping for callers
+                # that only need the final alert list
+                n = int((body or {}).get("steps", 1))
+                if (body or {}).get("burst"):
+                    out = scene.step_burst(n)
+                else:
+                    out = scene.step(n)
                 return 200, _ok({"step_count": scene.step_count,
                                  "num_risks": int(out.num_risks),
                                  "num_alerts": int(out.alerts.count),

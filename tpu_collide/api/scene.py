@@ -193,6 +193,7 @@ class Scene:
         self._predict_windows = None   # fused-predict window override
         self._predict_slots = 8        # fused-predict per-object k_slots
                                        # (self-heals on slot overflow)
+        self._burst_cache: Dict[int, Any] = {}   # n -> compiled burst step
 
     # ---- identity ----
 
@@ -327,6 +328,53 @@ class Scene:
         self.alert_manager.process_batch(out.alerts, resolver=self.vehicle_id_of)
         return out
 
+    def step_burst(self, n: int) -> Any:
+        """Advance n steps in ONE device dispatch (engine.make_burst_step:
+        a lax.scan over the per-step program, identical key schedule to n
+        step() calls). Host sync and dispatch overhead are paid once per
+        burst, so sustained throughput approaches the device rate — on
+        remote-attached chips that is several times the per-call step()
+        rate (BENCH_NOTES: ~25-40 ms dispatch floor over the axon tunnel).
+
+        Trade-off: only the FINAL step's alert list reaches the
+        AlertManager (intermediate lists are never materialized);
+        overflow / alert_overflow on the returned output are the MAX over
+        the burst, so completeness certificates and auto-regrow still see
+        the worst step. Use step() when every step's alerts matter (e.g.
+        alert lifecycle resend/expiry at sub-burst granularity)."""
+        if n <= 1:
+            return self.step(n)
+        with self._device_lock:
+            self._flush_locked()
+            fn = self._burst_cache.get(n)
+            if fn is None:
+                from tpu_collide.engine import make_burst_step
+                fn = make_burst_step(
+                    self.cfg, n, donate=True, backend=self._backend,
+                    chunk_size=self._chunk_size,
+                    window_rows=self._window_rows,
+                    interpret=self._interpret)
+                self._burst_cache[n] = fn
+            with Timer() as t:
+                self.state, self._key, out, risks = fn(self.state, self._key)
+                jax.block_until_ready(out.num_risks)
+            self.step_count += n
+            self.stats_timing["steps"] += n
+            self.stats_timing["total_ms"] += t.elapsed_ms
+            # per-step cost of this burst (the burst IS one device call)
+            self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                              t.elapsed_ms / n)
+            self.last_burst_risks = np.asarray(risks)
+            if self._auto_window and int(out.overflow) > 0:
+                self._grow_window(int(out.overflow))
+            if (self._auto_window and self._backend == "fused"
+                    and int(out.alert_overflow) > 0):
+                self._grow_slots(int(out.alert_overflow))
+            self._num_alive = int(out.num_alive)
+            self.alert_manager.process_batch(out.alerts,
+                                             resolver=self.vehicle_id_of)
+            return out
+
     def _grow_slots(self, aoflow: int) -> None:
         """Some object had more qualifying pairs (fast) / stage-2 survivors
         (precise) than its top-k slots — alert_overflow > 0 means the scene
@@ -373,6 +421,7 @@ class Scene:
                                chunk_size=self._chunk_size,
                                window_rows=self._window_rows,
                                interpret=self._interpret)
+        self._burst_cache.clear()
 
     def _grow_window(self, overflow: int) -> None:
         """Density outgrew the kernel's candidate windows: double them and
@@ -387,6 +436,7 @@ class Scene:
                                chunk_size=self._chunk_size,
                                window_rows=self._window_rows,
                                interpret=self._interpret)
+        self._burst_cache.clear()
 
     def detect(self) -> Any:
         """Detection only, no physics (externally-driven fleets: ingest ->

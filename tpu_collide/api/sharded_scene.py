@@ -84,6 +84,7 @@ class ShardedScene:
                                        backend=backend, interpret=interpret,
                                        window_rows=window_rows)
         self._step_h = None           # history-carrying step (lazy)
+        self._burst_cache = {}        # (n, with_history) -> compiled burst
         self._traj = None             # sharded TrajectoryHistory
         self._traj_clock = 0.0
         self._predict_cache = {}      # (horizon, step) -> compiled fns
@@ -271,6 +272,58 @@ class ShardedScene:
                                              resolver=self.vehicle_id_of)
         return out
 
+    def step_burst(self, n: int) -> Any:
+        """Advance n steps in ONE device dispatch (make_sharded_step with
+        burst_n: a lax.scan over the SPMD step, identical key schedule to
+        n step() calls). Dispatch/sync overhead is paid once per burst —
+        the production analog of the device-rate view. Boundaries stay
+        fixed for the whole burst; rebalance decisions run once at the
+        end. Only the final step's alert list reaches the AlertManager;
+        overflow certificates are the burst-wide max (worst step)."""
+        if n <= 1:
+            return self.step(n)
+        with self._lock:
+            self._flush_locked()
+            self._ensure_state()
+            hist = self._traj is not None
+            fn = self._burst_cache.get((n, hist))
+            if fn is None:
+                fn = make_sharded_step(
+                    self.cfg, self.mesh, donate=True, backend=self._backend,
+                    interpret=self._interpret, window_rows=self._window_rows,
+                    with_history=hist, burst_n=n)
+                self._burst_cache[(n, hist)] = fn
+            with Timer() as t:
+                if hist:
+                    (self.state, self._traj, self._key, out, dropped,
+                     risks) = fn(self.state, self._traj, self._key,
+                                 self.boundaries, self.boundaries_y,
+                                 self.boundaries_z)
+                else:
+                    self.state, self._key, out, dropped, risks = fn(
+                        self.state, self._key, self.boundaries,
+                        self.boundaries_y, self.boundaries_z)
+                jax.block_until_ready(out.num_risks)
+            self.step_count += n
+            self.dropped_total += int(np.asarray(dropped).sum())
+            self.stats_timing["steps"] += n
+            self.stats_timing["total_ms"] += t.elapsed_ms
+            self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                              t.elapsed_ms / n)
+            self.last_burst_risks = np.asarray(risks)
+            if self.balancer and self.balancer.should_rebalance(self.state):
+                old_state = self.state
+                (self.state, self.boundaries, self.boundaries_y,
+                 self.boundaries_z) = self.balancer.rebalance(
+                    old_state, self.mesh)
+                if self._traj is not None:
+                    self._traj = self._redistribute_hist(old_state)
+            if self._auto_window and int(out.overflow) > 0:
+                self._grow_window(int(out.overflow))
+            self.alert_manager.process_batch(out.alerts,
+                                             resolver=self.vehicle_id_of)
+            return out
+
     def _redistribute_hist(self, old_state: ObjectState):
         """After a rebalance moved objects to new slots, move their
         trajectory rings the same way (host-side, rebalances are rare)."""
@@ -311,6 +364,7 @@ class ShardedScene:
             self.cfg, self.mesh, donate=True, backend=self._backend,
             interpret=self._interpret, window_rows=self._window_rows)
         self._step_h = None
+        self._burst_cache.clear()
 
     # ---- trajectory prediction on the mesh (VERDICT r2 #4) ----
 

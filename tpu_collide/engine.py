@@ -246,5 +246,61 @@ def make_step(cfg: SystemConfig, donate: bool = True,
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def make_burst_step(cfg: SystemConfig, n: int, donate: bool = True,
+                    chunk_size: int | None = None, backend: str = "xla",
+                    window_rows: int | None = None, interpret: bool = False):
+    """Compile an n-step BURST: one dispatch advances physics + detection
+    n times via lax.scan over the same per-step body make_step compiles,
+    reproducing Scene.step's key schedule exactly (key, sub = split(key)
+    before every step), so burst(n) computes the same trajectory as n
+    single steps.
+
+    Per-burst instead of per-step host sync means dispatch overhead is
+    amortized n x — on remote-attached devices (~25-40 ms per dispatch
+    over the axon tunnel, BENCH_NOTES) this is the difference between the
+    serving-latency view and the device-rate view. The production analog
+    of bench.py's scan-chunk methodology, exposed as an API.
+
+    Returns a jitted (state, key) -> (state, key', out, risks_per_step):
+    `out` is the FINAL step's StepOutput with overflow / alert_overflow
+    replaced by the burst-wide MAX (completeness certificates and Scene's
+    self-healing judge the worst step, not just the last);
+    `risks_per_step` is [n] i32. Intermediate alert LISTS are not
+    materialized — callers that must feed every step's alerts to the
+    AlertManager need make_step.
+    """
+    if n < 1:
+        raise ValueError(f"burst length must be >= 1, got {n}")
+    if backend == "fused":
+        fn = partial(step_fused, cfg=cfg, window_rows=window_rows,
+                     interpret=interpret)
+    elif chunk_size:
+        fn = partial(step_chunked, cfg=cfg, chunk=chunk_size)
+    else:
+        fn = partial(step, cfg=cfg)
+
+    def burst(state: ObjectState, key: jax.Array):
+        def body(carry, _):
+            st, k, of, ao = carry
+            k, sub = jax.random.split(k)
+            st, out = fn(st, sub)
+            return (st, k, jnp.maximum(of, out.overflow),
+                    jnp.maximum(ao, out.alert_overflow)), out.num_risks
+        z = jnp.int32(0)
+        (state, key, of, ao), risks = jax.lax.scan(
+            body, (state, key, z, z), None, length=n - 1)
+        # last step runs outside the scan so its full StepOutput (alert
+        # list included) is materialized exactly once
+        key, sub = jax.random.split(key)
+        state, out = fn(state, sub)
+        out = dataclasses.replace(
+            out, overflow=jnp.maximum(of, out.overflow),
+            alert_overflow=jnp.maximum(ao, out.alert_overflow))
+        risks = jnp.concatenate([risks, out.num_risks[None]])
+        return state, key, out, risks
+
+    return jax.jit(burst, donate_argnums=(0,) if donate else ())
+
+
 def make_detect(cfg: SystemConfig):
     return jax.jit(partial(detect_only, cfg=cfg))

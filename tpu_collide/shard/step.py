@@ -357,10 +357,25 @@ def _state_spec_axes(cfg: SystemConfig):
     return cfg.shard.axis_name
 
 
+def _fold_burst(ys, out, dropped, nb):
+    """Fold the scanned (risks, overflow, alert_overflow, dropped) of the
+    first nb-1 burst steps into the final step's output: certificates take
+    the burst-wide MAX, halo drops sum, per-step risks stack to [nb]."""
+    risks, ofs, aos, drs = ys
+    if nb > 1:
+        out = dataclasses.replace(
+            out, overflow=jnp.maximum(jnp.max(ofs), out.overflow),
+            alert_overflow=jnp.maximum(jnp.max(aos), out.alert_overflow))
+        dropped = jnp.sum(drs, axis=0) + dropped
+    risks = jnp.concatenate([risks, out.num_risks[None]])
+    return out, dropped, risks
+
+
 def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
                       backend: str = "xla", interpret: bool = False,
                       window_rows: int | None = None,
-                      with_history: bool = False):
+                      with_history: bool = False,
+                      burst_n: int | None = None):
     """Compile the SPMD step. State layout: every array's leading dim is
     num_shards * shard_slots(cfg), sharded along the mesh axis; each shard
     owns the slots of its slab. backend='fused' runs the Pallas cell-list
@@ -375,7 +390,16 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
     boundaries=None, boundaries_y=None) -> (state, hist, out, dropped) —
     the TrajectoryHistory migrates with its objects across walls so the
     sharded predict path (shard/predict.py) stays classification-correct
-    after migration."""
+    after migration.
+
+    burst_n=n: ONE dispatch advances n steps (lax.scan over the same
+    shard_map'd body, identical key schedule to n single calls — see
+    engine.make_burst_step). The callable becomes step(state[, hist],
+    key, boundaries...) -> (state[, hist], key', out, dropped_total,
+    risks_per_step[n]); out is the final step's output with overflow /
+    alert_overflow replaced by the burst-wide max, dropped_total sums the
+    per-step per-shard halo-drop counters. Boundaries are fixed for the
+    whole burst (rebalances happen between bursts)."""
     sdim = _state_spec_axes(cfg)
     spec_state = ObjectState(
         pos=P(sdim), vel=P(sdim), acc=P(sdim), heading=P(sdim), size=P(sdim),
@@ -417,6 +441,34 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
             out_specs=(spec_state, spec_hist, spec_out, P(sdim)),
             check_vma=check_vma,
         )
+        if burst_n is not None:
+            nb = int(burst_n)
+
+            def burst_h(state, hist, key, bx, by, bz):
+                def sbody(carry, _):
+                    st, hi, k = carry
+                    k, sub = jax.random.split(k)
+                    st, hi, out, dropped = f(st, hi, sub, bx, by, bz)
+                    return (st, hi, k), (out.num_risks, out.overflow,
+                                         out.alert_overflow, dropped)
+                (state, hist, key), ys = jax.lax.scan(
+                    sbody, (state, hist, key), None, length=nb - 1)
+                key, sub = jax.random.split(key)
+                state, hist, out, dropped = f(state, hist, sub, bx, by, bz)
+                out, dropped, risks = _fold_burst(ys, out, dropped, nb)
+                return state, hist, key, out, dropped, risks
+
+            jb = jax.jit(burst_h, donate_argnums=(0, 1) if donate else ())
+
+            def step_bh(state, hist, key, boundaries=None,
+                        boundaries_y=None, boundaries_z=None):
+                return jb(state, hist, key,
+                          default_bx if boundaries is None else boundaries,
+                          default_by if boundaries_y is None else boundaries_y,
+                          default_bz if boundaries_z is None else boundaries_z)
+
+            return step_bh
+
         jf = jax.jit(f, donate_argnums=(0, 1) if donate else ())
 
         def step_h(state, hist, key, boundaries=None, boundaries_y=None,
@@ -435,6 +487,35 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, donate: bool = True,
         out_specs=(spec_state, spec_out, P(sdim)),
         check_vma=check_vma,
     )
+
+    if burst_n is not None:
+        nb = int(burst_n)
+
+        def burst(state, key, bx, by, bz):
+            def sbody(carry, _):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, out, dropped = f(st, sub, bx, by, bz)
+                return (st, k), (out.num_risks, out.overflow,
+                                 out.alert_overflow, dropped)
+            (state, key), ys = jax.lax.scan(
+                sbody, (state, key), None, length=nb - 1)
+            key, sub = jax.random.split(key)
+            state, out, dropped = f(state, sub, bx, by, bz)
+            out, dropped, risks = _fold_burst(ys, out, dropped, nb)
+            return state, key, out, dropped, risks
+
+        jb = jax.jit(burst, donate_argnums=(0,) if donate else ())
+
+        def step_b(state, key, boundaries=None, boundaries_y=None,
+                   boundaries_z=None):
+            return jb(state, key,
+                      default_bx if boundaries is None else boundaries,
+                      default_by if boundaries_y is None else boundaries_y,
+                      default_bz if boundaries_z is None else boundaries_z)
+
+        return step_b
+
     jf = jax.jit(f, donate_argnums=(0,) if donate else ())
 
     def step(state, key, boundaries=None, boundaries_y=None,
