@@ -133,6 +133,21 @@ def test_scene_burst_cache_invalidated_on_regrow(caplog):
     assert int(out.num_alive) >= 0
 
 
+def test_rest_step_route_burst_param():
+    """POST /step {'burst': true} rides Scene.step_burst through the
+    shared route core (both transports inherit it)."""
+    from tpu_collide.api.routes import RouteTable
+
+    cfg = _cfg(n=64)
+    sc = Scene(cfg, state=generate_fleet(jax.random.key(2), cfg))
+    routes = RouteTable(sc)
+    code, r = routes.handle("POST", "/step", {"steps": 3, "burst": True}, {})
+    assert code == 200 and r["data"]["step_count"] == 3
+    assert sc.last_burst_risks.shape == (3,)
+    code, r = routes.handle("POST", "/step", {"steps": 2}, {})
+    assert code == 200 and r["data"]["step_count"] == 5
+
+
 def test_sharded_scene_step_burst():
     """ShardedScene.step_burst == n single sharded steps on the 8-device
     CPU mesh (deterministic physics), including migration bookkeeping."""
