@@ -97,6 +97,13 @@ _ABLATE = os.environ.get("TPU_COLLIDE_ABLATE", "")
 # behaviors). 1M-3D measured 213.1 ms vs 205-208 gated (BENCH_NOTES):
 # the guard earns its syncs. Kept env-gated for other-density retries.
 _EMIT_NOGATE = os.environ.get("TPU_COLLIDE_EMIT_NOGATE", "") == "1"
+# Experiment (exact semantics): a THIRD sparsity tier in the emit switch —
+# blocks whose max per-own emit count is exactly 2 extract 2 rounds
+# instead of all k. The tier branches ride the already-materialized cmax
+# scalar (no additional vector->scalar sync); exactness follows the same
+# argument as the existing 1-tier (every row's emits <= cmax, surplus
+# extractions are the tolerated no-op inserts of non-emitted maxima).
+_EMIT_MIDTIER = os.environ.get("TPU_COLLIDE_EMIT_MIDTIER", "") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -480,10 +487,21 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                     write_slots(*insert_cands(
                                         kb, ib, extract(key, 1)))
 
-                                @pl.when(cmax > 1.5)
-                                def _():
-                                    write_slots(*insert_cands(
-                                        kb, ib, extract(key, k)))
+                                if _EMIT_MIDTIER and k > 2:
+                                    @pl.when((cmax > 1.5) & (cmax <= 2.5))
+                                    def _():
+                                        write_slots(*insert_cands(
+                                            kb, ib, extract(key, 2)))
+
+                                    @pl.when(cmax > 2.5)
+                                    def _():
+                                        write_slots(*insert_cands(
+                                            kb, ib, extract(key, k)))
+                                else:
+                                    @pl.when(cmax > 1.5)
+                                    def _():
+                                        write_slots(*insert_cands(
+                                            kb, ib, extract(key, k)))
 
                         # x-overlap guard (sorted order makes rows x-coherent)
                         @pl.when((cx_lo <= ox_hi + r_max + max_disp)
