@@ -97,13 +97,16 @@ _ABLATE = os.environ.get("TPU_COLLIDE_ABLATE", "")
 # behaviors). 1M-3D measured 213.1 ms vs 205-208 gated (BENCH_NOTES):
 # the guard earns its syncs. Kept env-gated for other-density retries.
 _EMIT_NOGATE = os.environ.get("TPU_COLLIDE_EMIT_NOGATE", "") == "1"
-# Experiment (exact semantics): a THIRD sparsity tier in the emit switch —
+# DEFAULT-ON (exact semantics): a THIRD sparsity tier in the emit switch —
 # blocks whose max per-own emit count is exactly 2 extract 2 rounds
 # instead of all k. The tier branches ride the already-materialized cmax
 # scalar (no additional vector->scalar sync); exactness follows the same
 # argument as the existing 1-tier (every row's emits <= cmax, surplus
 # extractions are the tolerated no-op inserts of non-emitted maxima).
-_EMIT_MIDTIER = os.environ.get("TPU_COLLIDE_EMIT_MIDTIER", "") == "1"
+# Measured on the real chip, bit-identical results both configs
+# (BENCH_NOTES "1M-3D BELOW 200 ms"): 100k-2D k=8 23.27 -> 20.80 ms,
+# 1M-3D k=4 199.82 -> 198.93 ms. TPU_COLLIDE_EMIT_MIDTIER=0 disables.
+_EMIT_MIDTIER = os.environ.get("TPU_COLLIDE_EMIT_MIDTIER", "1") == "1"
 
 import jax
 import jax.numpy as jnp
