@@ -318,3 +318,47 @@ def test_scene_auto_slot_regrow():
     pairs = make_detect(sc.cfg)(sc.state)
     n_x = int(jnp.sum(pairs.valid))
     assert int(out2.num_risks) == n_x
+
+
+def test_emit_midtier_exact_two_emit_block():
+    """The emit switch's MID tier (fused_detect._EMIT_MIDTIER, default
+    on): blocks whose max per-own emit count is EXACTLY 2 extract only 2
+    rounds instead of all k. Pin that nothing is lost on a geometry that
+    lands precisely on that tier: center object A emits 2 pairs (flanks B
+    and C converge on it) while B-C sit beyond the search radius, so the
+    block's cmax is exactly 2 with k=4 slots. Fused alerts must equal the
+    XLA path as unordered pairs with matching values, per-object emitted
+    counts must be [2, 1, 1], and alert_overflow must certify 0."""
+    from tpu_collide.kernels import fused_detect
+
+    pos = np.array([[1000.0, 1000.0, 0.0],
+                    [920.0, 1000.0, 0.0],
+                    [1080.0, 1000.0, 0.0]], np.float32)
+    # 25 m/s approach -> ttc 3.0 s, risk 0.446 (>= the 0.3 alert floor)
+    vel = np.array([[0.0, 0.0, 0.0],
+                    [25.0, 0.0, 0.0],
+                    [-25.0, 0.0, 0.0]], np.float32)
+    st = state_from_numpy(pos, vel, np.zeros((3, 3), np.float32),
+                          np.array([0.0, 0.0, np.pi], np.float32),
+                          np.full(3, 2.0, np.float32),
+                          np.zeros(3, np.int32))
+    cfg = cfg2d(n=3)
+    # the tier only exists for k > 2 — guard the config premise
+    assert cfg.alerts.max_alerts_per_object > 2
+    assert fused_detect._EMIT_MIDTIER
+
+    # A-B and A-C are 80 m apart (within the 100 m radius), B-C is 160 m
+    # (outside): per-own emitted counts must be exactly [2, 1, 1]
+    _, got_c, got_checked, overflow = fused_ref(st, cfg)
+    assert overflow == 0
+    np.testing.assert_array_equal(got_c, [2, 1, 1])
+
+    key = jax.random.key(1)
+    _, o_x = make_step(cfg, donate=False)(st, key)
+    _, o_f = step_fused(st, key, cfg, interpret=True)
+    assert int(o_f.num_risks) == int(o_x.num_risks) > 0
+    assert int(o_f.alert_overflow) == 0
+    ax, af = _alert_map(o_x), _alert_map(o_f)
+    assert set(af) == set(ax) == {(0, 1), (0, 2)}
+    for kk in af:
+        np.testing.assert_allclose(ax[kk], af[kk], rtol=1e-5, atol=1e-5)
