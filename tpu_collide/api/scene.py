@@ -129,7 +129,8 @@ class Scene:
                  broker=None, backend: str = "xla",
                  chunk_size: Optional[int] = None,
                  window_rows: Optional[int] = None,
-                 auto_window: bool = True, interpret: bool = False):
+                 auto_window: bool = True, interpret: bool = False,
+                 auto_retune_every: int = 0):
         """backend='fused' runs step() on the Pallas cell-list kernel
         (both detection modes, big fleets); detect() always uses the exact
         XLA pipeline.
@@ -139,7 +140,12 @@ class Scene:
         windows), double window_rows and recompile between steps — the
         adaptive-resolution analog of the reference's density-driven grid
         splits (spatial_index.py:139-160), done by resizing the compiled
-        program instead of the grid."""
+        program instead of the grid.
+
+        auto_retune_every=K (0 = off) additionally runs retune() every K
+        steps — the periodic-readjustment analog of the reference's 10 s
+        adjust_grid_resolution timer (spatial_index.py:40,302-336),
+        covering the SHRINK direction regrow never takes."""
         self.cfg = cfg
         fresh = state is None
         self.state = state if state is not None else empty_state(cfg.num_objects)
@@ -159,6 +165,9 @@ class Scene:
                 window_rows = default_window_rows(cfg)
         self._window_rows = window_rows
         self.window_regrows = 0       # times auto_window resized the kernel
+        self.retunes = 0              # times retune() recompiled
+        self._auto_retune = int(auto_retune_every)
+        self._last_retune = 0
         self._step = make_step(cfg, donate=True, backend=backend,
                                chunk_size=chunk_size,
                                window_rows=window_rows,
@@ -324,6 +333,7 @@ class Scene:
             if (self._auto_window and self._backend == "fused"
                     and int(out.alert_overflow) > 0):
                 self._grow_slots(int(out.alert_overflow))
+        self._maybe_auto_retune()
         self._num_alive = int(out.num_alive)
         self.alert_manager.process_batch(out.alerts, resolver=self.vehicle_id_of)
         return out
@@ -370,6 +380,7 @@ class Scene:
             if (self._auto_window and self._backend == "fused"
                     and int(out.alert_overflow) > 0):
                 self._grow_slots(int(out.alert_overflow))
+            self._maybe_auto_retune()
             self._num_alive = int(out.num_alive)
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
@@ -437,6 +448,80 @@ class Scene:
                                window_rows=self._window_rows,
                                interpret=self._interpret)
         self._burst_cache.clear()
+
+    def retune(self) -> bool:
+        """Re-derive the compiled program's static capacities from the LIVE
+        fleet and recompile when the need moved — the runtime analog of the
+        reference's density-driven grid-resolution adjustment
+        (spatial_index.py:139-160, 302-412: a 10 s timer that SPLIT dense
+        cells and MERGED sparse ones). Two knobs, both directions:
+
+          * fused candidate windows (window_rows): the counted-overflow
+            regrow path already grows them mid-flight; retune also SHRINKS
+            after the fleet thins or spreads (regrown capacity is never
+            reclaimed otherwise) and grows preemptively from the actual
+            positions without waiting for an overflow-flagged step.
+          * gather-bucket capacity (GridConfig.cell_capacity): sized to the
+            live densest cell (kernels/tune.suggest_cell_capacity) so the
+            XLA gather path's detect()/predict() report grid_overflow == 0.
+
+        Cell SIZE intentionally stays fixed: on the fused path
+        max(cell_size, search_radius) is simultaneously the legal minimum
+        and the optimum (smaller breaks the 1-cell stencil, larger only
+        adds dead pair math — kernels/tune.suggest_cell_size), so the
+        adaptive dimension on TPU is CAPACITY, not resolution. Shrinks use
+        2x hysteresis so density jitter never thrashes recompiles.
+
+        Returns True if anything recompiled. Scene(auto_retune_every=K)
+        runs this every K steps; results are unaffected either way —
+        capacities only move completeness counters toward 0."""
+        with self._device_lock:
+            return self._retune_locked()
+
+    def _retune_locked(self) -> bool:
+        import dataclasses as _dc
+        from tpu_collide.kernels.tune import (suggest_cell_capacity,
+                                              suggest_window_rows)
+        changed_step = changed_detect = False
+        if self._backend == "fused":
+            need = suggest_window_rows(self.state, self.cfg)
+            cur = self._window_rows
+            if need > cur or 2 * need <= cur:
+                self._window_rows = need
+                changed_step = True
+        cap_need = suggest_cell_capacity(self.state, self.cfg)
+        cap_cur = self.cfg.grid.cell_capacity
+        if cap_need > cap_cur or 2 * cap_need <= cap_cur:
+            self.cfg = self.cfg.replace(
+                grid=_dc.replace(self.cfg.grid, cell_capacity=cap_need))
+            changed_detect = True
+            if self._backend != "fused":
+                # the XLA step shares the gather path; the fused step
+                # doesn't touch cell_capacity, so its program stands
+                changed_step = True
+        if changed_step:
+            self._step = make_step(
+                self.cfg, donate=True, backend=self._backend,
+                chunk_size=self._chunk_size,
+                window_rows=self._window_rows, interpret=self._interpret)
+            self._burst_cache.clear()
+        if changed_detect:
+            self._detect = make_detect(self.cfg)
+            self._predict_cache.clear()
+        if changed_step or changed_detect:
+            self.retunes += 1
+            logger.info(
+                "retune: window_rows=%s cell_capacity=%d (recompiled %s)",
+                self._window_rows, self.cfg.grid.cell_capacity,
+                "+".join(p for p, c in (("step", changed_step),
+                                        ("detect", changed_detect)) if c))
+        return changed_step or changed_detect
+
+    def _maybe_auto_retune(self) -> None:
+        if (self._auto_retune
+                and self.step_count - self._last_retune >= self._auto_retune):
+            self._last_retune = self.step_count
+            self._retune_locked()
 
     def detect(self) -> Any:
         """Detection only, no physics (externally-driven fleets: ingest ->
@@ -694,7 +779,10 @@ class Scene:
             "max_step_ms": s["max_ms"],
             "alerts": self.alert_manager.get_stats(),
             "checkpoints": self.ckpt.stats if self.ckpt else None,
+            "window_regrows": self.window_regrows,
+            "retunes": self.retunes,
             "config": {"num_objects": self.cfg.num_objects,
                        "cell_size": self.cfg.grid.cell_size,
+                       "cell_capacity": self.cfg.grid.cell_capacity,
                        "mode": self.cfg.detect.mode},
         }

@@ -50,7 +50,8 @@ class ShardedScene:
                  auto_rebalance: bool = True,
                  broker=None, backend: str = "xla",
                  window_rows: Optional[int] = None,
-                 auto_window: bool = True, interpret: bool = False):
+                 auto_window: bool = True, interpret: bool = False,
+                 auto_retune_every: int = 0):
         """backend='fused' runs the Pallas cell-list kernel per shard
         (both detection modes; interpret=True for CPU meshes).
 
@@ -80,6 +81,9 @@ class ShardedScene:
                 window_rows = default_window_rows(cfg)
         self._window_rows = window_rows
         self.window_regrows = 0     # times auto_window resized the kernel
+        self.retunes = 0            # times retune() recompiled
+        self._auto_retune = int(auto_retune_every)
+        self._last_retune = 0
         self._step = make_sharded_step(cfg, self.mesh, donate=True,
                                        backend=backend, interpret=interpret,
                                        window_rows=window_rows)
@@ -268,6 +272,7 @@ class ShardedScene:
                         self._traj = self._redistribute_hist(old_state)
                 if self._auto_window and int(out.overflow) > 0:
                     self._grow_window(int(out.overflow))
+            self._maybe_auto_retune()
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
         return out
@@ -320,6 +325,7 @@ class ShardedScene:
                     self._traj = self._redistribute_hist(old_state)
             if self._auto_window and int(out.overflow) > 0:
                 self._grow_window(int(out.overflow))
+            self._maybe_auto_retune()
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
             return out
@@ -365,6 +371,47 @@ class ShardedScene:
             interpret=self._interpret, window_rows=self._window_rows)
         self._step_h = None
         self._burst_cache.clear()
+
+    def retune(self) -> bool:
+        """Re-derive the fused kernel's candidate-window capacity from the
+        LIVE fleet and recompile when the need moved — the mesh analog of
+        Scene.retune() (the reference re-adjusted grid resolution to
+        density on a 10 s timer, spatial_index.py:302-336, splitting AND
+        merging). Grows preemptively without waiting for an
+        overflow-flagged step; SHRINKS (2x hysteresis) after the fleet
+        thins — the only reclaim path, since counted-overflow regrow only
+        ever doubles. Sized from the gathered global fleet + the same
+        margin the constructor uses (per-shard lists see subsets of these
+        densities plus a halo band). Fused backend only; results are
+        unaffected either way. Returns True if the step recompiled.
+        ShardedScene(auto_retune_every=K) runs this every K steps."""
+        with self._lock:
+            return self._retune_locked()
+
+    def _retune_locked(self) -> bool:
+        if self._backend != "fused" or self.state is None:
+            return False
+        from tpu_collide.kernels.tune import suggest_window_rows
+        need = suggest_window_rows(self.collect(), self.cfg, margin_rows=16)
+        cur = self._window_rows
+        if not (need > cur or 2 * need <= cur):
+            return False
+        self._window_rows = need
+        self.retunes += 1
+        logger.info("sharded retune: window_rows %d -> %d (recompiling)",
+                    cur, need)
+        self._step = make_sharded_step(
+            self.cfg, self.mesh, donate=True, backend=self._backend,
+            interpret=self._interpret, window_rows=self._window_rows)
+        self._step_h = None
+        self._burst_cache.clear()
+        return True
+
+    def _maybe_auto_retune(self) -> None:
+        if (self._auto_retune
+                and self.step_count - self._last_retune >= self._auto_retune):
+            self._last_retune = self.step_count
+            self._retune_locked()
 
     # ---- trajectory prediction on the mesh (VERDICT r2 #4) ----
 
@@ -595,6 +642,7 @@ class ShardedScene:
             "rebalances": (self.balancer.stats["rebalances"]
                            if self.balancer else 0),
             "window_regrows": self.window_regrows,
+            "retunes": self.retunes,
         }
 
     # ---- reliability (checkpointed failover, BASELINE config 5) ----

@@ -81,6 +81,29 @@ def suggest_window_rows(state, cfg: SystemConfig, margin_rows: int = 8,
     return (-(-rows // 8) * 8) + margin_rows
 
 
+def suggest_cell_capacity(state, cfg: SystemConfig, margin: int = 2) -> int:
+    """Exact XLA-gather-path bucket capacity for THIS fleet: the maximum
+    live-cell occupancy (+ margin), host-side in numpy. The gather path
+    (index/grid.gather_candidates) drops objects beyond
+    GridConfig.cell_capacity from their bucket's candidate list (counted
+    as grid_overflow, never silent); sizing the capacity from the actual
+    densest cell makes detect()/predict() complete for the given
+    positions without hand-tuning — the runtime analog of the reference's
+    density-driven cell splits (spatial_index.py:139-160) for the gather
+    backend. Rounded up to a multiple of 4 so retune hysteresis doesn't
+    thrash on single-object density jitter."""
+    nx, ny, nz = cfg.grid_dims
+    pos = np.asarray(state.pos)
+    alive = np.asarray(state.alive)
+    lo = np.asarray(cfg.world.lo, np.float32)
+    c3 = np.clip((np.floor((pos - lo) / cfg.grid.cell_size)).astype(int),
+                 0, np.asarray((nx, ny, nz)) - 1)
+    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
+    occ = np.bincount(cid[alive], minlength=1)
+    need = int(occ.max(initial=0)) + margin
+    return max(4, -(-need // 4) * 4)
+
+
 def suggest_cell_size(cfg: SystemConfig) -> float:
     """Smallest legal cell for the fused path: the search radius (the
     1-cell stencil must cover it). Larger cells only add dead pair math;
