@@ -148,6 +148,14 @@ def test_fused_retune_resizes_windows_both_directions():
     assert sc.retunes == 2
 
 
+def test_service_wires_auto_retune():
+    """--auto-retune reaches the Scene through CollisionSystem (and the
+    CLI flag maps to the same ctor knob)."""
+    from tpu_collide.system import CollisionSystem
+    sysm = CollisionSystem(mk_cfg(n=64), auto_retune_every=3)
+    assert sysm.scene._auto_retune == 3
+
+
 @pytest.mark.slow
 def test_fused_step_after_retune_matches_fresh_scene():
     """Retune only moves capacities: starting from deliberately-undersized

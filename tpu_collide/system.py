@@ -53,7 +53,8 @@ class CollisionSystem:
                  backend: str = "xla",
                  bridge_listen: Optional[tuple] = None,
                  bridge_peers: Optional[list] = None,
-                 bridge_relay: bool = False):
+                 bridge_relay: bool = False,
+                 auto_retune_every: int = 0):
         self.cfg = cfg or SystemConfig()
         self.node_id = node_id
         self.detection_hz = detection_hz
@@ -81,10 +82,12 @@ class CollisionSystem:
             from tpu_collide.api.sharded_scene import ShardedScene
             self.scene = ShardedScene(self.cfg,
                                       checkpoint_dir=checkpoint_dir,
-                                      broker=self.broker, backend=backend)
+                                      broker=self.broker, backend=backend,
+                                      auto_retune_every=auto_retune_every)
         else:
             self.scene = Scene(self.cfg, checkpoint_dir=checkpoint_dir,
-                               broker=self.broker, backend=backend)
+                               broker=self.broker, backend=backend,
+                               auto_retune_every=auto_retune_every)
 
         # layer 3: scheduling
         self.scheduler = Scheduler(self.broker)
@@ -288,6 +291,10 @@ def main(argv=None) -> None:
     ap.add_argument("--bridge-relay", action="store_true",
                     help="hub mode: re-forward bridged messages between "
                          "links (star topologies)")
+    ap.add_argument("--auto-retune", type=int, default=0, metavar="K",
+                    help="re-derive grid/window capacities from the live "
+                         "fleet every K steps (0 = off; the runtime "
+                         "adaptive-resolution analog, Scene.retune)")
     ap.add_argument("--log-level", default="INFO")
     ap.add_argument("--config", default=None,
                     help="JSON SystemConfig file (overrides --objects)")
@@ -323,7 +330,8 @@ def main(argv=None) -> None:
                              bridge_listen=(addr(args.bridge_listen)
                                             if args.bridge_listen else None),
                              bridge_peers=[addr(a) for a in args.bridge_peer],
-                             bridge_relay=args.bridge_relay)
+                             bridge_relay=args.bridge_relay,
+                             auto_retune_every=args.auto_retune)
 
     async def run():
         await system.start()
