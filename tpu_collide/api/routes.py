@@ -260,10 +260,25 @@ class RouteTable:
             if method == "POST" and path == "/step":
                 # burst=true: all steps ride ONE device dispatch
                 # (Scene.step_burst) — device-rate stepping for callers
-                # that only need the final alert list
+                # that only need the final alert list.
+                # pipelined=true: one-behind serving (Scene.step_pipelined)
+                # — every step's alerts reach the manager, the response
+                # describes the PREVIOUS step (one step of alert latency
+                # buys overlap of host work with the device step).
                 n = int((body or {}).get("steps", 1))
                 if (body or {}).get("burst"):
                     out = scene.step_burst(n)
+                elif (body or {}).get("pipelined"):
+                    if not hasattr(scene, "step_pipelined"):
+                        return 400, _err(
+                            "pipelined stepping requires a single-device "
+                            "scene")
+                    out = None
+                    for _ in range(n):
+                        out = scene.step_pipelined() or out
+                    if out is None:     # first-ever call: nothing consumed
+                        return 200, _ok({"step_count": scene.step_count,
+                                         "pipelined_pending": True})
                 else:
                     out = scene.step(n)
                 return 200, _ok({"step_count": scene.step_count,

@@ -203,6 +203,8 @@ class Scene:
         self._predict_slots = 8        # fused-predict per-object k_slots
                                        # (self-heals on slot overflow)
         self._burst_cache: Dict[int, Any] = {}   # n -> compiled burst step
+        self._pipe = None   # pending step_pipelined output:
+                            # (out, window_rows@dispatch, k_marker@dispatch)
 
     # ---- identity ----
 
@@ -316,6 +318,7 @@ class Scene:
             return self._step_locked(n)
 
     def _step_locked(self, n: int) -> Any:
+        self._drain_locked()
         self._flush_locked()
         out = None
         for _ in range(n):
@@ -355,6 +358,7 @@ class Scene:
         if n <= 1:
             return self.step(n)
         with self._device_lock:
+            self._drain_locked()
             self._flush_locked()
             fn = self._burst_cache.get(n)
             if fn is None:
@@ -385,6 +389,79 @@ class Scene:
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
             return out
+
+    def step_pipelined(self) -> Optional[Any]:
+        """One-behind serving step: dispatch THIS step asynchronously, then
+        consume the PREVIOUS pipelined step's output (alerts to the
+        AlertManager, overflow counters to auto-regrow) while the device
+        works on the new one. Returns the previous StepOutput — None on
+        the first call; call pipeline_drain() when stopping to consume the
+        final pending output.
+
+        Per-call serving latency approaches max(host work + dispatch,
+        device step time) instead of their sum: the device step leaves the
+        critical path whenever the host side (alert processing + the
+        ~25-40 ms tunnel dispatch floor on remote-attached chips,
+        BENCH_NOTES) is the slower stage. Unlike step_burst, EVERY step's
+        alert list reaches the AlertManager and ingests apply between
+        steps — the trade is one step of alert latency. The produced
+        states/alerts are bit-identical to step() (same program, same key
+        schedule; tests/test_step_pipelined.py). step()/step_burst()/
+        detect() drain the pipeline first, so mixing modes keeps alert
+        order intact. Auto-regrow decisions are guarded by the capacity
+        generation at dispatch time, so two in-flight outputs from the
+        same undersized program regrow ONCE, not twice."""
+        with self._device_lock:
+            self._flush_locked()
+            self._key, sub = jax.random.split(self._key)
+            with Timer() as t:
+                self.state, out = self._step(self.state, sub)
+                # no sync here: the dispatch is asynchronous by design
+                pending, self._pipe = self._pipe, (out, self._window_rows,
+                                                   self._k_marker())
+                prev = None
+                if pending is not None:
+                    prev = pending[0]
+                    self._consume_out(*pending)   # forces prev's fetch
+            self.step_count += 1
+            self.stats_timing["steps"] += 1
+            self.stats_timing["total_ms"] += t.elapsed_ms
+            self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                              t.elapsed_ms)
+            self._maybe_auto_retune()
+            return prev
+
+    def pipeline_drain(self) -> Optional[Any]:
+        """Consume a pending step_pipelined output, if any (returns it)."""
+        with self._device_lock:
+            return self._drain_locked()
+
+    def _drain_locked(self) -> Optional[Any]:
+        if self._pipe is None:
+            return None
+        pending, self._pipe = self._pipe, None
+        self._consume_out(*pending)
+        return pending[0]
+
+    def _k_marker(self) -> tuple:
+        return (self.cfg.alerts.max_alerts_per_object,
+                self.cfg.detect.survivor_k)
+
+    def _consume_out(self, out, wr_at, km_at) -> None:
+        """Process one step's output: auto-regrow on its counters (only if
+        the capacity that produced it is still current — a later output of
+        the same undersized program must not double the capacity twice)
+        and feed its alerts to the AlertManager."""
+        if (self._auto_window and int(out.overflow) > 0
+                and self._window_rows == wr_at):
+            self._grow_window(int(out.overflow))
+        if (self._auto_window and self._backend == "fused"
+                and int(out.alert_overflow) > 0
+                and self._k_marker() == km_at):
+            self._grow_slots(int(out.alert_overflow))
+        self._num_alive = int(out.num_alive)
+        self.alert_manager.process_batch(out.alerts,
+                                         resolver=self.vehicle_id_of)
 
     def _grow_slots(self, aoflow: int) -> None:
         """Some object had more qualifying pairs (fast) / stage-2 survivors
@@ -655,6 +732,7 @@ class Scene:
         return out
 
     def _detect_locked(self) -> Any:
+        self._drain_locked()
         self._flush_locked()
         with Timer() as t:
             pairs = self._detect(self.state)
@@ -755,6 +833,8 @@ class Scene:
 
     def restore_checkpoint(self, step: Optional[int] = None) -> int:
         assert self.ckpt is not None, "Scene built without checkpoint_dir"
+        with self._device_lock:
+            self._drain_locked()   # pre-restore pipelined alerts, in order
         state, meta = self.ckpt.restore(step)
         self.state = state
         self._num_alive = int(np.asarray(jnp.sum(state.alive)))
