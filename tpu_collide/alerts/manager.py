@@ -70,14 +70,15 @@ class AlertManager:
         resolver: optional oid -> external vehicle-id mapping (Scene passes
         its registry)."""
         resolver = resolver or (lambda oid: str(int(oid)))
-        valid = np.asarray(batch.valid).ravel()
+        # ONE batched transfer: each separate np.asarray pays a full RPC
+        # round trip on remote-attached chips (~20-40 ms each over the
+        # axon tunnel); already-fetched numpy batches pass through free
+        import jax
+        valid, vo, oo, risk, ttc, dist, prio = (
+            np.asarray(a).ravel() for a in jax.device_get(
+                (batch.valid, batch.vehicle_oid, batch.other_oid,
+                 batch.risk, batch.ttc, batch.distance, batch.priority)))
         idx = np.flatnonzero(valid)
-        vo = np.asarray(batch.vehicle_oid).ravel()
-        oo = np.asarray(batch.other_oid).ravel()
-        risk = np.asarray(batch.risk).ravel()
-        ttc = np.asarray(batch.ttc).ravel()
-        dist = np.asarray(batch.distance).ravel()
-        prio = np.asarray(batch.priority).ravel()
         touched = []
         for i in idx:
             touched.append(self._upsert(

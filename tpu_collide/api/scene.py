@@ -321,24 +321,32 @@ class Scene:
         self._drain_locked()
         self._flush_locked()
         out = None
-        for _ in range(n):
+        for i in range(n):
             self._key, sub = jax.random.split(self._key)
+            last = i == n - 1
             with Timer() as t:
                 self.state, out = self._step(self.state, sub)
-                jax.block_until_ready(out.num_risks)
+                # one batched fetch syncs the step AND lands everything
+                # the host consumes (block_until_ready is unreliable on
+                # remote-attached chips; per-field fetches each pay an
+                # RPC round trip)
+                if last:
+                    of, ao, alive, alerts = self._fetch_host_view(out)
+                else:
+                    of, ao = (int(v) for v in jax.device_get(
+                        (out.overflow, out.alert_overflow)))
             self.step_count += 1
             self.stats_timing["steps"] += 1
             self.stats_timing["total_ms"] += t.elapsed_ms
             self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
                                               t.elapsed_ms)
-            if self._auto_window and int(out.overflow) > 0:
-                self._grow_window(int(out.overflow))
-            if (self._auto_window and self._backend == "fused"
-                    and int(out.alert_overflow) > 0):
-                self._grow_slots(int(out.alert_overflow))
+            if self._auto_window and of > 0:
+                self._grow_window(of)
+            if (self._auto_window and self._backend == "fused" and ao > 0):
+                self._grow_slots(ao)
         self._maybe_auto_retune()
-        self._num_alive = int(out.num_alive)
-        self.alert_manager.process_batch(out.alerts, resolver=self.vehicle_id_of)
+        self._num_alive = alive
+        self.alert_manager.process_batch(alerts, resolver=self.vehicle_id_of)
         return out
 
     def step_burst(self, n: int) -> Any:
@@ -371,22 +379,26 @@ class Scene:
                 self._burst_cache[n] = fn
             with Timer() as t:
                 self.state, self._key, out, risks = fn(self.state, self._key)
-                jax.block_until_ready(out.num_risks)
+                # one batched fetch: sync + counters + alerts + per-step
+                # risk counts (separate fetches pay an RPC round trip each)
+                of, ao, alive, alerts, risks_np = jax.device_get(
+                    (out.overflow, out.alert_overflow, out.num_alive,
+                     out.alerts, risks))
+                of, ao, alive = int(of), int(ao), int(alive)
             self.step_count += n
             self.stats_timing["steps"] += n
             self.stats_timing["total_ms"] += t.elapsed_ms
             # per-step cost of this burst (the burst IS one device call)
             self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
                                               t.elapsed_ms / n)
-            self.last_burst_risks = np.asarray(risks)
-            if self._auto_window and int(out.overflow) > 0:
-                self._grow_window(int(out.overflow))
-            if (self._auto_window and self._backend == "fused"
-                    and int(out.alert_overflow) > 0):
-                self._grow_slots(int(out.alert_overflow))
+            self.last_burst_risks = np.asarray(risks_np)
+            if self._auto_window and of > 0:
+                self._grow_window(of)
+            if (self._auto_window and self._backend == "fused" and ao > 0):
+                self._grow_slots(ao)
             self._maybe_auto_retune()
-            self._num_alive = int(out.num_alive)
-            self.alert_manager.process_batch(out.alerts,
+            self._num_alive = alive
+            self.alert_manager.process_batch(alerts,
                                              resolver=self.vehicle_id_of)
             return out
 
@@ -447,20 +459,30 @@ class Scene:
         return (self.cfg.alerts.max_alerts_per_object,
                 self.cfg.detect.survivor_k)
 
+    def _fetch_host_view(self, out):
+        """ONE device->host transfer for everything the host consumes from
+        a StepOutput: the regrow counters, num_alive and the alert batch.
+        Each separate int()/np.asarray fetch pays a full RPC round trip on
+        remote-attached chips (~20-40 ms over the axon tunnel) — Scene.step
+        measured ~11 round trips = ~220 ms/call at 1k before this batching
+        (BENCH_NOTES 'serving fetch batching')."""
+        of, ao, alive, alerts = jax.device_get(
+            (out.overflow, out.alert_overflow, out.num_alive, out.alerts))
+        return int(of), int(ao), int(alive), alerts
+
     def _consume_out(self, out, wr_at, km_at) -> None:
         """Process one step's output: auto-regrow on its counters (only if
         the capacity that produced it is still current — a later output of
         the same undersized program must not double the capacity twice)
         and feed its alerts to the AlertManager."""
-        if (self._auto_window and int(out.overflow) > 0
-                and self._window_rows == wr_at):
-            self._grow_window(int(out.overflow))
+        of, ao, alive, alerts = self._fetch_host_view(out)
+        if self._auto_window and of > 0 and self._window_rows == wr_at:
+            self._grow_window(of)
         if (self._auto_window and self._backend == "fused"
-                and int(out.alert_overflow) > 0
-                and self._k_marker() == km_at):
-            self._grow_slots(int(out.alert_overflow))
-        self._num_alive = int(out.num_alive)
-        self.alert_manager.process_batch(out.alerts,
+                and ao > 0 and self._k_marker() == km_at):
+            self._grow_slots(ao)
+        self._num_alive = alive
+        self.alert_manager.process_batch(alerts,
                                          resolver=self.vehicle_id_of)
 
     def _grow_slots(self, aoflow: int) -> None:
@@ -737,7 +759,8 @@ class Scene:
         with Timer() as t:
             pairs = self._detect(self.state)
             batch = self._extract(self.state, pairs)
-            jax.block_until_ready(batch.count)
+            # one batched fetch: real sync + everything the host reads
+            batch = jax.device_get(batch)
         self.stats_timing["steps"] += 1
         self.stats_timing["total_ms"] += t.elapsed_ms
         self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],

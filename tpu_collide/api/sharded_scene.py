@@ -254,9 +254,12 @@ class ShardedScene:
                         self.state, out, dropped = self._step(
                             self.state, sub, self.boundaries,
                             self.boundaries_y, self.boundaries_z)
-                    jax.block_until_ready(out.num_risks)
+                    # one batched fetch: real sync + everything the host
+                    # reads per step (separate int()/np.asarray fetches
+                    # each pay an RPC round trip on remote-attached chips)
+                    of, dropped_np = jax.device_get((out.overflow, dropped))
                 self.step_count += 1
-                self.dropped_total += int(np.asarray(dropped).sum())
+                self.dropped_total += int(np.asarray(dropped_np).sum())
                 self.stats_timing["steps"] += 1
                 self.stats_timing["total_ms"] += t.elapsed_ms
                 self.stats_timing["max_ms"] = max(
@@ -270,8 +273,8 @@ class ShardedScene:
                         # trajectory rings follow their objects to the
                         # new slots
                         self._traj = self._redistribute_hist(old_state)
-                if self._auto_window and int(out.overflow) > 0:
-                    self._grow_window(int(out.overflow))
+                if self._auto_window and int(of) > 0:
+                    self._grow_window(int(of))
             self._maybe_auto_retune()
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
@@ -308,9 +311,11 @@ class ShardedScene:
                     self.state, self._key, out, dropped, risks = fn(
                         self.state, self._key, self.boundaries,
                         self.boundaries_y, self.boundaries_z)
-                jax.block_until_ready(out.num_risks)
+                # one batched fetch (real sync; see step())
+                of, dropped_np, risks = jax.device_get(
+                    (out.overflow, dropped, risks))
             self.step_count += n
-            self.dropped_total += int(np.asarray(dropped).sum())
+            self.dropped_total += int(np.asarray(dropped_np).sum())
             self.stats_timing["steps"] += n
             self.stats_timing["total_ms"] += t.elapsed_ms
             self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
@@ -323,8 +328,8 @@ class ShardedScene:
                     old_state, self.mesh)
                 if self._traj is not None:
                     self._traj = self._redistribute_hist(old_state)
-            if self._auto_window and int(out.overflow) > 0:
-                self._grow_window(int(out.overflow))
+            if self._auto_window and int(of) > 0:
+                self._grow_window(int(of))
             self._maybe_auto_retune()
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
