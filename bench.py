@@ -187,6 +187,29 @@ def main():
     p95_ms = lat[94]
     serving_avg_ms = sum(lat) / len(lat)
 
+    # Scene-surface serving: the FULL public path per call (ingest-ready
+    # scene, alert lifecycle processing, counters) with the batched
+    # one-device_get-per-step fetch; pipelined = one-behind consumption
+    # that overlaps host work with the device step (BENCH_NOTES "serving
+    # fetch batching": 222 -> ~37 -> ~31 ms/call at this config).
+    from tpu_collide.api import Scene
+
+    def scene_serving(pipelined: bool, n=30):
+        sc = Scene(cfg_p, state=generate_fleet(jax.random.key(12), cfg_p))
+        (sc.step_pipelined() if pipelined else sc.step())   # warm
+        ls = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            sc.step_pipelined() if pipelined else sc.step()
+            ls.append((time.perf_counter() - t0) * 1e3)
+        if pipelined:
+            sc.pipeline_drain()
+        ls.sort()
+        return sum(ls) / len(ls), ls[int(0.95 * len(ls))]
+
+    scene_avg, scene_p95 = scene_serving(False)
+    pipe_avg, pipe_p95 = scene_serving(True)
+
     extra = {}
     if args.full:
         # perf configs compile the stage-1 checked counter out
@@ -291,6 +314,12 @@ def main():
         # device-only per-step ~ serving_avg_ms - tunnel_dispatch_ms
         "tunnel_dispatch_ms": round(dispatch_ms, 2),
         "serving_avg_ms": round(serving_avg_ms, 2),
+        # full public Scene surface per call (alerts processed), one
+        # batched fetch; _pipelined overlaps host work with the device
+        "serving_scene_avg_ms": round(scene_avg, 2),
+        "serving_scene_p95_ms": round(scene_p95, 2),
+        "serving_scene_pipelined_avg_ms": round(pipe_avg, 2),
+        "serving_scene_pipelined_p95_ms": round(pipe_p95, 2),
         "per_step_p95_ms": round(p95_ms, 2),
         "per_step_p99_ms": round(p99_ms, 2),
         "p99_vs_baseline": round(BASELINE_P99_MS / p99_ms, 2),

@@ -79,6 +79,51 @@ def test_pipelined_regrows_once_per_capacity_generation():
     assert int(out.overflow) == 0
 
 
+def test_sharded_pipelined_matches_step_sequence():
+    """ShardedScene.step_pipelined == one-behind of ShardedScene.step on
+    the 4-shard mesh: same risks, same alert lifecycle, same drop
+    accounting."""
+    from tpu_collide.api import ShardedScene
+    from tpu_collide.core.config import ShardConfig
+    cfg = mk_cfg(256).replace(shard=ShardConfig(num_shards=4))
+    a = ShardedScene(cfg, fleet=generate_fleet(jax.random.key(7), cfg),
+                     auto_rebalance=False)
+    b = ShardedScene(cfg, fleet=generate_fleet(jax.random.key(7), cfg),
+                     auto_rebalance=False)
+    outs_a = [a.step() for _ in range(4)]
+    outs_b = [b.step_pipelined() for _ in range(4)]
+    outs_b.append(b.pipeline_drain())
+    assert outs_b[0] is None
+    for oa, ob in zip(outs_a, outs_b[1:]):
+        assert int(oa.num_risks) == int(ob.num_risks)
+    assert a.alert_manager.get_stats() == b.alert_manager.get_stats()
+    assert a.dropped_total == b.dropped_total
+    assert a.step_count == b.step_count == 4
+
+
+def test_rest_step_route_over_sharded_scene():
+    """POST /step and /detect must serve ShardedScene outputs, whose
+    alerts.count / max_risk are PER-SHARD arrays (latent until now: the
+    route scalar-converted them and raised on any mesh-backed service;
+    found by an end-to-end drive, fixed with np reductions). Covers
+    pipelined=true on the mesh too."""
+    from tpu_collide.api import ShardedScene
+    from tpu_collide.api.routes import RouteTable
+    from tpu_collide.core.config import ShardConfig
+    cfg = mk_cfg(256).replace(shard=ShardConfig(num_shards=4))
+    sc = ShardedScene(cfg, fleet=generate_fleet(jax.random.key(7), cfg),
+                      auto_rebalance=False)
+    routes = RouteTable(sc)
+    code, r = routes.handle("POST", "/step", {}, {})
+    assert code == 200 and r["data"]["num_alerts"] >= 0
+    assert isinstance(r["data"]["max_risk"], float)
+    code, r = routes.handle("POST", "/detect", {}, {})
+    assert code == 200 and r["data"]["num_alerts"] >= 0
+    code, r = routes.handle("POST", "/step", {"pipelined": True}, {})
+    assert code == 200          # mesh scenes support pipelined serving
+    sc.pipeline_drain()
+
+
 def test_rest_step_route_pipelined_param():
     """POST /step {'pipelined': true} rides Scene.step_pipelined through
     the shared route core: the first call reports pending (nothing

@@ -20,6 +20,8 @@ import dataclasses
 import re
 import threading
 import time
+
+import numpy as np
 from typing import Any, Dict, Optional, Tuple
 
 from tpu_collide.core.types import LocationData, Position, Vector, Task
@@ -281,14 +283,18 @@ class RouteTable:
                                          "pipelined_pending": True})
                 else:
                     out = scene.step(n)
-                return 200, _ok({"step_count": scene.step_count,
-                                 "num_risks": int(out.num_risks),
-                                 "num_alerts": int(out.alerts.count),
-                                 "max_risk": float(out.max_risk)})
+                # np reductions: sharded outputs carry per-shard counters
+                # ([D] arrays); identical for single-device scalars
+                return 200, _ok({
+                    "step_count": scene.step_count,
+                    "num_risks": int(np.asarray(out.num_risks).sum()),
+                    "num_alerts": int(np.asarray(out.alerts.count).sum()),
+                    "max_risk": float(np.asarray(out.max_risk).max())})
 
             if method == "POST" and path == "/detect":
                 batch = scene.detect()
-                return 200, _ok({"num_alerts": int(batch.count)})
+                return 200, _ok({"num_alerts":
+                                 int(np.asarray(batch.count).sum())})
 
             if method == "GET" and path == "/stats":
                 s = scene.stats()

@@ -89,6 +89,8 @@ class ShardedScene:
                                        window_rows=window_rows)
         self._step_h = None           # history-carrying step (lazy)
         self._burst_cache = {}        # (n, with_history) -> compiled burst
+        self._pipe = None             # pending step_pipelined output:
+                                      # (out, dropped, window_rows@dispatch)
         self._traj = None             # sharded TrajectoryHistory
         self._traj_clock = 0.0
         self._predict_cache = {}      # (horizon, step) -> compiled fns
@@ -230,6 +232,7 @@ class ShardedScene:
     def step(self, n: int = 1) -> Any:
         out = None
         with self._lock:
+            self._drain_locked()
             self._flush_locked()
             self._ensure_state()
             for _ in range(n):
@@ -291,6 +294,7 @@ class ShardedScene:
         if n <= 1:
             return self.step(n)
         with self._lock:
+            self._drain_locked()
             self._flush_locked()
             self._ensure_state()
             hist = self._traj is not None
@@ -334,6 +338,82 @@ class ShardedScene:
             self.alert_manager.process_batch(out.alerts,
                                              resolver=self.vehicle_id_of)
             return out
+
+    def step_pipelined(self) -> Any:
+        """One-behind serving on the mesh: dispatch THIS sharded step
+        asynchronously, consume the PREVIOUS one's output (alerts, drop
+        counters, window regrow) while the devices work — same semantics
+        and guards as Scene.step_pipelined (bit-identical outputs, one
+        step of alert latency; step()/step_burst()/detect() drain first).
+        The rebalance check stays in the dispatch phase: LoadBalancer
+        self-gates occupancy fetches to every `check_every` steps, so the
+        periodic sync is the (existing) price of moving walls, not a
+        per-call cost."""
+        with self._lock:
+            self._flush_locked()
+            self._ensure_state()
+            self._key, sub = jax.random.split(self._key)
+            with Timer() as t:
+                if self._traj is not None:
+                    if self._step_h is None:
+                        self._step_h = make_sharded_step(
+                            self.cfg, self.mesh, donate=True,
+                            backend=self._backend,
+                            interpret=self._interpret,
+                            window_rows=self._window_rows,
+                            with_history=True)
+                    (self.state, self._traj, out, dropped) = self._step_h(
+                        self.state, self._traj, sub, self.boundaries,
+                        self.boundaries_y, self.boundaries_z)
+                else:
+                    self.state, out, dropped = self._step(
+                        self.state, sub, self.boundaries,
+                        self.boundaries_y, self.boundaries_z)
+                pending, self._pipe = self._pipe, (out, dropped,
+                                                   self._window_rows)
+                prev = None
+                if pending is not None:
+                    prev = pending[0]
+                    self._consume_out(*pending)
+            self.step_count += 1
+            self.stats_timing["steps"] += 1
+            self.stats_timing["total_ms"] += t.elapsed_ms
+            self.stats_timing["max_ms"] = max(self.stats_timing["max_ms"],
+                                              t.elapsed_ms)
+            if self.balancer and self.balancer.should_rebalance(self.state):
+                old_state = self.state
+                (self.state, self.boundaries, self.boundaries_y,
+                 self.boundaries_z) = self.balancer.rebalance(
+                    old_state, self.mesh)
+                if self._traj is not None:
+                    self._traj = self._redistribute_hist(old_state)
+            self._maybe_auto_retune()
+            return prev
+
+    def pipeline_drain(self) -> Any:
+        """Consume a pending step_pipelined output, if any (returns it)."""
+        with self._lock:
+            return self._drain_locked()
+
+    def _drain_locked(self) -> Any:
+        if self._pipe is None:
+            return None
+        pending, self._pipe = self._pipe, None
+        self._consume_out(*pending)
+        return pending[0]
+
+    def _consume_out(self, out, dropped, wr_at) -> None:
+        """Process one sharded step's output: one batched fetch for the
+        counters, window regrow guarded by the capacity generation at
+        dispatch (two in-flight outputs of one undersized program regrow
+        once), alerts to the AlertManager."""
+        of, dropped_np = jax.device_get((out.overflow, dropped))
+        self.dropped_total += int(np.asarray(dropped_np).sum())
+        if (self._auto_window and int(of) > 0
+                and self._window_rows == wr_at):
+            self._grow_window(int(of))
+        self.alert_manager.process_batch(out.alerts,
+                                         resolver=self.vehicle_id_of)
 
     def _redistribute_hist(self, old_state: ObjectState):
         """After a rebalance moved objects to new slots, move their
@@ -553,6 +633,7 @@ class ShardedScene:
         mesh (halo exchange + XLA tail; make_sharded_detect)."""
         from tpu_collide.shard.step import make_sharded_detect
         with self._lock:
+            self._drain_locked()
             self._flush_locked()
             self._ensure_state()
             if self._detect is None:
