@@ -105,3 +105,29 @@ def test_scene_topk_truncates_lowest():
         assert ns == 2
         np.testing.assert_allclose(np.asarray(small.risk)[:2],
                                    np.asarray(big.risk)[:2], rtol=1e-6)
+
+
+def test_upsert_priority_change_lazy_requeue():
+    """Priority changes re-queue LAZILY (duplicate heap entries +
+    periodic compaction) instead of rebuilding the heap per update — the
+    old O(queue) rebuild made 100k-fleet serving seconds-per-step. pump()
+    must still deliver each alert exactly once per tick, with the LAST
+    priority, and the queue stays bounded between pumps."""
+    import asyncio
+    import tpu_collide as tc
+    from tpu_collide.alerts.manager import AlertManager
+
+    m = AlertManager(tc.SystemConfig(num_objects=10))
+    for i in range(100):
+        m._upsert(f"v{i}", f"o{i}", 0.65, 6.0, 10.0, 1)
+    for _ in range(5):                       # 1000 priority flips
+        for i in range(100):
+            m._upsert(f"v{i}", f"o{i}", 0.85, 2.0, 5.0, 3)
+            m._upsert(f"v{i}", f"o{i}", 0.65, 6.0, 10.0, 1)
+    assert len(m.alerts) == 100
+    assert len(m._queue) <= 2 * len(m.alerts) + 64   # compaction bound
+    sent = asyncio.run(m.pump())
+    assert len(sent) == 100                  # once per alert, not per dupe
+    assert len({a.id for a in sent}) == 100
+    assert all(a.priority == 1 for a in sent)        # last update wins
+    assert len(m._queue) == 100              # unique after the pump

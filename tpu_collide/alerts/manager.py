@@ -54,6 +54,7 @@ class AlertManager:
         self.alerts: Dict[str, Alert] = {}        # alert_id -> Alert
         self.pair_alerts: Dict[tuple, str] = {}   # (veh, other) -> alert_id
         self._queue: List[Alert] = []             # heapq by (priority, recency)
+        self._queue_dupes = 0      # lazy re-queue entries awaiting compaction
         self._callbacks: Dict[str, List[AlertCallback]] = {}
         self._global_callbacks: List[AlertCallback] = []
         self.stats = {"created": 0, "updated": 0, "acknowledged": 0,
@@ -121,9 +122,16 @@ class AlertManager:
             a.priority, a.message = priority, msg
             a.timestamp = time.time()
             if a.priority != old_priority:             # re-queue (:188-193)
-                self._queue = [q for q in self._queue if q.id != aid]
-                heapq.heapify(self._queue)
+                # LAZY re-queue: push a duplicate reference instead of
+                # rebuilding the heap (the old O(queue) rebuild per
+                # priority change made 100k-fleet serving seconds-per-step
+                # — ~1k updates x ~20k queue each step). pump() collapses
+                # duplicates by id each tick; between pumps, compaction
+                # keeps the queue bounded.
                 heapq.heappush(self._queue, a)
+                self._queue_dupes += 1
+                if self._queue_dupes > max(64, len(self.alerts)):
+                    self._compact_queue_locked()
             self.stats["updated"] += 1
             return a
         a = Alert(id=f"alert-{uuid.uuid4()}", vehicle_id=veh,
@@ -161,10 +169,22 @@ class AlertManager:
             self.pair_alerts.pop((a.vehicle_id, a.other_vehicle_id), None)
             self.stats["expired"] += 1
         if stale:
-            alive = set(self.alerts)
-            self._queue = [a for a in self._queue if a.id in alive]
-            heapq.heapify(self._queue)
+            self._compact_queue_locked()
         return len(stale)
+
+    def _compact_queue_locked(self) -> None:
+        """Rebuild the heap with one live entry per alert (drops lazy
+        re-queue duplicates and entries whose alert expired). O(queue),
+        amortized across the duplicates that triggered it."""
+        seen = set()
+        uniq = []
+        for a in self._queue:
+            if a.id not in seen and a.id in self.alerts:
+                seen.add(a.id)
+                uniq.append(a)
+        self._queue = uniq
+        heapq.heapify(self._queue)
+        self._queue_dupes = 0
 
     async def pump(self, now: Optional[float] = None) -> List[Alert]:
         """One processing-loop tick (reference :403-435): deliver every
@@ -173,8 +193,12 @@ class AlertManager:
         resend = self.cfg.alerts.resend_interval_s
         sent, keep = [], []
         with self._lock:
+            seen = set()
             while self._queue:
                 a = heapq.heappop(self._queue)
+                if a.id in seen or a.id not in self.alerts:
+                    continue          # lazy re-queue duplicate / expired
+                seen.add(a.id)
                 if not a.acknowledged and now - a.last_sent >= resend:
                     a.last_sent = now
                     sent.append(a)
@@ -182,6 +206,7 @@ class AlertManager:
                     keep.append(a)
             for a in keep:
                 heapq.heappush(self._queue, a)
+            self._queue_dupes = 0
         for a in sent:                  # deliver outside the lock
             await self._send(a)
         self.cleanup_expired(now)
