@@ -103,10 +103,16 @@ def _precise_sweep(rel_pos, rel_vel, rel_acc, safe, det):
         tb = jnp.broadcast_to(t[lead], (C,) + rel_pos.shape[:-1])
         d = _dist_at_time(rel_pos[None], rel_vel[None], rel_acc[None], tb)
         inside = (d <= safe[None]) & (k < T)[lead]      # [C, ...]
-        has = jnp.any(inside, axis=0)
-        first = jnp.argmax(inside, axis=0)              # first sample index
-        t_c = (k0 + first).astype(jnp.float32) * dt
-        d_c = jnp.take_along_axis(d, first[None], axis=0)[0]
+        # first-inside sample via a one-hot cumsum mask — elementwise ops
+        # only; argmax + take_along_axis lowered to a gather that cost
+        # ~25% of the 100k predict pass
+        csum = jnp.cumsum(inside.astype(jnp.int32), axis=0)
+        newh = inside & (csum == 1)                     # one-hot per element
+        has = csum[-1] > 0
+        # one-hot sum == the selected sample's exact value (adding +0.0
+        # leaves f32 values unchanged)
+        t_c = jnp.sum(jnp.where(newh, tb, 0.0), axis=0)
+        d_c = jnp.sum(jnp.where(newh, d, 0.0), axis=0)
         new_hit = (~hit) & has
         t_hit = jnp.where(new_hit, t_c, t_hit)
         d_hit = jnp.where(new_hit, d_c, d_hit)
@@ -204,25 +210,38 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
     # ---- stage 1: spatial filtering ----
     cand, cand_ok = gather_candidates(index, index.cell3[rows], cfg)  # [Q, K]
     cand_ok &= (cand != rows[:, None])
-    cand_ok &= state.alive[cand] & state.alive[rows][:, None]
+
+    # Pack the per-object fields into one [N, 13] matrix and do ONE row
+    # gather per side instead of ~10 per-field gathers — gathers, not the
+    # pair math, dominate this path (probe: stages 1-2 were 3.1 ms of the
+    # 1k step). Values are the same f32 numbers (otype/alive casts are
+    # exact), so results are unchanged.
+    fmat = jnp.concatenate(
+        [state.pos, state.vel, state.acc, state.size[:, None],
+         state.heading[:, None], state.otype.astype(jnp.float32)[:, None],
+         state.alive.astype(jnp.float32)[:, None]], axis=1)   # [N, 13]
+    fo = fmat[rows][:, None, :]            # [Q, 1, 13]
+    fc = fmat[cand]                        # [Q, K, 13]
+
+    cand_ok &= (fc[..., 12] > 0.5) & (fo[..., 12] > 0.5)
     if row_valid is not None:
         cand_ok &= row_valid[:, None]
 
-    pos_i = state.pos[rows][:, None, :]    # [Q, 1, 3]
-    pos_j = state.pos[cand]                # [Q, K, 3]
+    pos_i = fo[..., 0:3]                   # [Q, 1, 3]
+    pos_j = fc[..., 0:3]                   # [Q, K, 3]
     cur_dist = jnp.linalg.norm(pos_j - pos_i, axis=-1)
     cand_ok &= cur_dist <= det.search_radius
 
     # ---- stage 2: temporal filtering ----
-    vel_i = state.vel[rows][:, None, :]
-    vel_j = state.vel[cand]
-    acc_i = state.acc[rows][:, None, :]
-    acc_j = state.acc[cand]
+    vel_i = fo[..., 3:6]
+    vel_j = fc[..., 3:6]
+    acc_i = fo[..., 6:9]
+    acc_j = fc[..., 6:9]
     rel_vel = vel_i - vel_j                # vehicle minus other (ref :252-257)
     rel_pos = pos_j - pos_i                # other minus vehicle (ref :259-264)
     rel_speed = jnp.linalg.norm(rel_vel, axis=-1)
 
-    safe = _pair_safe_distance(state.size[rows][:, None], state.size[cand], det)
+    safe = _pair_safe_distance(fo[..., 9], fc[..., 9], det)
 
     # Closest-approach time of the separation s(t) = rel_pos + (v_j - v_i) t.
     # 'physical': t* = -dot(rel_pos, v_j - v_i)/|rel|^2 (correct).
@@ -279,8 +298,8 @@ def detect_rows(state: ObjectState, index: GridIndex, cfg: SystemConfig,
 
     # ---- stage 4: risk assessment ----
     risk = _risk_score(jnp.where(hit, d_hit, 0.0), jnp.where(hit, t_hit, 0.0),
-                       rel_speed, state.heading[rows][:, None], state.heading[cand],
-                       state.otype[rows][:, None], state.otype[cand], safe, det)
+                       rel_speed, fo[..., 10], fc[..., 10],
+                       fo[..., 11], fc[..., 11], safe, det)
     risk = jnp.where(hit, risk, 0.0)
 
     return PairRisks(
