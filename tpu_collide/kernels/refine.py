@@ -375,6 +375,10 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
     nmax = flat.shape[1] - 1
     m = cl.num_tiles * TILE
     soid = cl.oid_flat
+    # one [pairs, NFK] row gather per offset instead of ~14 per-field
+    # gathers: the transpose is loop-invariant across the offset scan and
+    # gathers, not math, are the expensive op on TPU
+    flat_t = flat.T
 
     def refine_offset(o, keys, idx):
         """Recompute (hit, risk, ttc, dist) for the selected pairs with the
@@ -384,7 +388,8 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         occupied = keys > PACKED_OCC_MIN
         kk = idx.shape[1]
         ci = jnp.clip(idx.reshape(-1), 0, nmax)
-        g = lambda name, rows: flat[_FI[name]][rows]
+        cf = flat_t[ci]                               # [pairs, NFK]
+        g = lambda name, rows: cf[:, _FI[name]]
         # own rows are arange repeated kk times — gather each own field
         # ONCE at [m] and broadcast, instead of a [m*kk] gather (gathers,
         # not math, are the expensive op on TPU)
@@ -417,12 +422,12 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         # candidate advanced const-accel (predict.py :808-812)
         o_pos = p_c + v_c * t_o + 0.5 * a_c * t_o * t_o
         alive_o = bo(flat[_FI["row"]]) >= 0.0
-        alive_c = flat[_FI["row"]][ci] >= 0.0
+        alive_c = cf[:, _FI["row"]] >= 0.0
         lo_o = bo(flat[_FI["oid"]]).astype(jnp.int32)
-        lo_c = flat[_FI["oid"]][ci].astype(jnp.int32)
+        lo_c = cf[:, _FI["oid"]].astype(jnp.int32)
         if cl.wide_oid:
             hi_o = bo(flat[NF]).astype(jnp.int32)
-            hi_c = flat[NF][ci].astype(jnp.int32)
+            hi_c = cf[:, NF].astype(jnp.int32)
             not_self = (lo_o != lo_c) | (hi_o != hi_c)
             hi_uc = jnp.where(hi_c <= -2, -hi_c - 2, hi_c)
             oid_c = jnp.where(lo_c >= 0, hi_uc * (1 << 24) + lo_c, -1)
