@@ -33,6 +33,24 @@ BASELINE_AVG_MS = 99.32
 BASELINE_P99_MS = 314.57
 
 
+def _consume(out):
+    """Fold EVERY StepOutput field into one f32 scalar. Scan-chunked
+    timing bodies must return this (not just num_risks): jit DCEs any
+    unconsumed output, and a body that only keeps num_risks silently
+    drops stage 4 + alert extraction from the timed program (~2 ms at
+    the 1k config — caught by the r3 stage-anatomy probe). The bench
+    claims the FULL step, so it must compute the full step."""
+    a = out.alerts
+    v = a.valid
+    s = lambda x: jnp.sum(jnp.where(v, x, 0).astype(jnp.float32))
+    return (out.num_pairs_checked.astype(jnp.float32) + out.num_risks
+            + out.max_risk + out.num_alive + out.overflow
+            + out.alert_overflow + a.count
+            + s(a.vehicle_oid) + s(a.other_oid) + s(a.risk) + s(a.ttc)
+            + s(a.distance) + s(a.rel_speed) + s(a.priority)
+            + jnp.sum(jnp.where(v[:, None], a.col_pos, 0.0)))
+
+
 def bench_scan(cfg, steps, chunk, key0=0):
     """steps/s via scan-batched chunks; returns (steps_per_s, avg_ms,
     worst_chunk_ms, total_risks)."""
@@ -47,20 +65,23 @@ def bench_scan(cfg, steps, chunk, key0=0):
 
         def body(st, k):
             st, out = step(st, k, cfg)
-            return st, out.num_risks
+            return st, (out.num_risks, _consume(out))
 
-        return jax.lax.scan(body, state, keys)
+        state, (risks, cks) = jax.lax.scan(body, state, keys)
+        # one 2-float fetch syncs the chunk and carries the risk count
+        return state, jnp.stack([jnp.sum(risks).astype(jnp.float32),
+                                 jnp.sum(cks)])
 
     run = jax.jit(chunk_fn, donate_argnums=(0,))
-    state, risks = run(state, jax.random.key(1))
-    int(np.asarray(risks[-1]))                      # real sync (compile)
+    state, probe = run(state, jax.random.key(1))
+    np.asarray(probe)                               # real sync (compile)
 
     n_chunks = max(1, steps // chunk)
     chunk_ms, total_risks = [], 0
     for i in range(n_chunks):
         t0 = time.perf_counter()
-        state, risks = run(state, jax.random.key(2 + i))
-        total_risks += int(np.asarray(jnp.sum(risks)))   # forces completion
+        state, probe = run(state, jax.random.key(2 + i))
+        total_risks += int(np.asarray(probe)[0])         # forces completion
         chunk_ms.append((time.perf_counter() - t0) * 1e3)
     total_ms = sum(chunk_ms)
     done = n_chunks * chunk
@@ -109,18 +130,19 @@ def bench_fused_scan(cfg, steps, chunk, key0=0):
 
         def body(st, k):
             st, out = step_fused(st, k, cfg)
-            return st, out.num_risks
+            return st, _consume(out)     # force the full alert tail (no DCE)
 
-        return jax.lax.scan(body, state, keys)
+        state, cks = jax.lax.scan(body, state, keys)
+        return state, jnp.sum(cks)
 
     run = jax.jit(chunk_fn, donate_argnums=(0,))
-    state, risks = run(state, jax.random.key(1))
-    int(np.asarray(risks[-1]))                       # compile + sync
+    state, cks = run(state, jax.random.key(1))
+    float(np.asarray(cks))                           # compile + sync
     lat = []
     for i in range(max(1, steps // chunk)):
         t0 = time.perf_counter()
-        state, risks = run(state, jax.random.key(2 + i))
-        int(np.asarray(jnp.sum(risks)))
+        state, cks = run(state, jax.random.key(2 + i))
+        float(np.asarray(cks))
         lat.append((time.perf_counter() - t0) / chunk * 1e3)
     # one plain step for the counter fields (overflow certification)
     f1 = tc.make_step(cfg, donate=True, backend="fused")
@@ -132,7 +154,7 @@ def bench_fused_scan(cfg, steps, chunk, key0=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--full", action="store_true",
                     help="also run the 100k-2D and 1M-3D fused configs")
     args = ap.parse_args()

@@ -131,3 +131,68 @@ def test_upsert_priority_change_lazy_requeue():
     assert len({a.id for a in sent}) == 100
     assert all(a.priority == 1 for a in sent)        # last update wins
     assert len(m._queue) == 100              # unique after the pump
+
+
+def _synthetic_pairs(rng, n, k, qual_frac):
+    """Random PairRisks + matching state for extract_alerts input."""
+    from tpu_collide.detect.pipeline import PairRisks
+
+    other = rng.integers(0, n, (n, k)).astype(np.int32)
+    valid = rng.random((n, k)) < qual_frac
+    risk = rng.random((n, k)).astype(np.float32)
+    ttc = rng.uniform(0.5, 12.0, (n, k)).astype(np.float32)
+    pairs = PairRisks(
+        other=jnp.asarray(other), valid=jnp.asarray(valid),
+        risk=jnp.asarray(risk),
+        ttc=jnp.where(jnp.asarray(valid), jnp.asarray(ttc), jnp.inf),
+        distance=jnp.asarray(rng.uniform(1, 20, (n, k)).astype(np.float32)),
+        rel_speed=jnp.asarray(rng.uniform(0, 30, (n, k)).astype(np.float32)),
+        col_pos=jnp.asarray(rng.normal(0, 100, (n, k, 3)).astype(np.float32)),
+        survivor_overflow=jnp.asarray(0, jnp.int32),
+        num_checked=jnp.asarray(n * k, jnp.int32))
+    st = state_from_numpy(
+        np.zeros((n, 3)), np.zeros((n, 3)), np.zeros((n, 3)),
+        np.zeros(n), np.full(n, 2.0), np.zeros(n, np.int32))
+    return pairs, st
+
+
+@pytest.mark.parametrize("qual_frac", [0.02, 0.9])
+def test_extract_alerts_matches_numpy_full_sort(qual_frac):
+    """extract_alerts must select exactly the pairs a literal NumPy full
+    sort over all n*k keys selects, in the same (priority, risk) order —
+    at sparse and dense qualifying fractions (the dense case pushed a
+    tried-and-reverted compaction fast path past its buffer; keeping both
+    pins any future selection restructure to the exact semantics)."""
+    rng = np.random.default_rng(7)
+    # dense case: qualifying count > 2048 (a plausible compaction buffer)
+    n, k = 300, (48 if qual_frac > 0.5 else 16)
+    cfg = SystemConfig(num_objects=n,
+                       alerts=AlertConfig(max_scene_alerts=1024))
+    pairs, st = _synthetic_pairs(rng, n, k, qual_frac)
+    got = jax.jit(lambda s, p: extract_alerts(s, p, cfg))(st, pairs)
+
+    # NumPy reference: the literal full-sort selection
+    a = cfg.alerts
+    keep = (np.asarray(pairs.valid)
+            & (np.asarray(pairs.risk) >= a.risk_low))
+    oid = np.arange(n)
+    keep &= oid[:, None] < oid[np.asarray(pairs.other)]
+    if qual_frac > 0.5:
+        assert keep.sum() > 2048
+    prio = np.asarray(compute_priority(pairs.risk, pairs.ttc, cfg))
+    key = np.where(keep, prio * 2.0 + np.asarray(pairs.risk), -1.0).ravel()
+    order = np.lexsort((np.arange(key.size), -key))[:a.max_scene_alerts]
+    want_valid = key[order] >= 0.0
+    n_want = int(want_valid.sum())
+
+    assert int(got.count) == n_want
+    gv = np.asarray(got.valid)
+    assert gv[:n_want].all() and not gv[n_want:].any()
+    np.testing.assert_array_equal(
+        np.asarray(got.vehicle_oid)[:n_want], order[:n_want] // k)
+    np.testing.assert_array_equal(
+        np.asarray(got.other_oid)[:n_want],
+        np.asarray(pairs.other).ravel()[order[:n_want]])
+    np.testing.assert_allclose(
+        np.asarray(got.risk)[:n_want],
+        np.asarray(pairs.risk).ravel()[order[:n_want]], rtol=0, atol=0)
