@@ -7,9 +7,12 @@ for the whole fleet (optimized_performance_test.py:850-981). This bench runs
 the identical workload shape as one jitted step and reports steps/s with
 vs_baseline = ours / 9.44.
 
-Headline: 1000 vehicles, precise (reference-parity) 4-stage detection.
-Extra fields: fast mode at 1000, and with --full the 100k-2D and 1M-3D
-fused-kernel configs (BASELINE.json configs 3-4).
+Headline: 1000 vehicles, precise (reference-parity) 4-stage detection on
+the production engine (fused Pallas kernel; alert list certified set-equal
+to the XLA reference pipeline per step — worst per-step overflow counter
+folded across the run). The XLA pipeline's numbers ride along as xla_*
+fields. Extra fields: fast mode at 1000 (both engines), and with --full
+the 100k-2D and 1M-3D fused-kernel configs (BASELINE.json configs 3-4).
 
 NB: axon block_until_ready returns early; every timing forces a scalar
 fetch. Prints ONE JSON line.
@@ -111,44 +114,50 @@ def bench_fused(cfg, steps, key0=0):
     return avg, p99
 
 
-def bench_fused_scan(cfg, steps, chunk, key0=0):
+def bench_fused_scan(cfg, steps, chunk, key0=0, distribution="uniform"):
     """DEVICE-RATE per-step ms of the fused step: `chunk` steps per
     dispatch via lax.scan — the same device-rate methodology the headline
     config uses, so the ~25 ms/call tunnel dispatch amortizes instead of
     being misread as device time. Returns (avg_ms, best_chunk_ms,
-    last_out) with the overflow/aoflow counters fetched from a final
-    single step."""
+    last_out, worst_flow): worst_flow is the MAX per-step
+    max(overflow, alert_overflow) across every timed step, so 0 certifies
+    the whole run's alert lists complete (not just the final step's)."""
     from functools import partial
     from tpu_collide.engine import step_fused
     from tpu_collide.sim import generate_fleet
     import tpu_collide as tc
 
-    state = generate_fleet(jax.random.key(key0), cfg, distribution="uniform")
+    state = generate_fleet(jax.random.key(key0), cfg,
+                           distribution=distribution)
 
     def chunk_fn(state, key):
         keys = jax.random.split(key, chunk)
 
         def body(st, k):
             st, out = step_fused(st, k, cfg)
-            return st, _consume(out)     # force the full alert tail (no DCE)
+            # force the full alert tail (no DCE) + fold the certificates
+            return st, (_consume(out),
+                        jnp.maximum(out.overflow, out.alert_overflow))
 
-        state, cks = jax.lax.scan(body, state, keys)
-        return state, jnp.sum(cks)
+        state, (cks, flows) = jax.lax.scan(body, state, keys)
+        return state, jnp.stack([jnp.sum(cks),
+                                 jnp.max(flows).astype(jnp.float32)])
 
     run = jax.jit(chunk_fn, donate_argnums=(0,))
-    state, cks = run(state, jax.random.key(1))
-    float(np.asarray(cks))                           # compile + sync
-    lat = []
+    state, probe = run(state, jax.random.key(1))
+    np.asarray(probe)                                # compile + sync
+    lat, worst_flow = [], 0
     for i in range(max(1, steps // chunk)):
         t0 = time.perf_counter()
-        state, cks = run(state, jax.random.key(2 + i))
-        float(np.asarray(cks))
+        state, probe = run(state, jax.random.key(2 + i))
+        v = np.asarray(probe)                        # one 2-float fetch
         lat.append((time.perf_counter() - t0) / chunk * 1e3)
-    # one plain step for the counter fields (overflow certification)
+        worst_flow = max(worst_flow, int(v[1]))
+    # one plain step for the full counter fields
     f1 = tc.make_step(cfg, donate=True, backend="fused")
     state, out = f1(state, jax.random.key(99))
     int(np.asarray(out.num_risks))
-    return sum(lat) / len(lat), min(lat), out
+    return sum(lat) / len(lat), min(lat), out, worst_flow
 
 
 def main():
@@ -163,15 +172,28 @@ def main():
     from tpu_collide.core.config import (WorldConfig, GridConfig,
                                          DetectionConfig, AlertConfig)
 
-    # headline: the reference's own 1000-vehicle config, parity (precise) mode
+    # headline: the reference's own 1000-vehicle config, parity (precise)
+    # mode, on the PRODUCTION engine (fused Pallas kernel) — its alert
+    # list is set-equal to the XLA reference pipeline, certified per step
+    # by overflow == alert_overflow == 0 folded across the whole run
+    # (worst_flow below; tests/test_fused_kernel.py pins set-equality)
     cfg_p = tc.SystemConfig(num_objects=1000,
                             detect=DetectionConfig(mode="precise"))
-    sps, avg_ms, worst_ms, risks = bench_scan(cfg_p, args.steps, args.chunk)
+    avg_ms, _, _, flow_p = bench_fused_scan(cfg_p, args.steps, args.chunk,
+                                            distribution="city_skew")
+    sps = 1e3 / avg_ms
 
-    # secondary: fast mode at 1000
+    # the XLA pipeline (the literal reference-shaped 4-stage path) on the
+    # same config — reported alongside for transparency
+    sps_x, avg_x, worst_x, risks = bench_scan(cfg_p, args.steps, args.chunk)
+
+    # secondary: fast mode at 1000, both engines
     cfg_f = tc.SystemConfig(num_objects=1000,
                             detect=DetectionConfig(mode="fast"))
-    sps_fast, avg_fast, _, _ = bench_scan(cfg_f, args.steps, args.chunk)
+    avg_fast, _, _, flow_f = bench_fused_scan(cfg_f, args.steps, args.chunk,
+                                              distribution="city_skew")
+    sps_fast = 1e3 / avg_fast
+    sps_fast_x, avg_fast_x, _, _ = bench_scan(cfg_f, args.steps, args.chunk)
 
     # Tunnel dispatch overhead: a trivial jitted program, individually
     # dispatched + scalar-fetched — the floor any per-step serving number
@@ -252,19 +274,18 @@ def main():
                                max_alerts_per_object=8))
         # chunk sized so the ~25-40 ms tunnel dispatch is <5% of every
         # timed chunk (the BENCH_NOTES device-rate rule): 25 x ~28 ms
-        a, best, out = bench_fused_scan(cfg100k, steps=75, chunk=25)
+        a, best, out, flow = bench_fused_scan(cfg100k, steps=75, chunk=25)
         extra["fused_100k_2d_avg_ms"] = round(a, 2)
         extra["fused_100k_2d_best_ms"] = round(best, 2)
-        extra["fused_100k_2d_aoflow"] = int(np.asarray(out.alert_overflow))
+        extra["fused_100k_2d_aoflow"] = flow
         pc, _ = bench_fused(cfg100k, steps=10)
         extra["fused_100k_2d_per_call_ms"] = round(pc, 2)
         # NEW in round 2: exact precise semantics at kernel scale
         cfg100kp = cfg100k.replace(detect=DetectionConfig(
             mode="precise", count_checked=False))
-        a, best, out = bench_fused_scan(cfg100kp, steps=30, chunk=15)
+        a, best, out, flow = bench_fused_scan(cfg100kp, steps=30, chunk=15)
         extra["fused_100k_2d_precise_avg_ms"] = round(a, 2)
-        extra["fused_100k_2d_precise_aoflow"] = int(
-            np.asarray(out.alert_overflow))
+        extra["fused_100k_2d_precise_aoflow"] = flow
         cfg1m = tc.SystemConfig(
             num_objects=1_000_000,
             world=WorldConfig(hi=(10000., 10000., 500.)),
@@ -275,11 +296,11 @@ def main():
                                    # identical (BENCH_NOTES stage-1 gate)
                                    gate_stage1=True),
             alerts=AlertConfig(max_scene_alerts=4096))
-        a, best, out = bench_fused_scan(cfg1m, steps=45, chunk=15)
+        a, best, out, flow = bench_fused_scan(cfg1m, steps=45, chunk=15)
         extra["fused_1m_3d_avg_ms"] = round(a, 2)
         extra["fused_1m_3d_best_ms"] = round(best, 2)
         extra["fused_1m_3d_overflow"] = int(np.asarray(out.overflow))
-        extra["fused_1m_3d_aoflow"] = int(np.asarray(out.alert_overflow))
+        extra["fused_1m_3d_aoflow"] = flow
         pc, _ = bench_fused(cfg1m, steps=6)
         extra["fused_1m_3d_per_call_ms"] = round(pc, 2)
 
@@ -327,10 +348,18 @@ def main():
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 2),
-        # DEVICE-rate view: 50-step scan chunks amortize host dispatch, so
-        # this is per-step device time + dispatch/chunk
+        # DEVICE-rate view: scan chunks amortize host dispatch, so this is
+        # per-step device time + dispatch/chunk. The headline engine is the
+        # fused Pallas kernel (the production step at every scale); its
+        # alert list is set-equal to the XLA reference pipeline, certified
+        # across the run by the folded worst per-step overflow counter.
+        "engine": "fused-kernel",
+        "certified_complete": flow_p == 0,
         "avg_step_ms": round(avg_ms, 4),
-        "worst_chunk_step_ms": round(worst_ms, 4),
+        # the literal reference-shaped XLA 4-stage pipeline, same config
+        "xla_steps_per_s": round(sps_x, 2),
+        "xla_avg_step_ms": round(avg_x, 4),
+        "xla_worst_chunk_step_ms": round(worst_x, 4),
         # SERVING view: one dispatch + scalar sync per step over the axon
         # tunnel; tunnel_dispatch_ms is the measured per-call floor, so
         # device-only per-step ~ serving_avg_ms - tunnel_dispatch_ms
@@ -347,6 +376,9 @@ def main():
         "p99_vs_baseline": round(BASELINE_P99_MS / p99_ms, 2),
         "fast_mode_steps_per_s": round(sps_fast, 2),
         "fast_mode_avg_ms": round(avg_fast, 4),
+        "fast_mode_certified_complete": flow_f == 0,
+        "fast_mode_xla_steps_per_s": round(sps_fast_x, 2),
+        "fast_mode_xla_avg_ms": round(avg_fast_x, 4),
         "baseline_steps_per_s": BASELINE_STEPS_PER_S,
         "baseline_avg_ms": BASELINE_AVG_MS,
         "baseline_p99_ms": BASELINE_P99_MS,
