@@ -1,4 +1,10 @@
-"""Staged Pallas bitonic co-sort (kernels/block_sort.py).
+"""Staged Pallas bitonic co-sort (.probe/block_sort.py) — RETIRED probe.
+
+The kernel was removed from the package (measured-DEAD vs lax.sort,
+BENCH_NOTES r3); this test moved with it. Run from the repo root with
+`python -m pytest .probe/test_block_sort.py` (the import shim below loads
+the sibling module). The end-to-end GridConfig.pallas_sort parity test was
+dropped with the config knob.
 
 Contract: `co_sort(ops)` is a drop-in for
 `lax.sort(ops, num_keys=1, is_stable=False)` up to key-tie order —
@@ -15,8 +21,18 @@ import pytest
 import tpu_collide as tc
 from tpu_collide.core.config import (WorldConfig, GridConfig,
                                      DetectionConfig, AlertConfig)
-from tpu_collide.kernels import block_sort
-from tpu_collide.kernels.block_sort import co_sort
+import importlib.util as _ilu
+import os as _os
+_spec = _ilu.spec_from_file_location(
+    "block_sort", _os.path.join(_os.path.dirname(__file__), "block_sort.py"))
+block_sort = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(block_sort)
+co_sort = block_sort.co_sort
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
 
 
 def _rows(ops):
@@ -67,36 +83,3 @@ def test_cosort_small_n_falls_back_to_lax_sort(rng):
     got = co_sort((key, pay), interpret=True)
     ref = jax.lax.sort((key, pay), num_keys=1, is_stable=False, dimension=0)
     assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0]))
-
-
-def test_fused_step_parity_with_pallas_sort(rng, monkeypatch):
-    """End-to-end: step_fused over a Pallas-sorted cell list produces the
-    same risk count, checked count and alert SET as the lax.sort build."""
-    from tpu_collide.engine import make_step
-
-    monkeypatch.setattr(block_sort, "BLOCK_ELEMS", 2048)
-    monkeypatch.setattr(block_sort, "_MIN_PALLAS_ELEMS", 2048)
-    n = 3000
-    base = tc.SystemConfig(
-        num_objects=n, world=WorldConfig(hi=(3000.0, 3000.0, 0.0)),
-        grid=GridConfig(cell_size=100.0),
-        detect=DetectionConfig(mode="fast"),
-        alerts=AlertConfig(max_scene_alerts=512))
-    from tpu_collide.sim import generate_fleet
-    st0 = generate_fleet(jax.random.key(4), base)
-
-    outs = {}
-    for flag in (False, True):
-        import dataclasses
-        cfg = base.replace(
-            grid=dataclasses.replace(base.grid, pallas_sort=flag))
-        st, out = make_step(cfg, donate=False, backend="fused",
-                            interpret=True)(st0, jax.random.key(7))
-        a = out.alerts
-        al = set()
-        cnt = int(np.asarray(a.count).reshape(-1)[0])
-        for i in range(cnt):
-            al.add((int(a.vehicle_oid[i]), int(a.other_oid[i])))
-        outs[flag] = (int(out.num_risks), int(out.num_pairs_checked),
-                      int(out.overflow), int(out.alert_overflow), al)
-    assert outs[False] == outs[True]

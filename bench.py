@@ -114,15 +114,13 @@ def bench_fused(cfg, steps, key0=0):
     return avg, p99
 
 
-def bench_fused_scan(cfg, steps, chunk, key0=0, distribution="uniform"):
-    """DEVICE-RATE per-step ms of the fused step: `chunk` steps per
-    dispatch via lax.scan — the same device-rate methodology the headline
-    config uses, so the ~25 ms/call tunnel dispatch amortizes instead of
-    being misread as device time. Returns (avg_ms, best_chunk_ms,
-    last_out, worst_flow): worst_flow is the MAX per-step
-    max(overflow, alert_overflow) across every timed step, so 0 certifies
-    the whole run's alert lists complete (not just the final step's)."""
-    from functools import partial
+def _fused_scan_once(cfg, steps, chunk, key0, distribution):
+    """One device-rate fused run. Returns (avg_ms, best_chunk_ms, last_out,
+    worst_of, worst_ao): worst_of / worst_ao are the MAX per-step window
+    overflow and alert-slot overflow across every timed step (tracked
+    SEPARATELY — a window overflow must not read as a slot-cap miss and
+    vice versa; ADVICE r3), so both 0 certifies the whole run's alert
+    lists complete (not just the final step's)."""
     from tpu_collide.engine import step_fused
     from tpu_collide.sim import generate_fleet
     import tpu_collide as tc
@@ -136,28 +134,88 @@ def bench_fused_scan(cfg, steps, chunk, key0=0, distribution="uniform"):
         def body(st, k):
             st, out = step_fused(st, k, cfg)
             # force the full alert tail (no DCE) + fold the certificates
-            return st, (_consume(out),
-                        jnp.maximum(out.overflow, out.alert_overflow))
+            return st, (_consume(out), out.overflow, out.alert_overflow)
 
-        state, (cks, flows) = jax.lax.scan(body, state, keys)
+        state, (cks, ofs, aos) = jax.lax.scan(body, state, keys)
         return state, jnp.stack([jnp.sum(cks),
-                                 jnp.max(flows).astype(jnp.float32)])
+                                 jnp.max(ofs).astype(jnp.float32),
+                                 jnp.max(aos).astype(jnp.float32)])
 
     run = jax.jit(chunk_fn, donate_argnums=(0,))
     state, probe = run(state, jax.random.key(1))
     np.asarray(probe)                                # compile + sync
-    lat, worst_flow = [], 0
+    lat, worst_of, worst_ao = [], 0, 0
     for i in range(max(1, steps // chunk)):
         t0 = time.perf_counter()
         state, probe = run(state, jax.random.key(2 + i))
-        v = np.asarray(probe)                        # one 2-float fetch
+        v = np.asarray(probe)                        # one 3-float fetch
         lat.append((time.perf_counter() - t0) / chunk * 1e3)
-        worst_flow = max(worst_flow, int(v[1]))
+        worst_of = max(worst_of, int(v[1]))
+        worst_ao = max(worst_ao, int(v[2]))
     # one plain step for the full counter fields
     f1 = tc.make_step(cfg, donate=True, backend="fused")
     state, out = f1(state, jax.random.key(99))
     int(np.asarray(out.num_risks))
-    return sum(lat) / len(lat), min(lat), out, worst_flow
+    return sum(lat) / len(lat), min(lat), out, worst_of, worst_ao
+
+
+def bench_fused_scan(cfg, steps, chunk, key0=0, distribution="uniform",
+                     adopt_k=True, probe_cap=False):
+    """DEVICE-RATE per-step ms of the fused step: `chunk` steps per
+    dispatch via lax.scan — the same device-rate methodology the headline
+    config uses, so the ~25 ms/call tunnel dispatch amortizes instead of
+    being misread as device time.
+
+    adopt_k: when the run reports per-object slot overflow (worst_ao > 0)
+    at the configured k, re-run ONCE at the fleet-exact slot count
+    (k + worst_ao bounds the worst per-object qualifying count: the summed
+    excess >= the max excess) — detection never feeds back into physics,
+    so the retry replays IDENTICAL trajectories and its numbers are the
+    certified operating point on the same workload (the production Scene
+    does the same via auto-regrow between steps). Returns (avg_ms,
+    best_chunk_ms, last_out, worst_of, worst_ao, cfg_used).
+
+    probe_cap (precise mode): pre-derive the fleet-exact
+    precise_survivor_cap from a survivor-counter probe over the EXACT key
+    sequence the timed run replays (kernels/tune.suggest_survivor_cap) —
+    the sampled sweep is linear in the static cap, and the 2N default is
+    often 10-40x oversized; under-sizing from drift stays counted (wao)
+    and the adopt_k retry recovers."""
+    import dataclasses as _dc
+    _K_MAX = 16
+    if probe_cap and cfg.detect.mode == "precise":
+        from tpu_collide.kernels.tune import suggest_survivor_cap
+        from tpu_collide.sim import generate_fleet as _gf
+        n_chunks = max(1, steps // chunk)
+        ks = [jax.random.split(jax.random.key(1), chunk)]
+        ks += [jax.random.split(jax.random.key(2 + i), chunk)
+               for i in range(n_chunks)]
+        st0 = _gf(jax.random.key(key0), cfg, distribution=distribution)
+        cap = suggest_survivor_cap(cfg, st0, jnp.concatenate(ks))
+        cfg = cfg.replace(detect=_dc.replace(
+            cfg.detect, precise_survivor_cap=cap))
+    avg, best, out, worst_of, worst_ao = _fused_scan_once(
+        cfg, steps, chunk, key0, distribution)
+    if adopt_k and worst_ao > 0:
+        if cfg.detect.mode == "fast":
+            k0 = cfg.alerts.max_alerts_per_object
+            new_k = min(_K_MAX, k0 + worst_ao)
+            if new_k > k0:
+                cfg = cfg.replace(alerts=_dc.replace(
+                    cfg.alerts, max_alerts_per_object=new_k))
+                avg, best, out, worst_of, worst_ao = _fused_scan_once(
+                    cfg, steps, chunk, key0, distribution)
+        else:
+            k0 = cfg.detect.survivor_k
+            new_k = min(_K_MAX, k0 + worst_ao)
+            # precise aoflow also folds scene-cap compaction overflow;
+            # double the cap alongside so either source converges
+            cfg = cfg.replace(detect=_dc.replace(
+                cfg.detect, survivor_k=new_k,
+                precise_survivor_cap=2 * cfg.survivor_cap))
+            avg, best, out, worst_of, worst_ao = _fused_scan_once(
+                cfg, steps, chunk, key0, distribution)
+    return avg, best, out, worst_of, worst_ao, cfg
 
 
 def main():
@@ -179,8 +237,8 @@ def main():
     # (worst_flow below; tests/test_fused_kernel.py pins set-equality)
     cfg_p = tc.SystemConfig(num_objects=1000,
                             detect=DetectionConfig(mode="precise"))
-    avg_ms, _, _, flow_p = bench_fused_scan(cfg_p, args.steps, args.chunk,
-                                            distribution="city_skew")
+    avg_ms, _, _, of_p, ao_p, cfg_p_used = bench_fused_scan(
+        cfg_p, args.steps, args.chunk, distribution="city_skew")
     sps = 1e3 / avg_ms
 
     # the XLA pipeline (the literal reference-shaped 4-stage path) on the
@@ -190,8 +248,8 @@ def main():
     # secondary: fast mode at 1000, both engines
     cfg_f = tc.SystemConfig(num_objects=1000,
                             detect=DetectionConfig(mode="fast"))
-    avg_fast, _, _, flow_f = bench_fused_scan(cfg_f, args.steps, args.chunk,
-                                              distribution="city_skew")
+    avg_fast, _, _, of_f, ao_f, _ = bench_fused_scan(
+        cfg_f, args.steps, args.chunk, distribution="city_skew")
     sps_fast = 1e3 / avg_fast
     sps_fast_x, avg_fast_x, _, _ = bench_scan(cfg_f, args.steps, args.chunk)
 
@@ -274,18 +332,25 @@ def main():
                                max_alerts_per_object=8))
         # chunk sized so the ~25-40 ms tunnel dispatch is <5% of every
         # timed chunk (the BENCH_NOTES device-rate rule): 25 x ~28 ms
-        a, best, out, flow = bench_fused_scan(cfg100k, steps=75, chunk=25)
+        a, best, out, wof, wao, cfg_used = bench_fused_scan(
+            cfg100k, steps=75, chunk=25)
         extra["fused_100k_2d_avg_ms"] = round(a, 2)
         extra["fused_100k_2d_best_ms"] = round(best, 2)
-        extra["fused_100k_2d_aoflow"] = flow
+        extra["fused_100k_2d_overflow"] = wof
+        extra["fused_100k_2d_aoflow"] = wao
+        extra["fused_100k_2d_k"] = cfg_used.alerts.max_alerts_per_object
         pc, _ = bench_fused(cfg100k, steps=10)
         extra["fused_100k_2d_per_call_ms"] = round(pc, 2)
         # NEW in round 2: exact precise semantics at kernel scale
         cfg100kp = cfg100k.replace(detect=DetectionConfig(
             mode="precise", count_checked=False))
-        a, best, out, flow = bench_fused_scan(cfg100kp, steps=30, chunk=15)
+        a, best, out, wof, wao, cfg_used = bench_fused_scan(
+            cfg100kp, steps=30, chunk=15, probe_cap=True)
         extra["fused_100k_2d_precise_avg_ms"] = round(a, 2)
-        extra["fused_100k_2d_precise_aoflow"] = flow
+        extra["fused_100k_2d_precise_overflow"] = wof
+        extra["fused_100k_2d_precise_aoflow"] = wao
+        extra["fused_100k_2d_precise_k"] = cfg_used.detect.survivor_k
+        extra["fused_100k_2d_precise_cap"] = cfg_used.survivor_cap
         cfg1m = tc.SystemConfig(
             num_objects=1_000_000,
             world=WorldConfig(hi=(10000., 10000., 500.)),
@@ -296,13 +361,28 @@ def main():
                                    # identical (BENCH_NOTES stage-1 gate)
                                    gate_stage1=True),
             alerts=AlertConfig(max_scene_alerts=4096))
-        a, best, out, flow = bench_fused_scan(cfg1m, steps=45, chunk=15)
+        a, best, out, wof, wao, cfg_used = bench_fused_scan(
+            cfg1m, steps=45, chunk=15)
         extra["fused_1m_3d_avg_ms"] = round(a, 2)
         extra["fused_1m_3d_best_ms"] = round(best, 2)
-        extra["fused_1m_3d_overflow"] = int(np.asarray(out.overflow))
-        extra["fused_1m_3d_aoflow"] = flow
+        extra["fused_1m_3d_overflow"] = wof
+        extra["fused_1m_3d_aoflow"] = wao
+        extra["fused_1m_3d_k"] = cfg_used.alerts.max_alerts_per_object
         pc, _ = bench_fused(cfg1m, steps=6)
         extra["fused_1m_3d_per_call_ms"] = round(pc, 2)
+        # 1M precise (VERDICT r3 Next #5): exact reference stage-3
+        # semantics at 1M, with the survivor cap sized fleet-exact by the
+        # probe (the 2N default made the sweep ~10x oversized)
+        cfg1mp = cfg1m.replace(detect=DetectionConfig(
+            mode="precise", search_radius=50.0, count_checked=False,
+            gate_stage1=True))
+        a, best, out, wof, wao, cfg_used = bench_fused_scan(
+            cfg1mp, steps=30, chunk=15, probe_cap=True)
+        extra["fused_1m_3d_precise_avg_ms"] = round(a, 2)
+        extra["fused_1m_3d_precise_overflow"] = wof
+        extra["fused_1m_3d_precise_aoflow"] = wao
+        extra["fused_1m_3d_precise_k"] = cfg_used.detect.survivor_k
+        extra["fused_1m_3d_precise_cap"] = cfg_used.survivor_cap
 
         # prediction path at 100k (ROADMAP r2 #12): trajectory ring ticks +
         # one device-compacted predict (grid + 20-offset re-detection +
@@ -340,7 +420,11 @@ def main():
             best = min(best, (time.perf_counter() - t0) * 1e3)
         extra["predict_100k_fused_ms"] = round(best, 2)
         extra["predict_100k_fused_overflow"] = int(np.asarray(out[5]))
+        # UNCERTIFIED truncations (possible coverage loss); _trunc_raw is
+        # the total counted truncations incl. certified-harmless drops
+        # (provably below everything the merge kept — refine.fused_predict)
         extra["predict_100k_fused_slot_oflow"] = int(np.asarray(out[6]))
+        extra["predict_100k_fused_slot_trunc_raw"] = int(np.asarray(out[7]))
 
     print(json.dumps({
         "metric": "full-scene steps/s (1000 vehicles, precise 4-stage "
@@ -354,7 +438,8 @@ def main():
         # alert list is set-equal to the XLA reference pipeline, certified
         # across the run by the folded worst per-step overflow counter.
         "engine": "fused-kernel",
-        "certified_complete": flow_p == 0,
+        "certified_complete": of_p == 0 and ao_p == 0,
+        "headline_k": cfg_p_used.detect.survivor_k,
         "avg_step_ms": round(avg_ms, 4),
         # the literal reference-shaped XLA 4-stage pipeline, same config
         "xla_steps_per_s": round(sps_x, 2),
@@ -376,7 +461,7 @@ def main():
         "p99_vs_baseline": round(BASELINE_P99_MS / p99_ms, 2),
         "fast_mode_steps_per_s": round(sps_fast, 2),
         "fast_mode_avg_ms": round(avg_fast, 4),
-        "fast_mode_certified_complete": flow_f == 0,
+        "fast_mode_certified_complete": of_f == 0 and ao_f == 0,
         "fast_mode_xla_steps_per_s": round(sps_fast_x, 2),
         "fast_mode_xla_avg_ms": round(avg_fast_x, 4),
         "baseline_steps_per_s": BASELINE_STEPS_PER_S,

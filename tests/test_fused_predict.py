@@ -222,6 +222,74 @@ def test_xla_predict_counts_bucket_overflow(caplog):
     assert set(gm) == set(wm)
 
 
+def _converging_cluster(n=96, seed=1, r_lo=30.0, r_hi=70.0):
+    """n objects on a ring all heading at one point: every offset is
+    hit-dense, so per-offset slot truncation is guaranteed at small
+    k_slots — the certificate's stress fleet."""
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    r0 = rng.uniform(r_lo, r_hi, n)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = 500.0 + r0 * np.cos(ang)
+    pos[:, 1] = 500.0 + r0 * np.sin(ang)
+    vel = np.zeros((n, 3), np.float32)
+    sp = rng.uniform(4, 7, n)
+    vel[:, 0] = -sp * np.cos(ang)
+    vel[:, 1] = -sp * np.sin(ang)
+    from tpu_collide.core.state import state_from_numpy
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(1000.0, 1000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=128),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=8192))
+    hist = empty_history(n)
+    t = 0.0
+    for _ in range(4):
+        t += 0.1
+        hist = update_history(hist, st, t)
+        st = st.replace(pos=st.pos + st.vel * 0.1)
+    return cfg, st, hist
+
+
+def test_predict_truncation_certificate_harmless():
+    """Per-offset slot truncation whose drops are provably below the final
+    merged top-merge_k is CERTIFIED harmless (slot_oflow 0, slot_trunc
+    counted) and the merged output equals the canonical path exactly —
+    the r4 certificate that turns counted truncations into proven-complete
+    results (refine.fused_predict_rows)."""
+    cfg, st, hist = _converging_cluster()
+    got = fused_predict(st, hist, cfg, horizon=10.0, step=0.5,
+                        k_slots=8, merge_k=8, interpret=True)
+    assert int(got[5]) == 0
+    assert int(got[7]) > 0, "fleet produced no truncations; test is vacuous"
+    assert int(got[6]) == 0, "dense-cluster drops should all certify"
+    index = build_grid(st.pos, st.alive, cfg)
+    want = predict_collisions(st, hist, index, cfg, horizon=10.0, step=0.5,
+                              merge_k=8)
+    wm = _risk_map(*want[:4])
+    gm = _risk_map(*got[:4])
+    assert wm and set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6, atol=1e-6)
+
+
+def test_predict_truncation_certificate_flags_loss():
+    """When dropped hits COULD have entered the merged list, the
+    certificate must refuse (slot_oflow > 0): same fleet, merge_k wider
+    than the per-offset slots can feed — a known-lossy operating point."""
+    cfg, st, hist = _converging_cluster()
+    got = fused_predict(st, hist, cfg, horizon=10.0, step=0.5,
+                        k_slots=8, merge_k=16, interpret=True)
+    assert int(got[7]) > 0
+    assert int(got[6]) > 0, (
+        "this operating point loses pairs (verified by hand vs the "
+        "canonical path) — a 0 here would be a false completeness claim")
+
+
 def test_predict_traces_one_kernel_for_all_offsets():
     """Offset params are traced scalars riding a lax.scan (refine.py), so
     the predict kernel appears ONCE in the jaxpr no matter how many offsets

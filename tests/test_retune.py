@@ -205,3 +205,41 @@ def test_sharded_scene_retune_shrinks_and_steps():
     assert int(out.overflow) == 0
     assert sc.stats()["retunes"] == 1
     assert sc.retune() is False           # stable point
+
+
+def test_precise_scene_sizes_survivor_cap_fleet_exact():
+    """A fused precise Scene adopts a fleet-exact survivor cap at build
+    (far below the 2N default for a sparse fleet), still certifies
+    complete, and retune() re-derives the cap in both directions with 2x
+    hysteresis (VERDICT r3 Next #5)."""
+    cfg = mk_cfg(n=4096, mode="precise")
+    st = sparse_fleet(4096, seed=3)
+    from tpu_collide.api import Scene
+    sc = Scene(cfg, state=st, backend="fused", interpret=True)
+    cap0 = sc.cfg.survivor_cap
+    assert cap0 < 2 * cfg.num_objects          # fleet-exact, not the default
+    out = sc.step()
+    assert int(out.alert_overflow) == 0        # certified at the exact cap
+
+    # cram the fleet into one dense patch, all converging on its center
+    # (zero-velocity fleets have no stage-2 survivors at all): retune
+    # must GROW the cap
+    dense = clustered_fleet(4096, 2048, width=120.0, seed=4)
+    import jax.numpy as jnp
+    ctr = jnp.asarray([560.0, 560.0, 0.0], jnp.float32)
+    d = ctr[None, :] - dense.pos
+    nrm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dense = dense.replace(vel=5.0 * d / jnp.maximum(nrm, 1e-3))
+    sc.adopt_fleet(dense)
+    sc.retune()
+    cap_dense = sc.cfg.survivor_cap
+    assert cap_dense > cap0
+    # (this density exceeds the k<=16 per-object slot ceiling, so full
+    # certification is impossible by design — the overflow stays COUNTED;
+    # what matters here is the cap retune direction)
+    sc.step()
+
+    # back to sparse: retune shrinks only past the 2x hysteresis
+    sc.adopt_fleet(sparse_fleet(4096, seed=5))
+    sc.retune()
+    assert sc.cfg.survivor_cap < cap_dense

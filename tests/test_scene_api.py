@@ -392,3 +392,55 @@ def test_scene_auto_window_growth():
             break
     assert int(out.overflow) == 0
     assert sc._window_rows > 8
+
+
+def test_scene_xla_bucket_overflow_self_heals():
+    """XLA backend analog of window regrow (ADVICE r3): counted grid-bucket
+    overflow (objects beyond cell_capacity dropped from their bucket's
+    candidate gather) doubles cell_capacity and recompiles, with zero
+    manual tuning — within a few steps the overflow counter returns to 0."""
+    import numpy as np
+    from tpu_collide.core.state import state_from_numpy
+    from tpu_collide.core.config import (GridConfig, DetectionConfig,
+                                         AlertConfig, SimConfig)
+
+    n = 300
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(1000.0, 1000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=4),   # far too small
+        detect=DetectionConfig(mode="fast"),
+        sim=SimConfig(accel_change_prob=0.0),
+        alerts=AlertConfig(max_scene_alerts=64))
+    rng = np.random.default_rng(3)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = rng.uniform(400, 500, n)    # one dense cell
+    pos[:, 1] = rng.uniform(400, 500, n)
+    st = state_from_numpy(pos, np.zeros((n, 3), np.float32),
+                          np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    sc = Scene(cfg, backend="xla")
+    sc.adopt_fleet(st)
+    out = sc.step()
+    assert int(out.overflow) > 0
+    assert sc.window_regrows >= 1          # _grow_buckets fired
+    for _ in range(8):
+        out = sc.step()
+        if int(out.overflow) == 0:
+            break
+    assert int(out.overflow) == 0
+    assert sc.cfg.grid.cell_capacity > 4
+
+
+def test_scene_step_zero_rejected():
+    """step(0) is a caller error (ADVICE r3: it used to NameError deep in
+    the loop); the route core turns it into HTTP 400."""
+    from tpu_collide.api.routes import RouteTable
+
+    sc = small_scene()
+    with pytest.raises(ValueError):
+        sc.step(0)
+    rt = RouteTable(sc)
+    status, body = rt.handle("POST", "/step", {"steps": 0}, {})
+    assert status == 400

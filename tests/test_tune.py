@@ -88,6 +88,61 @@ def test_suggest_3d_banded_layouts():
     assert int(build_cell_list(st, cfg, window_rows=wr).overflow) == 0
 
 
+def test_suggest_survivor_cap_exact_and_certified():
+    """Fleet-exact precise survivor cap (VERDICT r3 Next #5): the probe's
+    cap covers the measured need, is far below the 2N default for a sparse
+    fleet, and a precise fused step at that cap still certifies complete
+    (alert_overflow 0) with the same alert set as the 2N-cap run."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tpu_collide.kernels.tune import (measure_survivor_need,
+                                          suggest_survivor_cap)
+
+    cfg = skew_cfg(n=2000).replace(detect=DetectionConfig(mode="precise"))
+    st = generate_fleet(jax.random.key(4), cfg, distribution="city_skew")
+    need = measure_survivor_need(cfg, st, interpret=True)
+    cap = suggest_survivor_cap(cfg, st, interpret=True)
+    assert need >= 0
+    assert cap >= need
+
+    def alert_set(c):
+        f = tc.make_step(c, donate=False, backend="fused", interpret=True)
+        _, out = f(st, jax.random.key(5))
+        assert int(out.alert_overflow) == 0
+        a = out.alerts
+        cnt = int(np.asarray(a.count).reshape(-1)[0])
+        return {(int(a.vehicle_oid[i]), int(a.other_oid[i]))
+                for i in range(cnt)}
+
+    # integrate() moves the fleet before detection; probe the moved state
+    # the same way the step will see it by padding need with the margin —
+    # the suggested cap's 1/8 + TILE headroom covers one step of drift
+    # for this config's speeds
+    cfg_cap = cfg.replace(detect=dataclasses.replace(
+        cfg.detect, precise_survivor_cap=cap))
+    assert cfg_cap.survivor_cap == cap < 2 * cfg.num_objects
+    assert alert_set(cfg_cap) == alert_set(cfg)
+
+
+def test_suggest_survivor_cap_keyed_probe_tracks_steps():
+    """With a key sequence the probe folds the max need across the evolved
+    trajectory (lax.scan), matching per-step measurement."""
+    import jax.numpy as jnp
+    from tpu_collide.kernels.tune import measure_survivor_need
+    from tpu_collide.sim.integrator import integrate
+
+    cfg = skew_cfg(n=1000).replace(detect=DetectionConfig(mode="precise"))
+    st = generate_fleet(jax.random.key(6), cfg, distribution="city_skew")
+    keys = jax.random.split(jax.random.key(7), 3)
+    folded = measure_survivor_need(cfg, st, keys, interpret=True)
+    worst = 0
+    cur = st
+    for k in keys:
+        cur = jax.jit(lambda s, kk: integrate(s, kk, cfg))(cur, k)
+        worst = max(worst, measure_survivor_need(cfg, cur, interpret=True))
+    assert folded == worst
+
+
 def test_tune_config_selects_stage1_gate_by_dimensionality():
     """gate_stage1 policy: on for 3D worlds (sparse blocks, measured win
     at 1M/10M), off for 2D (dense blocks, measured loss at 100k) —

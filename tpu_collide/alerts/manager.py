@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import asyncio
 import heapq
+import itertools
 import threading
 import time
 import uuid
@@ -53,7 +54,13 @@ class AlertManager:
         self.broker = broker                      # optional egress
         self.alerts: Dict[str, Alert] = {}        # alert_id -> Alert
         self.pair_alerts: Dict[tuple, str] = {}   # (veh, other) -> alert_id
-        self._queue: List[Alert] = []             # heapq by (priority, recency)
+        # heap entries are IMMUTABLE snapshots (-priority, timestamp, seq,
+        # alert): upserts mutate alert.priority in place, which would break
+        # the heap invariant if the live object were the sort key (ADVICE
+        # r3) — a stale snapshot is just a lazy re-queue duplicate that
+        # pump()/compaction collapse by id
+        self._queue: List[tuple] = []
+        self._queue_seq = itertools.count()
         self._queue_dupes = 0      # lazy re-queue entries awaiting compaction
         self._callbacks: Dict[str, List[AlertCallback]] = {}
         self._global_callbacks: List[AlertCallback] = []
@@ -122,13 +129,13 @@ class AlertManager:
             a.priority, a.message = priority, msg
             a.timestamp = time.time()
             if a.priority != old_priority:             # re-queue (:188-193)
-                # LAZY re-queue: push a duplicate reference instead of
+                # LAZY re-queue: push a duplicate snapshot instead of
                 # rebuilding the heap (the old O(queue) rebuild per
                 # priority change made 100k-fleet serving seconds-per-step
                 # — ~1k updates x ~20k queue each step). pump() collapses
                 # duplicates by id each tick; between pumps, compaction
                 # keeps the queue bounded.
-                heapq.heappush(self._queue, a)
+                self._push_locked(a)
                 self._queue_dupes += 1
                 if self._queue_dupes > max(64, len(self.alerts)):
                     self._compact_queue_locked()
@@ -139,9 +146,16 @@ class AlertManager:
                   time_to_collision=ttc, message=msg, priority=priority)
         self.alerts[a.id] = a
         self.pair_alerts[key] = a.id
-        heapq.heappush(self._queue, a)
+        self._push_locked(a)
         self.stats["created"] += 1
         return a
+
+    def _push_locked(self, a: Alert) -> None:
+        """Push an immutable priority snapshot of `a` (min-heap: highest
+        priority first, older timestamp breaks ties — Alert.__lt__'s order;
+        seq keeps full ties from ever comparing Alert objects)."""
+        heapq.heappush(self._queue,
+                       (-a.priority, a.timestamp, next(self._queue_seq), a))
 
     # ---- lifecycle ----
 
@@ -178,10 +192,11 @@ class AlertManager:
         amortized across the duplicates that triggered it."""
         seen = set()
         uniq = []
-        for a in self._queue:
+        for _, _, _, a in self._queue:
             if a.id not in seen and a.id in self.alerts:
                 seen.add(a.id)
-                uniq.append(a)
+                uniq.append((-a.priority, a.timestamp,
+                             next(self._queue_seq), a))
         self._queue = uniq
         heapq.heapify(self._queue)
         self._queue_dupes = 0
@@ -195,7 +210,7 @@ class AlertManager:
         with self._lock:
             seen = set()
             while self._queue:
-                a = heapq.heappop(self._queue)
+                a = heapq.heappop(self._queue)[3]
                 if a.id in seen or a.id not in self.alerts:
                     continue          # lazy re-queue duplicate / expired
                 seen.add(a.id)
@@ -205,7 +220,7 @@ class AlertManager:
                 if not a.acknowledged:
                     keep.append(a)
             for a in keep:
-                heapq.heappush(self._queue, a)
+                self._push_locked(a)
             self._queue_dupes = 0
         for a in sent:                  # deliver outside the lock
             await self._send(a)

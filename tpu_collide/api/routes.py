@@ -268,6 +268,8 @@ class RouteTable:
                 # describes the PREVIOUS step (one step of alert latency
                 # buys overlap of host work with the device step).
                 n = int((body or {}).get("steps", 1))
+                if n < 1:
+                    return 400, _err("steps must be >= 1")
                 if (body or {}).get("burst"):
                     out = scene.step_burst(n)
                 elif (body or {}).get("pipelined"):

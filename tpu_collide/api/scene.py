@@ -79,7 +79,8 @@ def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
     are already oids."""
     from tpu_collide.kernels.refine import fused_predict
     a = cfg.alerts
-    other, valid, risk, ttc, dist, overflow, slot_oflow = fused_predict(
+    (other, valid, risk, ttc, dist, overflow, slot_oflow,
+     slot_trunc) = fused_predict(
         state, traj, cfg, horizon=horizon, step=step, interpret=interpret,
         window_rows=window_rows, k_slots=k_slots)
     nn, kk = risk.shape
@@ -89,7 +90,8 @@ def _predict_device_fused(state, traj, cfg, horizon, step, r_cap,
     rows = top_i // kk
     sel = lambda x: x.reshape(-1)[top_i]
     return (top_r, state.oid[rows], sel(other), sel(ttc), sel(dist),
-            jnp.sum(keep, dtype=jnp.int32), overflow, slot_oflow)
+            jnp.sum(keep, dtype=jnp.int32), overflow, slot_oflow,
+            slot_trunc)
 
 
 def _predict_device(state, traj, cfg, horizon, step, r_cap):
@@ -116,7 +118,7 @@ def _predict_device(state, traj, cfg, horizon, step, r_cap):
     return (top_r, state.oid[rows], state.oid[sel(other)], sel(ttc),
             sel(dist), jnp.sum(keep, dtype=jnp.int32),
             grid_overflow(index, cfg).astype(jnp.int32),
-            jnp.asarray(0, jnp.int32))
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
 
 class Scene:
@@ -153,6 +155,11 @@ class Scene:
         self._chunk_size = chunk_size
         self._interpret = interpret
         self._auto_window = auto_window and backend == "fused"
+        # XLA backend analog: counted grid-bucket overflow (out.overflow =
+        # grid_overflow) self-heals by doubling cell_capacity — without it
+        # a shrink-direction retune could leave up to auto_retune_every-1
+        # steps of counted-incomplete detection (ADVICE r3)
+        self._auto_buckets = auto_window and backend != "fused"
         if window_rows is None and backend == "fused":
             if state is not None:
                 # fleet-exact window sizing (kernels/tune.py): skewed
@@ -164,6 +171,23 @@ class Scene:
                 from tpu_collide.kernels.cell_list import default_window_rows
                 window_rows = default_window_rows(cfg)
         self._window_rows = window_rows
+        if (backend == "fused" and cfg.detect.mode == "precise"
+                and cfg.detect.precise_survivor_cap is None
+                and state is not None):
+            # fleet-exact precise survivor cap (VERDICT r3 Next #5): the
+            # sampled stage-3 sweep is linear in the static cap and the 2N
+            # default is often 10-40x oversized for sparse fleets; one
+            # survivor-counter probe on the adopted fleet sizes it right.
+            # Density drift stays covered: under-sizing is counted
+            # (alert_overflow) and _grow_slots doubles the cap; retune()
+            # re-derives it in both directions.
+            import dataclasses as _dc
+            from tpu_collide.kernels.tune import suggest_survivor_cap
+            cap = suggest_survivor_cap(cfg, state, interpret=interpret)
+            if cap < cfg.survivor_cap:
+                cfg = cfg.replace(detect=_dc.replace(
+                    cfg.detect, precise_survivor_cap=cap))
+                self.cfg = cfg
         self.window_regrows = 0       # times auto_window resized the kernel
         self.retunes = 0              # times retune() recompiled
         self._auto_retune = int(auto_retune_every)
@@ -301,19 +325,28 @@ class Scene:
         z components; narrow-oid range validated) — core.state.conform_fleet."""
         from tpu_collide.core.state import conform_fleet
         state = conform_fleet(state, self.cfg)
-        self.state = state
-        self._num_alive = int(np.asarray(jnp.sum(state.alive)))
-        self._id_to_slot.clear()
-        self._slot_to_id.clear()
-        if ids is not None:
-            for slot, vid in enumerate(ids):
-                self._id_to_slot[vid] = slot
-                self._slot_to_id[slot] = vid
+        with self._device_lock:
+            # a pending step_pipelined output belongs to the OLD fleet:
+            # consume it now (alerts in order, counters against the old
+            # capacity generation) so the next step/drain doesn't feed
+            # pre-adoption alerts or overwrite _num_alive with stale data
+            self._drain_locked()
+            self.state = state
+            self._num_alive = int(np.asarray(jnp.sum(state.alive)))
+            self._id_to_slot.clear()
+            self._slot_to_id.clear()
+            if ids is not None:
+                for slot, vid in enumerate(ids):
+                    self._id_to_slot[vid] = slot
+                    self._slot_to_id[slot] = vid
 
     # ---- stepping / detection ----
 
     def step(self, n: int = 1) -> Any:
-        """Advance physics + detection n steps; feeds the AlertManager."""
+        """Advance physics + detection n steps; feeds the AlertManager.
+        n must be >= 1 (RouteTable turns n < 1 into HTTP 400)."""
+        if n < 1:
+            raise ValueError(f"step count must be >= 1, got {n}")
         with self._device_lock:
             return self._step_locked(n)
 
@@ -342,6 +375,8 @@ class Scene:
                                               t.elapsed_ms)
             if self._auto_window and of > 0:
                 self._grow_window(of)
+            if self._auto_buckets and of > 0:
+                self._grow_buckets(of)
             if (self._auto_window and self._backend == "fused" and ao > 0):
                 self._grow_slots(ao)
         self._maybe_auto_retune()
@@ -394,6 +429,8 @@ class Scene:
             self.last_burst_risks = np.asarray(risks_np)
             if self._auto_window and of > 0:
                 self._grow_window(of)
+            if self._auto_buckets and of > 0:
+                self._grow_buckets(of)
             if (self._auto_window and self._backend == "fused" and ao > 0):
                 self._grow_slots(ao)
             self._maybe_auto_retune()
@@ -457,7 +494,9 @@ class Scene:
 
     def _k_marker(self) -> tuple:
         return (self.cfg.alerts.max_alerts_per_object,
-                self.cfg.detect.survivor_k)
+                self.cfg.detect.survivor_k,
+                self.cfg.survivor_cap,
+                self.cfg.grid.cell_capacity)
 
     def _fetch_host_view(self, out):
         """ONE device->host transfer for everything the host consumes from
@@ -478,6 +517,8 @@ class Scene:
         of, ao, alive, alerts = self._fetch_host_view(out)
         if self._auto_window and of > 0 and self._window_rows == wr_at:
             self._grow_window(of)
+        if self._auto_buckets and of > 0 and self._k_marker() == km_at:
+            self._grow_buckets(of)
         if (self._auto_window and self._backend == "fused"
                 and ao > 0 and self._k_marker() == km_at):
             self._grow_slots(ao)
@@ -509,6 +550,29 @@ class Scene:
         else:
             d = self.cfg.detect
             if d.survivor_k >= _K_MAX:
+                # aoflow can still be COMPACTION overflow (scene-wide cap <
+                # survivors), which the cap fixes without touching k; cap
+                # growth is bounded by n*k (n_surv = sum(min(emitted, k))
+                # can never exceed it), so this converges even when the
+                # true cause is the k ceiling
+                cap_max = self.cfg.num_objects * d.survivor_k
+                if self.cfg.survivor_cap < cap_max:
+                    cap = min(2 * self.cfg.survivor_cap, cap_max)
+                    self.cfg = self.cfg.replace(detect=_dc.replace(
+                        d, precise_survivor_cap=cap))
+                    self.window_regrows += 1
+                    logger.warning(
+                        "survivor overflow (%d) at the k=%d Mosaic ceiling:"
+                        " growing survivor cap to %d and recompiling (slot-"
+                        "level overflow, if any, stays counted)",
+                        aoflow, _K_MAX, cap)
+                    self._step = make_step(
+                        self.cfg, donate=True, backend=self._backend,
+                        chunk_size=self._chunk_size,
+                        window_rows=self._window_rows,
+                        interpret=self._interpret)
+                    self._burst_cache.clear()
+                    return
                 logger.warning(
                     "survivor-slot overflow (%d) persists at the k=%d "
                     "Mosaic ceiling; the alert list stays overflow-flagged",
@@ -548,6 +612,30 @@ class Scene:
                                interpret=self._interpret)
         self._burst_cache.clear()
 
+    def _grow_buckets(self, overflow: int) -> None:
+        """XLA-backend analog of window regrow: counted grid-bucket
+        truncation (objects beyond GridConfig.cell_capacity dropped from
+        their bucket's candidate gather) doubles cell_capacity and
+        recompiles, so the NEXT step's detection is provably complete
+        again. Mirrors the fused path's window/slot self-heal (the
+        overflowing step's misses were counted, never silent)."""
+        import dataclasses as _dc
+        g = self.cfg.grid
+        self.cfg = self.cfg.replace(
+            grid=_dc.replace(g, cell_capacity=g.cell_capacity * 2))
+        self.window_regrows += 1
+        logger.warning(
+            "grid-bucket overflow (%d objects beyond cell_capacity): "
+            "growing cell_capacity to %d and recompiling", overflow,
+            self.cfg.grid.cell_capacity)
+        self._step = make_step(self.cfg, donate=True, backend=self._backend,
+                               chunk_size=self._chunk_size,
+                               window_rows=self._window_rows,
+                               interpret=self._interpret)
+        self._detect = make_detect(self.cfg)
+        self._burst_cache.clear()
+        self._predict_cache.clear()
+
     def retune(self) -> bool:
         """Re-derive the compiled program's static capacities from the LIVE
         fleet and recompile when the need moved — the runtime analog of the
@@ -572,8 +660,12 @@ class Scene:
         2x hysteresis so density jitter never thrashes recompiles.
 
         Returns True if anything recompiled. Scene(auto_retune_every=K)
-        runs this every K steps; results are unaffected either way —
-        capacities only move completeness counters toward 0."""
+        runs this every K steps. Growing only moves completeness counters
+        toward 0; SHRINKING trades completeness margin for memory — if
+        density rises again between retune ticks, steps can report counted
+        window/bucket overflow (never silent) until the overflow-triggered
+        regrow (_grow_window / _grow_buckets / _grow_slots) or the next
+        retune re-sizes the program."""
         with self._device_lock:
             return self._retune_locked()
 
@@ -587,6 +679,18 @@ class Scene:
             cur = self._window_rows
             if need > cur or 2 * need <= cur:
                 self._window_rows = need
+                changed_step = True
+        if self._backend == "fused" and self.cfg.detect.mode == "precise":
+            # precise survivor cap, both directions with the same 2x
+            # shrink hysteresis (suggest_ returns power-of-two sizes, so
+            # the comparison is thrash-free)
+            from tpu_collide.kernels.tune import suggest_survivor_cap
+            scap_need = suggest_survivor_cap(self.cfg, self.state,
+                                             interpret=self._interpret)
+            scap_cur = self.cfg.survivor_cap
+            if scap_need > scap_cur or 2 * scap_need <= scap_cur:
+                self.cfg = self.cfg.replace(detect=_dc.replace(
+                    self.cfg.detect, precise_survivor_cap=scap_need))
                 changed_step = True
         cap_need = suggest_cell_capacity(self.state, self.cfg)
         cap_cur = self.cfg.grid.cell_capacity
@@ -688,8 +792,8 @@ class Scene:
                                          r_cap=r_cap))
                 self._predict_cache[key2] = fn
             fetched = jax.device_get(fn(self.state, self._traj))
-        top_r, voids, ooids, t_sel, d_sel, total, pred_oflow, slot_oflow = \
-            fetched
+        (top_r, voids, ooids, t_sel, d_sel, total, pred_oflow, slot_oflow,
+         slot_trunc) = fetched
         if int(pred_oflow) > 0 and use_fused:
             # same adaptive policy as step windows: this call's misses are
             # counted (never silent); the NEXT predict recompiles with
@@ -704,25 +808,37 @@ class Scene:
                 "prediction window_rows to %d and recompiling for the "
                 "next call", int(pred_oflow), self._predict_windows)
         if int(slot_oflow) > 0:
-            # some object had more hits at one offset than its k_slots —
-            # the merged list may be missing pairs. Same self-healing as
-            # the step path's alert slots, same k <= 16 Mosaic ceiling.
+            # some object had more hits at one offset than its k_slots AND
+            # the truncation certificate could not prove the drops
+            # harmless — the merged list may be missing pairs. Same
+            # self-healing as the step path's alert slots, same k <= 16
+            # Mosaic ceiling.
             _K_MAX = 16
             if self._predict_slots >= _K_MAX:
                 logger.warning(
-                    "predict: per-object slot overflow (%d) persists at "
-                    "the k=%d Mosaic ceiling; the predicted list stays "
-                    "overflow-flagged — shard the world or thin the fleet",
+                    "predict: uncertified per-object slot overflow (%d) "
+                    "persists at the k=%d Mosaic ceiling; the predicted "
+                    "list stays overflow-flagged — shard the world or "
+                    "thin the fleet",
                     int(slot_oflow), _K_MAX)
             else:
                 self._predict_slots = min(self._predict_slots * 2, _K_MAX)
                 self._predict_cache.clear()
                 self.window_regrows += 1
                 logger.warning(
-                    "predict: per-object slot overflow (%d hits beyond "
-                    "k_slots at one offset): growing predict k_slots to "
+                    "predict: uncertified per-object slot overflow (%d "
+                    "hits beyond k_slots at one offset, not provably "
+                    "below the merged list): growing predict k_slots to "
                     "%d and recompiling for the next call",
                     int(slot_oflow), self._predict_slots)
+        elif int(slot_trunc) > 0:
+            # counted truncations whose drops are PROVABLY below every
+            # merged entry (refine.fused_predict certificate): results are
+            # exactly the canonical path's — informational only
+            logger.info(
+                "predict: %d per-offset slot truncations, all certified "
+                "harmless (dropped hits provably below the merged top-%d)",
+                int(slot_trunc), 32)
         if int(pred_oflow) > 0 and not use_fused:
             # XLA gather path: overflow = grid bucket truncation (objects
             # beyond cell_capacity dropped from their bucket's candidate

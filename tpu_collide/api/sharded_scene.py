@@ -126,6 +126,10 @@ class ShardedScene:
         from tpu_collide.core.state import conform_fleet
         fleet = conform_fleet(fleet, self.cfg)
         with self._lock:
+            # consume a pending step_pipelined output of the OLD fleet
+            # first (alerts in order; counters against the old capacity
+            # generation) — mirrors Scene.adopt_fleet
+            self._drain_locked()
             self.state = distribute_state(
                 fleet, self.cfg, self.mesh, boundaries=self.boundaries,
                 boundaries_y=self.boundaries_y,
@@ -230,6 +234,8 @@ class ShardedScene:
     # ---- stepping ----
 
     def step(self, n: int = 1) -> Any:
+        if n < 1:
+            raise ValueError(f"step count must be >= 1, got {n}")
         out = None
         with self._lock:
             self._drain_locked()

@@ -61,17 +61,10 @@ class GridConfig:
     # sort operand + DMA field costs a few % of the build, so it stays off
     # for ordinary fleets.
     wide_oid: bool | None = None
-    # Cell-list co-sort backend. True = staged Pallas bitonic sort
-    # (kernels/block_sort.py); False/None (default) = XLA lax.sort.
-    # Results are equivalent up to key-tie order (both are unstable
-    # sorts; exact on the real chip, tests/test_block_sort.py). MEASURED
-    # SLOWER than lax.sort at 1M x 14 operands by ~12 ms — and the clean
-    # re-measure puts lax.sort itself at ~1.0 ms (BENCH_NOTES r3
-    # "CORRECTION"): XLA's TPU sort lowering is already well staged, not
-    # one-HBM-pass-per-stage as the design premise assumed. Kept as a
-    # documented negative result / baseline for any future multi-pass
-    # sort work, not as a perf knob.
-    pallas_sort: bool | None = None
+    # (A staged Pallas bitonic co-sort knob lived here through r3; it
+    # measured ~12 ms SLOWER than the ~1 ms lax.sort at 1M x 14 operands
+    # and was retired to .probe/block_sort.py — BENCH_NOTES r3 "Pallas
+    # sort probe" + CORRECTION.)
     # Candidate-row width (lanes) of the fused kernel's pair blocks:
     # None/128 = classic [128 own x 128 cand] blocks; 256/512 process 2/4
     # storage rows of candidates per block-loop iteration, amortizing the

@@ -203,12 +203,20 @@ def predict_collisions(state: ObjectState, hist: TrajectoryHistory,
     return merge_pair_risks(cand, hit, risk, ttc, dist, merge_k)
 
 
-def merge_pair_risks(cand, hit, risk, ttc, dist, merge_k: int):
+def merge_pair_risks(cand, hit, risk, ttc, dist, merge_k: int,
+                     return_kth: bool = False):
     """Top merge_k by risk per object, then dedup by other-id keeping the
     max-risk occurrence (reference _merge_collision_risks,
     collision_detection.py:848-865). Inputs are [N, M] per-object candidate
     records; shared by the XLA predict path and the fused-kernel predict
-    path (kernels/refine.fused_predict)."""
+    path (kernels/refine.fused_predict).
+
+    return_kth: additionally return the PRE-dedup merge_k-th pool risk per
+    object ([N] f32, -1.0 where fewer than merge_k hits exist) — the
+    fused path's truncation certificate compares per-offset dropped-hit
+    bounds against it (refine.fused_predict_rows): any hit strictly below
+    it can never enter the top-merge_k pool, so dropping it is provably
+    harmless."""
     n = cand.shape[0]
     if cand.shape[1] < merge_k:
         # fewer candidate columns than the merge width (e.g. a short predict
@@ -259,4 +267,7 @@ def merge_pair_risks(cand, hit, risk, ttc, dist, merge_k: int):
     ttc_out = jnp.where(valid_out, jnp.take_along_axis(t_s, sel, 1), jnp.inf)
     dist_out = jnp.where(valid_out, jnp.take_along_axis(d_s, sel, 1), jnp.inf)
     other_out = jnp.where(valid_out, o_s, 0)
-    return other_out, valid_out, risk_out, ttc_out, dist_out
+    merged = (other_out, valid_out, risk_out, ttc_out, dist_out)
+    if return_kth:
+        return merged + (top_risk[:, -1],)
+    return merged

@@ -394,13 +394,11 @@ def build_cell_list(state: ObjectState, cfg: SystemConfig,
         ops = ops + (oid_hi.astype(jnp.float32),)
     if extra is not None:
         ops = ops + (extra.astype(jnp.float32),)
-    use_pallas = bool(cfg.grid.pallas_sort)
-    if use_pallas:
-        from tpu_collide.kernels.block_sort import co_sort
-        sorted_ops = co_sort(ops, interpret=interpret)
-    else:
-        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False,
-                                  dimension=0)
+    # lax.sort measured ~1.0 ms at 1M x 14 operands and payload-insensitive
+    # — a staged Pallas bitonic co-sort lost by ~12 ms and was retired to
+    # .probe/block_sort.py (BENCH_NOTES r3 "Pallas sort probe" + CORRECTION)
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False,
+                              dimension=0)
     sflat = sorted_ops[0]
     srow_f = jnp.where(sflat < num_ids,
                        jnp.clip(sflat // bandc, 0,

@@ -83,29 +83,37 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     oi = jnp.clip(own_idx, 0, nmax)
     ci = jnp.clip(cand_idx, 0, nmax)
 
-    def vec3(i, names):
-        return jnp.stack([flat[_FI[n]][i] for n in names], axis=-1)
+    # ONE [P, NFK] row gather per side instead of ~14 per-field 1D gathers
+    # (gathers, not math, dominate these tails on TPU — same pattern as
+    # refine_offset's flat_t / detect_rows' fmat; the transpose is a
+    # once-per-step cost shared with nothing else but ~14x fewer gathers)
+    flat_t = flat.T
+    fo = flat_t[oi]                                  # [P, NFK]
+    fc = flat_t[ci]
 
-    pos_o = vec3(oi, ("x", "y", "z"))
-    pos_c = vec3(ci, ("x", "y", "z"))
-    vel_o = vec3(oi, ("vx", "vy", "vz"))
-    vel_c = vec3(ci, ("vx", "vy", "vz"))
-    acc_o = vec3(oi, ("ax", "ay", "az"))
-    acc_c = vec3(ci, ("ax", "ay", "az"))
-    size_o = flat[_FI["size"]][oi]
-    size_c = flat[_FI["size"]][ci]
-    head_o = flat[_FI["heading"]][oi]
-    head_c = flat[_FI["heading"]][ci]
-    type_o = flat[_FI["otype"]][oi]
-    type_c = flat[_FI["otype"]][ci]
+    def vec3(f, names):
+        return jnp.stack([f[:, _FI[n]] for n in names], axis=-1)
+
+    pos_o = vec3(fo, ("x", "y", "z"))
+    pos_c = vec3(fc, ("x", "y", "z"))
+    vel_o = vec3(fo, ("vx", "vy", "vz"))
+    vel_c = vec3(fc, ("vx", "vy", "vz"))
+    acc_o = vec3(fo, ("ax", "ay", "az"))
+    acc_c = vec3(fc, ("ax", "ay", "az"))
+    size_o = fo[:, _FI["size"]]
+    size_c = fc[:, _FI["size"]]
+    head_o = fo[:, _FI["heading"]]
+    head_c = fc[:, _FI["heading"]]
+    type_o = fo[:, _FI["otype"]]
+    type_c = fc[:, _FI["otype"]]
     # pair identity on the RAW oid fields (halo mirrors keep their mark so
     # an object and its mirror stay distinct); reported oids are DECODED
     # (halo unmarked, wide (hi, lo) recombined)
-    lo_o = flat[_FI["oid"]][oi].astype(jnp.int32)
-    lo_c = flat[_FI["oid"]][ci].astype(jnp.int32)
+    lo_o = fo[:, _FI["oid"]].astype(jnp.int32)
+    lo_c = fc[:, _FI["oid"]].astype(jnp.int32)
     if cl.wide_oid:
-        hi_o = flat[NF][oi].astype(jnp.int32)
-        hi_c = flat[NF][ci].astype(jnp.int32)
+        hi_o = fo[:, NF].astype(jnp.int32)
+        hi_c = fc[:, NF].astype(jnp.int32)
         not_self = (lo_o != lo_c) | (hi_o != hi_c)
         hi_uo = jnp.where(hi_o <= -2, -hi_o - 2, hi_o)
         hi_uc = jnp.where(hi_c <= -2, -hi_c - 2, hi_c)
@@ -115,8 +123,8 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
         not_self = lo_o != lo_c
         oid_o = jnp.where(lo_o <= -2, -lo_o - 2, lo_o)
         oid_c = jnp.where(lo_c <= -2, -lo_c - 2, lo_c)
-    alive_o = flat[_FI["row"]][oi] >= 0.0    # row -1 = dead/padding
-    alive_c = flat[_FI["row"]][ci] >= 0.0
+    alive_o = fo[:, _FI["row"]] >= 0.0    # row -1 = dead/padding
+    alive_c = fc[:, _FI["row"]] >= 0.0
 
     # stage 1
     rel_pos = pos_c - pos_o
@@ -300,7 +308,12 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
     are masked by `own`), returns per-SORTED-ROW merged records:
 
         (other_oid [m, merge_k] i32 DECODED, valid, risk, ttc, dist,
-         soid [m] i32 decoded row oids, own [m] bool, overflow [] i32)
+         soid [m] i32 decoded row oids, own [m] bool,
+         overflow [] i32 window overflow,
+         slot_oflow [] i32 UNCERTIFIED slot truncations (possible
+         coverage loss — see fused_predict's counter docs),
+         slot_trunc [] i32 raw counted truncations incl. the
+         certified-harmless ones)
 
     The sharded path (shard/predict.py backend='fused') consumes this
     directly — no object-indexed scatter, which would need a
@@ -469,31 +482,63 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
 
     own_flat = cl.own_flat
 
-    def off_body(slot_oflow, xs):
+    # quantization granularity of the packed slot keys: a dropped hit's
+    # TRUE risk can exceed the lowest KEPT slot's decoded (quantized) key
+    # by at most one quantization step plus rounding; 0.51/kq covers both
+    # halves of the round plus FMA-fusion ulps in the refined recompute
+    # (local import: the window-sizing branch above does a conditional
+    # `from cell_list import LANE`, which makes the module-level LANE
+    # unbound here whenever window_rows was passed explicitly)
+    from tpu_collide.kernels.cell_list import LANE as _LANE
+    kq_eff = KEY_Q * (_LANE / cl.cand_lanes)
+    key_margin = 0.51 / kq_eff
+
+    def off_body(slot_trunc, xs):
         o, wdn, dsp = xs
         keys, idx, _, emitted, _ = fused_topk(
             cl, cfg, interpret, mode="predict",
             pred_params=(o, wdn, dsp),
             k_slots=k_slots, sub_steps=sub_steps)
         # hits beyond an object's k_slots at THIS offset fall out of its
-        # slot list before the merge ever sees them — count them (possible,
-        # not certain, coverage loss; the emitted counter saturates at
-        # CNT_MAX which only UNDER-counts, so 0 still certifies)
-        slot_oflow = slot_oflow + jnp.sum(
-            jnp.where(own_flat, jnp.maximum(emitted - k_slots, 0), 0),
-            dtype=jnp.int32)
-        return slot_oflow, refine_offset(o, keys, idx)
+        # slot list before the merge ever sees them — count them (the
+        # emitted counter saturates at CNT_MAX which only UNDER-counts,
+        # so 0 still certifies). Whether a truncation can actually LOSE
+        # coverage is decided after the merge: slots hold the top-k hits
+        # by (quantized) risk, so every dropped hit is bounded above by
+        # the lowest kept slot's key + margin; if that bound is strictly
+        # below the object's cross-offset merge_k-th pool risk, the drop
+        # is PROVABLY harmless (it could never enter the final top-merge_k)
+        excess = jnp.where(own_flat,
+                           jnp.maximum(emitted - k_slots, 0), 0)
+        slot_trunc = slot_trunc + jnp.sum(excess, dtype=jnp.int32)
+        # lowest kept slot's quantized key (all k slots hold real hits
+        # whenever excess > 0, since emitted > k_slots)
+        kmin = decode_key(keys[:, k_slots - 1], cl.cand_lanes)
+        bound = kmin + key_margin
+        return slot_trunc, refine_offset(o, keys, idx) + (excess, bound)
 
-    slot_oflow, stk = jax.lax.scan(off_body, jnp.int32(0),
+    slot_trunc, stk = jax.lax.scan(off_body, jnp.int32(0),
                                    (offs, widens, disps))
     cat = lambda j: stk[j].transpose(1, 0, 2).reshape(m, -1)
     other_s, hit_s, risk_s, ttc_s, dist_s = (cat(j) for j in range(5))
+    excess_s, bound_s = stk[5], stk[6]            # [n_off, m]
 
     # merge per pair IN SORTED-ROW SPACE (rows map 1:1 to objects, so this
     # commutes with the oid scatter the unsharded wrapper applies after)
-    merged = merge_pair_risks(other_s, hit_s, risk_s, ttc_s, dist_s,
-                              merge_k)
-    return merged + (soid, own_flat, cl.overflow, slot_oflow)
+    *merged, kth = merge_pair_risks(other_s, hit_s, risk_s, ttc_s, dist_s,
+                                    merge_k, return_kth=True)
+    # truncation certificate: a truncated offset's dropped hits are all
+    # <= bound; strictly below the merge_k-th pool risk (exact, recomputed)
+    # means they could not have displaced anything in the final merged
+    # list — count only the UNCERTIFIED excess as possible coverage loss.
+    # kth is -1.0 when the pool holds fewer than merge_k hits, in which
+    # case any drop could have entered and is always uncertified (every
+    # bound is >= -1 + margin there, since truncated slots hold real hits
+    # with keys >= 0).
+    uncert = (excess_s > 0) & (bound_s >= kth[None, :])
+    slot_oflow = jnp.sum(jnp.where(uncert, excess_s, 0), dtype=jnp.int32)
+    return tuple(merged) + (soid, own_flat, cl.overflow, slot_oflow,
+                            slot_trunc)
 
 
 def fused_predict(state, hist, cfg: SystemConfig,
@@ -504,18 +549,27 @@ def fused_predict(state, hist, cfg: SystemConfig,
     """Trajectory prediction at fused-kernel scale (ROADMAP r2 #13) for a
     single-device fleet: classify trajectories, run the row-space core,
     scatter merged rows back to object order by oid. Same semantics and
-    return tuple as detect/predict.predict_collisions plus TWO counters:
-    window overflow (candidate windows too small for the density) and slot
-    overflow (some object had more hits at one offset than k_slots — the
-    merge may be missing pairs). Both are counted, never silent; both 0
-    certifies the merged set complete. `other` entries are OIDs (== state
-    indices for arange-oid fleets)."""
+    return tuple as detect/predict.predict_collisions plus THREE counters:
+
+      * overflow — candidate windows too small for the density;
+      * slot_oflow — UNCERTIFIED per-offset slot truncations: some object
+        had more hits at one offset than k_slots AND the dropped hits'
+        risk bound reaches its final merge_k-th pool risk, so the merged
+        list may be missing pairs;
+      * slot_trunc — RAW counted truncations (incl. the certified-harmless
+        ones: drops provably below everything the merge kept).
+
+    All counted, never silent; overflow == slot_oflow == 0 certifies the
+    merged set equals the canonical path's (truncations may still be
+    counted in slot_trunc — the certificate proves those could not have
+    changed the output). `other` entries are OIDs (== state indices for
+    arange-oid fleets)."""
     from tpu_collide.detect.predict import classify_trajectories
 
     n = state.n
     cls = classify_trajectories(hist)
     (other_r, valid_r, risk_r, ttc_r, dist_r, soid, own, overflow,
-     slot_oflow) = \
+     slot_oflow, slot_trunc) = \
         fused_predict_rows(state, cls, cfg, horizon=horizon, step=step,
                            sub_window=sub_window, merge_k=merge_k,
                            k_slots=k_slots, window_rows=window_rows,
@@ -525,4 +579,4 @@ def fused_predict(state, hist, cfg: SystemConfig,
                                     a.dtype).at[tgt].set(a, mode="drop")[:-1]
     return (scat(other_r, 0), scat(valid_r, False), scat(risk_r, 0.0),
             scat(ttc_r, jnp.inf), scat(dist_r, jnp.inf), overflow,
-            slot_oflow)
+            slot_oflow, slot_trunc)

@@ -104,6 +104,61 @@ def suggest_cell_capacity(state, cfg: SystemConfig, margin: int = 2) -> int:
     return max(4, -(-need // 4) * 4)
 
 
+def measure_survivor_need(cfg: SystemConfig, state, keys=None,
+                          interpret: bool = False) -> int:
+    """Device probe for the precise path's survivor compaction: the max,
+    over the given physics-step key sequence (or the current positions when
+    keys is None), of the compacted survivor count
+    sum_over_own(min(emitted, survivor_k)) — exactly how many slot entries
+    fused_scene_precise's top-cap compaction must hold for those steps.
+    Runs the kernel in survivor mode WITHOUT the sweep/refine tail, so the
+    probe costs a fraction of a precise step per key and never depends on
+    the current precise_survivor_cap (chicken-and-egg free: `emitted` comes
+    from the kernel counters, not the compaction)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_collide.kernels.cell_list import build_cell_list
+    from tpu_collide.kernels.fused_detect import fused_topk
+    from tpu_collide.sim.integrator import integrate
+
+    k = cfg.detect.survivor_k
+
+    def need(st):
+        cl = build_cell_list(st, cfg, interpret=interpret)
+        _, _, _, emitted, _ = fused_topk(cl, cfg, interpret,
+                                         mode="survivors")
+        return jnp.sum(jnp.where(cl.own_flat, jnp.minimum(emitted, k), 0),
+                       dtype=jnp.int32)
+
+    if keys is None:
+        return int(jax.jit(need)(state))
+
+    def body(st, key):
+        st = integrate(st, key, cfg)
+        return st, need(st)
+
+    def run(st, ks):
+        _, needs = jax.lax.scan(body, st, ks)
+        return jnp.max(needs)
+
+    return int(jax.jit(run)(state, keys))
+
+
+def suggest_survivor_cap(cfg: SystemConfig, state, keys=None,
+                         interpret: bool = False) -> int:
+    """Fleet-exact `DetectionConfig.precise_survivor_cap` (the analog of
+    suggest_window_rows for the precise sweep, VERDICT r3 Next #5): the
+    sampled stage-3 sweep's cost is LINEAR in the static cap, and the 2N
+    default is often 10-40x oversized for sparse 3D fleets. Sized from the
+    measured need + 1/8 headroom, rounded up to a power of two (min 1024)
+    so density jitter doesn't thrash recompiles; under-sizing from later
+    density drift is counted (alert_overflow), never silent, and the
+    Scene/bench regrow paths recover."""
+    need = measure_survivor_need(cfg, state, keys, interpret=interpret)
+    cap = max(1024, need + need // 8 + LANE)
+    return 1 << (cap - 1).bit_length()
+
+
 def suggest_cell_size(cfg: SystemConfig) -> float:
     """Smallest legal cell for the fused path: the search radius (the
     1-cell stencil must cover it). Larger cells only add dead pair math;

@@ -162,13 +162,17 @@ def _local_predict_fused(state: ObjectState, hist: TrajectoryHistory,
     cls = jnp.concatenate([
         classify_trajectories(hist),
         jnp.zeros((ext.n - state.n,), jnp.int32)])
-    other, valid, risk, ttc, dist, soid, own, overflow, slot_oflow = \
+    (other, valid, risk, ttc, dist, soid, own, overflow, slot_oflow,
+     _slot_trunc) = \
         fused_predict_rows(ext, cls, cfg, horizon=horizon, step=step,
                            sub_window=sub_window, merge_k=merge_k,
                            window_rows=window_rows, interpret=interpret)
     valid = valid & own[:, None]
     # one possible-coverage-loss counter per shard: candidate-window
-    # overflow + per-object slot overflow (both 0 certifies completeness)
+    # overflow + UNCERTIFIED per-object slot truncations (certified-
+    # harmless truncations — drops provably below everything the merge
+    # kept — are excluded; see refine.fused_predict's counter docs).
+    # Both 0 certifies completeness.
     return (jnp.where(valid, other, -1), valid, risk, ttc, dist,
             jnp.where(own, soid, -1), dropped.reshape(1),
             (overflow + slot_oflow).reshape(1))
