@@ -491,12 +491,32 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
                                         kb, ib, extract(key, 1)))
 
                                 if _EMIT_MIDTIER and k > 2:
-                                    @pl.when((cmax > 1.5) & (cmax <= 2.5))
-                                    def _():
-                                        write_slots(*insert_cands(
-                                            kb, ib, extract(key, 2)))
+                                    # power-of-two tier ladder (r4): blocks
+                                    # extract the smallest power-of-two
+                                    # rounds >= their cmax instead of all k
+                                    # — the certified k=8/16 operating
+                                    # points pay near-k=4 emit cost on the
+                                    # dominant cmax<=4 blocks. Exactness:
+                                    # identical argument to the 2-tier
+                                    # (n_iter >= cmax extracts every row's
+                                    # emits; surplus extractions are the
+                                    # tolerated no-op inserts). All tier
+                                    # branches ride the ONE materialized
+                                    # cmax scalar — no extra vector->scalar
+                                    # sync.
+                                    tiers = [2]
+                                    while tiers[-1] * 2 < k:
+                                        tiers.append(tiers[-1] * 2)
+                                    prev = 1.5
+                                    for n_it in tiers:
+                                        @pl.when((cmax > prev)
+                                                 & (cmax <= n_it + 0.5))
+                                        def _(n_it=n_it):
+                                            write_slots(*insert_cands(
+                                                kb, ib, extract(key, n_it)))
+                                        prev = n_it + 0.5
 
-                                    @pl.when(cmax > 2.5)
+                                    @pl.when(cmax > prev)
                                     def _():
                                         write_slots(*insert_cands(
                                             kb, ib, extract(key, k)))
