@@ -362,3 +362,60 @@ def test_emit_midtier_exact_two_emit_block():
     assert set(af) == set(ax) == {(0, 1), (0, 2)}
     for kk in af:
         np.testing.assert_allclose(ax[kk], af[kk], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,m", [(8, 3), (8, 4), (8, 5), (16, 8), (16, 9)])
+def test_emit_tier_ladder_boundaries(k, m):
+    """Pin every power-of-two emit tier boundary (VERDICT r4 weak #2): the
+    r4 ladder extracts the smallest power-of-two rounds >= the block's
+    cmax (k=8: 1/2/4/8 rounds at cmax<=1 / 2 / <=4 / >4; k=16 adds the
+    8-round tier), and only cmax==2 had a dedicated pin test. Geometry: a
+    clique of m+1 objects collapsing onto their centroid at a uniform
+    1/3 s^-1 rate — every pair closes with ttc exactly 3 s, so every
+    object emits exactly m pairs and the block's cmax is exactly m.
+    m = 3, 4, 5 land on the k=8 tier edges (4-round interior, 4-round
+    upper edge, first full-k value); m = 8, 9 land on the k=16 8-round
+    upper edge and first full-k value. Alert sets must equal the XLA
+    path's exactly, with alert_overflow certifying 0."""
+    from tpu_collide.kernels import fused_detect
+    from tpu_collide.core.config import SimConfig
+
+    assert fused_detect._EMIT_MIDTIER
+    n = m + 1
+    rng = np.random.default_rng(100 + m)
+    # pairwise-distinct cluster inside one 100 m cell, max spread ~60 m
+    pos = np.zeros((n, 3), np.float32)
+    ang = 2 * np.pi * np.arange(n) / n
+    rad = rng.uniform(20.0, 30.0, n)
+    pos[:, 0] = 1000.0 + rad * np.cos(ang)
+    pos[:, 1] = 1000.0 + rad * np.sin(ang)
+    centroid = pos.mean(axis=0, keepdims=True)
+    vel = ((centroid - pos) / 3.0).astype(np.float32)   # ttc 3 s, all pairs
+    heading = np.arctan2(vel[:, 1], vel[:, 0]).astype(np.float32)
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                          heading, np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(2000.0, 2000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        sim=SimConfig(accel_change_prob=0.0),
+        alerts=AlertConfig(max_scene_alerts=256,
+                           max_alerts_per_object=k))
+
+    # premise: per-own emitted counts are exactly m everywhere, so the
+    # block's cmax lands EXACTLY on the tier edge under test
+    _, got_c, _, overflow = fused_ref(st, cfg)
+    assert overflow == 0
+    np.testing.assert_array_equal(got_c, np.full(n, m))
+
+    key = jax.random.key(1)
+    _, o_x = make_step(cfg, donate=False)(st, key)
+    _, o_f = step_fused(st, key, cfg, interpret=True)
+    assert int(o_f.alert_overflow) == 0
+    # directed count: each object's own side of each qualifying pair
+    assert int(o_f.num_risks) == int(o_x.num_risks) == n * m
+    ax, af = _alert_map(o_x), _alert_map(o_f)
+    assert set(af) == set(ax)
+    for kk in af:
+        np.testing.assert_allclose(ax[kk], af[kk], rtol=1e-5, atol=1e-5)

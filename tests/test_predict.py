@@ -99,3 +99,52 @@ def test_predict_merge_keeps_max_risk_per_pair():
     o = np.asarray(other)[0][v]
     # pair (0 -> 1) appears exactly once despite hits at many offsets
     assert (o == 1).sum() == 1
+
+
+def test_scene_xla_predict_bucket_overflow_self_heals():
+    """A predict-ONLY workload (record + predict, no step) on the XLA
+    backend self-heals counted grid-bucket truncation: the overflowing
+    call doubles cell_capacity and recompiles, and the healed call's
+    risk set equals a generously-capacitied oracle Scene's (VERDICT r4
+    Next #7 — before r5 the predict branch was warn-only)."""
+    from tpu_collide.core.config import (GridConfig, DetectionConfig,
+                                         AlertConfig, SimConfig)
+
+    n = 200
+    rng = np.random.default_rng(7)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = rng.uniform(420, 480, n)        # one dense cell
+    pos[:, 1] = rng.uniform(420, 480, n)
+    vel = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    vel[:, 2] = 0.0
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32),
+                          np.zeros(n, np.float32),
+                          np.full(n, 2.0, np.float32),
+                          np.zeros(n, np.int32))
+
+    def build(cap):
+        cfg = tc.SystemConfig(
+            num_objects=n, world=WorldConfig(hi=(1000.0, 1000.0, 0.0)),
+            grid=GridConfig(cell_size=100.0, cell_capacity=cap),
+            detect=DetectionConfig(mode="fast"),
+            sim=SimConfig(accel_change_prob=0.0),
+            alerts=AlertConfig(max_scene_alerts=512))
+        sc = Scene(cfg, backend="xla")
+        sc.adopt_fleet(st)
+        for k in range(4):
+            sc.record_trajectories(dt=0.5)
+        return sc
+
+    sc = build(4)                               # far too small
+    sc.predict()                                # overflowing call: heals
+    assert sc.window_regrows >= 1               # _grow_buckets fired
+    for _ in range(6):                          # converge without tuning
+        grown = sc.cfg.grid.cell_capacity
+        risks = sc.predict()
+        if sc.cfg.grid.cell_capacity == grown:
+            break
+    assert sc.cfg.grid.cell_capacity > 4
+    oracle = build(n)                           # can never overflow
+    want = {(r.vehicle_id, r.other_vehicle_id) for r in oracle.predict()}
+    got = {(r.vehicle_id, r.other_vehicle_id) for r in risks}
+    assert got == want
