@@ -468,6 +468,14 @@ class Scene:
                 # no sync here: the dispatch is asynchronous by design
                 pending, self._pipe = self._pipe, (out, self._window_rows,
                                                    self._k_marker())
+                # start the device->host copy of THIS output now: it
+                # queues behind the step just dispatched and lands during
+                # the inter-call gap, so the NEXT call's fetch finds the
+                # bytes already host-side instead of paying a full tunnel
+                # round trip behind a busy device (r4: pipelined avg was
+                # WORSE than plain because the previous output's
+                # device_get serialized behind the new step's execution)
+                self._prefetch_host_view(out)
                 prev = None
                 if pending is not None:
                     prev = pending[0]
@@ -497,6 +505,18 @@ class Scene:
                 self.cfg.detect.survivor_k,
                 self.cfg.survivor_cap,
                 self.cfg.grid.cell_capacity)
+
+    def _prefetch_host_view(self, out) -> None:
+        """Kick off non-blocking device->host copies of everything
+        `_fetch_host_view` will read later. Safe no-op on backends without
+        async host transfers (the later device_get just does the work)."""
+        import jax.tree_util as jtu
+        for leaf in jtu.tree_leaves((out.overflow, out.alert_overflow,
+                                     out.num_alive, out.alerts)):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:        # platform without async copies
+                return
 
     def _fetch_host_view(self, out):
         """ONE device->host transfer for everything the host consumes from
