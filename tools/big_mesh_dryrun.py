@@ -96,10 +96,15 @@ def main() -> None:
     # Scene alert budget sized to hold EVERY qualifying alert so the
     # sharded-vs-single alert sets are comparable exactly (no top-k
     # boundary ties); overflow stays counted if density outruns it.
+    # cell_capacity 64: the default 16 counted 9 bucket truncations at 64k
+    # (dropping 7 qualifying pairs from the XLA reference's candidates —
+    # the fused path's complete windows FOUND them, failing the set
+    # compare in the r5 campaign); the comparison needs a provably
+    # complete reference, certified below by overflow == 0 on both sides.
     cfg = tc.SystemConfig(
         num_objects=args.n,
         world=WorldConfig(hi=(10000.0, 10000.0, 0.0)),
-        grid=GridConfig(cell_size=100.0),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
         detect=DetectionConfig(mode="fast", count_checked=False),
         sim=SimConfig(accel_change_prob=0.0),
         alerts=AlertConfig(max_scene_alerts=32768,
@@ -133,23 +138,46 @@ def main() -> None:
         "step_ms": round(min(step_ms), 1),
         "risks": int(out.num_risks),
         "alive": alive, "dropped": drop,
+        "overflow": int(out.overflow),
         "alert_overflow": int(out.alert_overflow),
         "conserved": alive == args.n and drop == 0,
     }
     assert res["conserved"], f"conservation failed: {res}"
+    assert res["overflow"] == 0, f"sharded candidate truncation: {res}"
 
     if not args.skip_single:
         s1, out1 = make_step(cfg, donate=False)(fleet, key)
         res["risks_single"] = int(out1.num_risks)
+        res["single_overflow"] = int(out1.overflow)
+        assert res["single_overflow"] == 0, (
+            f"single-device reference truncated its candidates: {res}")
         res["risk_parity"] = res["risks"] == res["risks_single"]
         if int(out1.alert_overflow) == 0 and res["alert_overflow"] == 0:
+            # fused scene lists keep each object's own side of a pair while
+            # the XLA backend dedups to oid_i < oid_j (DEVIATIONS #10) —
+            # compare unordered pair sets on the fused backend
+            unordered = args.backend == "fused"
+
             def aset(o):
                 v = np.asarray(o.alerts.valid).ravel()
-                return set(zip(
+                pairs = zip(
                     np.asarray(o.alerts.vehicle_oid).ravel()[v].tolist(),
-                    np.asarray(o.alerts.other_oid).ravel()[v].tolist()))
+                    np.asarray(o.alerts.other_oid).ravel()[v].tolist())
+                if unordered:
+                    return {(min(a, b), max(a, b)) for a, b in pairs}
+                return set(pairs)
             a1, a2 = aset(out1), aset(out)
             res["alert_set_equal"] = a1 == a2
+            if a1 != a2:
+                pos = np.asarray(fleet.pos)
+                for tag, diff in (("single-only", a1 - a2),
+                                  ("shard-only", a2 - a1)):
+                    for p in sorted(diff)[:8]:
+                        va, vb = p
+                        print(f"# {tag} pair {p}: "
+                              f"pos_a={pos[va] if 0 <= va < args.n else '?'} "
+                              f"pos_b={pos[vb] if 0 <= vb < args.n else '?'}",
+                              file=sys.stderr)
             assert a1 == a2, (f"alert sets differ: single-only "
                               f"{len(a1 - a2)}, shard-only {len(a2 - a1)}")
         assert res["risk_parity"], res
