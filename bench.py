@@ -399,7 +399,14 @@ def main():
         # top-k merge) through the public Scene surface
         from tpu_collide.api import Scene
         from tpu_collide.sim import generate_fleet as _gen
-        sc = Scene(cfg100k, state=_gen(jax.random.key(5), cfg100k))
+        # auto_window=False: keep the gather path at its configured
+        # cell_capacity — the fleet-exact heal (r5) would otherwise
+        # recompile toward a capacity whose gather footprint cannot fit
+        # HBM at 100k city-skew (the gather path's known density limit;
+        # its bucket truncation is counted, and the FUSED predict row
+        # below is the complete/certified story)
+        sc = Scene(cfg100k, state=_gen(jax.random.key(5), cfg100k),
+                   auto_window=False)
         for _ in range(3):
             sc.record_trajectories()
         sc.predict()                               # compile + warm

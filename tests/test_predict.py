@@ -148,3 +148,38 @@ def test_scene_xla_predict_bucket_overflow_self_heals():
     want = {(r.vehicle_id, r.other_vehicle_id) for r in oracle.predict()}
     got = {(r.vehicle_id, r.other_vehicle_id) for r in risks}
     assert got == want
+
+
+def test_scene_xla_predict_heal_oom_fallback():
+    """When a fleet-exact capacity heal produces a program too big for
+    device memory (JaxRuntimeError at execute), predict reverts to the
+    last capacity that ran, records the ceiling so the heal is not
+    re-attempted at that density, and still returns results (truncation
+    stays counted). Simulated by planting a raising program in the
+    predict cache with a heal in flight."""
+    import jax as _jax
+    from tpu_collide.core.config import GridConfig
+
+    cfg = tc.SystemConfig(num_objects=8,
+                          world=WorldConfig(hi=(500.0, 500.0, 0.0)),
+                          grid=GridConfig(cell_size=100.0, cell_capacity=32))
+    sc = Scene(cfg, backend="xla")
+    for k in range(4):
+        t = k * 0.5
+        sc.ingest(LocationData("a", Position(10 * t, 100, 0),
+                               Vector(10, 0, 0)))
+        sc.ingest(LocationData("b", Position(60 + 0.2 * t, 100, 0),
+                               Vector(0.2, 0, 0)))
+        sc.record_trajectories(dt=0.5)
+
+    def boom(*a, **k):
+        raise _jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: hbm")
+
+    sc._predict_cache[(10.0, 0.5)] = boom      # the "healed" program
+    sc._predict_cap_prev = 8                   # heal was from capacity 8
+    risks = sc.predict()
+    assert sc.cfg.grid.cell_capacity == 8      # reverted
+    assert sc._predict_heal_ceiling == 32      # remembered
+    assert sc._predict_cap_prev is None
+    pairs = {(r.vehicle_id, r.other_vehicle_id) for r in risks}
+    assert ("a", "b") in pairs                 # retry produced results

@@ -229,6 +229,8 @@ class Scene:
         self._burst_cache: Dict[int, Any] = {}   # n -> compiled burst step
         self._pipe = None   # pending step_pipelined output:
                             # (out, window_rows@dispatch, k_marker@dispatch)
+        self._predict_cap_prev = None     # capacity before a predict heal
+        self._predict_heal_ceiling = None  # first capacity that OOM'd
 
     # ---- identity ----
 
@@ -639,15 +641,20 @@ class Scene:
         recompiles, so the NEXT step's detection is provably complete
         again. Mirrors the fused path's window/slot self-heal (the
         overflowing step's misses were counted, never silent)."""
-        import dataclasses as _dc
-        g = self.cfg.grid
-        self.cfg = self.cfg.replace(
-            grid=_dc.replace(g, cell_capacity=g.cell_capacity * 2))
         self.window_regrows += 1
         logger.warning(
             "grid-bucket overflow (%d objects beyond cell_capacity): "
             "growing cell_capacity to %d and recompiling", overflow,
-            self.cfg.grid.cell_capacity)
+            self.cfg.grid.cell_capacity * 2)
+        self._set_cell_capacity(self.cfg.grid.cell_capacity * 2)
+
+    def _set_cell_capacity(self, cap: int) -> None:
+        """Recompile every cfg-bound program at a new gather-bucket
+        capacity (shared by the step path's doubling heal and the predict
+        path's fleet-exact heal)."""
+        import dataclasses as _dc
+        self.cfg = self.cfg.replace(
+            grid=_dc.replace(self.cfg.grid, cell_capacity=cap))
         self._step = make_step(self.cfg, donate=True, backend=self._backend,
                                chunk_size=self._chunk_size,
                                window_rows=self._window_rows,
@@ -796,22 +803,48 @@ class Scene:
             use_fused = (self._backend == "fused"
                          and resolve_band_cells(self.cfg)
                          == self.cfg.grid_dims[0])
-            fn = self._predict_cache.get(key2)
-            if fn is None:
-                if use_fused:
-                    fn = jax.jit(partial(_predict_device_fused,
-                                         cfg=self.cfg,
-                                         horizon=key2[0], step=key2[1],
-                                         r_cap=r_cap,
-                                         interpret=self._interpret,
-                                         window_rows=self._predict_windows,
-                                         k_slots=self._predict_slots))
-                else:
-                    fn = jax.jit(partial(_predict_device, cfg=self.cfg,
-                                         horizon=key2[0], step=key2[1],
-                                         r_cap=r_cap))
-                self._predict_cache[key2] = fn
-            fetched = jax.device_get(fn(self.state, self._traj))
+
+            def build_fn():
+                fn = self._predict_cache.get(key2)
+                if fn is None:
+                    if use_fused:
+                        fn = jax.jit(partial(
+                            _predict_device_fused, cfg=self.cfg,
+                            horizon=key2[0], step=key2[1], r_cap=r_cap,
+                            interpret=self._interpret,
+                            window_rows=self._predict_windows,
+                            k_slots=self._predict_slots))
+                    else:
+                        fn = jax.jit(partial(_predict_device, cfg=self.cfg,
+                                             horizon=key2[0], step=key2[1],
+                                             r_cap=r_cap))
+                    self._predict_cache[key2] = fn
+                return fn
+
+            try:
+                fetched = jax.device_get(build_fn()(self.state, self._traj))
+                self._predict_cap_prev = None      # healed program fits
+            except jax.errors.JaxRuntimeError:
+                # a bucket-capacity self-heal (below, last call) produced a
+                # program too big for device memory — the XLA gather path's
+                # footprint is linear in cell_capacity. Revert to the last
+                # capacity that ran, remember the ceiling so the heal isn't
+                # re-attempted every call, and retry once; the truncation
+                # stays counted (never silent).
+                prev = getattr(self, "_predict_cap_prev", None)
+                if prev is None:
+                    raise
+                failed = self.cfg.grid.cell_capacity
+                self._predict_heal_ceiling = failed
+                self._predict_cap_prev = None
+                logger.warning(
+                    "predict: fleet-exact healed cell_capacity %d does not "
+                    "fit device memory; reverting to %d — grid-bucket "
+                    "truncation stays counted (backend='fused' covers this "
+                    "density with in-kernel candidate windows)",
+                    failed, prev)
+                self._set_cell_capacity(prev)
+                fetched = jax.device_get(build_fn()(self.state, self._traj))
         (top_r, voids, ooids, t_sel, d_sel, total, pred_oflow, slot_oflow,
          slot_trunc) = fetched
         if int(pred_oflow) > 0 and use_fused:
@@ -862,16 +895,45 @@ class Scene:
         if int(pred_oflow) > 0 and not use_fused:
             # XLA gather path: overflow = grid bucket truncation (objects
             # beyond cell_capacity dropped from their bucket's candidate
-            # list). Counted, never silent — same contract as the detect
-            # path's StepOutput.overflow, and the SAME self-heal: double
-            # cell_capacity and recompile so the NEXT predict is provably
-            # complete again (a predict-only workload must heal without a
-            # step ever running — VERDICT r4 Next #7).
-            logger.warning(
-                "predict: %d objects overflow their grid buckets — this "
-                "call's predicted-risk list may be missing pairs; "
-                "self-healing", int(pred_oflow))
-            self._grow_buckets(int(pred_oflow))
+            # list). Counted, never silent — and self-healing, so a
+            # predict-only workload heals without a step ever running
+            # (VERDICT r4 Next #7). Unlike the step path's doubling, the
+            # heal goes fleet-exact in ONE recompile (overflow counts here
+            # can be ~N/2 on skewed fleets — doubling would thrash), and
+            # it is memory-guarded: the gather footprint is linear in
+            # capacity, so a heal that OOMs (caught above) sets a ceiling
+            # and the truncation stays counted instead of retrying forever.
+            from tpu_collide.kernels.tune import suggest_cell_capacity
+            cur = self.cfg.grid.cell_capacity
+            need = suggest_cell_capacity(self.state, self.cfg)
+            ceil = getattr(self, "_predict_heal_ceiling", None)
+            if not self._auto_buckets:
+                logger.warning(
+                    "predict: %d objects overflow their grid buckets "
+                    "(auto-heal disabled) — the predicted-risk list may "
+                    "be missing pairs; fleet-exact cell_capacity is %d",
+                    int(pred_oflow), need)
+            elif need <= cur:
+                logger.warning(
+                    "predict: %d objects overflow their grid buckets but "
+                    "the live fleet already fits cell_capacity %d — "
+                    "density drifted during the call; the next predict is "
+                    "complete", int(pred_oflow), cur)
+            elif ceil is not None and need >= ceil:
+                logger.warning(
+                    "predict: %d objects overflow their grid buckets; the "
+                    "fleet-exact capacity %d already failed to fit device "
+                    "memory (ceiling %d) — predicted list stays "
+                    "overflow-flagged (use backend='fused')",
+                    int(pred_oflow), need, ceil)
+            else:
+                self._predict_cap_prev = cur
+                self.window_regrows += 1
+                logger.warning(
+                    "predict: %d objects overflow their grid buckets — "
+                    "growing cell_capacity to the fleet-exact %d and "
+                    "recompiling for the next call", int(pred_oflow), need)
+                self._set_cell_capacity(need)
         if int(total) > r_cap:
             logger.warning(
                 "predict: %d predicted risks exceed the %d-slot scene "
