@@ -223,11 +223,19 @@ def test_fused_alert_overflow_counted():
                           np.full(n, 2.0, np.float32),
                           np.zeros(n, np.int32))
     cfg = cfg2d(n=n, world=1000.0)
+    # r5: the default hot_topup covers this ring exactly — alert set EQUAL
+    # to XLA with aoflow 0 at k=4
+    _, ox = make_step(cfg, donate=False)(st, jax.random.key(0))
+    _, oh = step_fused(st, jax.random.key(0), cfg, interpret=True)
+    assert int(oh.alert_overflow) == 0
+    assert set(_alert_map(oh)) == set(_alert_map(ox))
+    # counted contract with the top-up disabled (pre-r5 behavior)
+    import dataclasses as _dc
+    cfg = cfg.replace(detect=_dc.replace(cfg.detect, hot_topup=0))
     _, out = step_fused(st, jax.random.key(0), cfg, interpret=True)
     assert int(out.alert_overflow) > 0
     # the XLA path on the same state sees a dense clique of qualifying
     # pairs (center + ring-ring) — far more than the 4 slots per object
-    _, ox = make_step(cfg, donate=False)(st, jax.random.key(0))
     ax, af = _alert_map(ox), _alert_map(out)
     assert len(ax) > 8
     # fused never invents pairs; with overflow > 0 it may legitimately
@@ -303,7 +311,11 @@ def test_scene_auto_slot_regrow():
                           np.zeros(n, np.float32),
                           np.full(n, 2.0, np.float32),
                           np.zeros(n, np.int32))
+    # hot_topup=0: with the r5 default the ring is covered at k=4 and no
+    # regrow is needed — this test exercises the regrow machinery itself
+    import dataclasses as _dc
     cfg = cfg2d(n=n, world=1000.0)
+    cfg = cfg.replace(detect=_dc.replace(cfg.detect, hot_topup=0))
     sc = Scene(cfg, interpret=True, backend="fused")
     sc.adopt_fleet(st)
     out1 = sc.step()
@@ -419,3 +431,78 @@ def test_emit_tier_ladder_boundaries(k, m):
     assert set(af) == set(ax)
     for kk in af:
         np.testing.assert_allclose(ax[kk], af[kk], rtol=1e-5, atol=1e-5)
+
+
+def test_hot_topup_certifies_past_k():
+    """Hot-object exact top-up (r5, DetectionConfig.hot_topup): a clique
+    whose objects each emit 6 qualifying-or-subthreshold pairs at k=4
+    slots produces an alert set EXACTLY equal to the XLA path with
+    alert_overflow 0 — the rows past k are covered by the XLA-refined
+    neighborhood top-up instead of a bigger (slower-everywhere) k. With
+    hot_topup=0 the pre-r5 counted behavior returns (aoflow = summed
+    qualifying excess > 0)."""
+    import dataclasses as dc
+    from tpu_collide.core.config import SimConfig
+
+    n = 7
+    ang = 2 * np.pi * np.arange(n) / n
+    rad = np.random.default_rng(1).uniform(20, 30, n)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = 1000 + rad * np.cos(ang)
+    pos[:, 1] = 1000 + rad * np.sin(ang)
+    c = pos.mean(0, keepdims=True)
+    vel = ((c - pos) / 3.0).astype(np.float32)
+    head = np.arctan2(vel[:, 1], vel[:, 0]).astype(np.float32)
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32), head,
+                          np.full(n, 2.0, np.float32), np.zeros(n, np.int32))
+    cfg = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(2000., 2000., 0.)),
+        grid=GridConfig(cell_size=100., cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        sim=SimConfig(accel_change_prob=0.0),
+        alerts=AlertConfig(max_scene_alerts=256, max_alerts_per_object=4))
+    key = jax.random.key(1)
+    _, ox = make_step(cfg, donate=False)(st, key)
+    _, of = step_fused(st, key, cfg, interpret=True)
+    assert int(of.alert_overflow) == 0
+    assert int(of.num_risks) == int(ox.num_risks) > 0
+    ax, af = _alert_map(ox), _alert_map(of)
+    assert set(af) == set(ax)
+    for kk in af:
+        np.testing.assert_allclose(ax[kk], af[kk], rtol=1e-5, atol=1e-5)
+    # disabled: the counted pre-r5 contract
+    cfg0 = cfg.replace(detect=dc.replace(cfg.detect, hot_topup=0))
+    _, o0 = step_fused(st, key, cfg0, interpret=True)
+    assert int(o0.alert_overflow) > 0
+
+
+def test_hot_topup_beyond_cap_stays_counted():
+    """Rows past the hot_topup cap keep the counted-overflow contract:
+    with hot_topup=1 only the hottest row is covered, the rest stay in
+    alert_overflow."""
+    import dataclasses as dc
+    from tpu_collide.core.config import SimConfig
+
+    n = 7
+    ang = 2 * np.pi * np.arange(n) / n
+    rad = np.random.default_rng(1).uniform(20, 30, n)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = 1000 + rad * np.cos(ang)
+    pos[:, 1] = 1000 + rad * np.sin(ang)
+    c = pos.mean(0, keepdims=True)
+    vel = ((c - pos) / 3.0).astype(np.float32)
+    head = np.arctan2(vel[:, 1], vel[:, 0]).astype(np.float32)
+    st = state_from_numpy(pos, vel, np.zeros((n, 3), np.float32), head,
+                          np.full(n, 2.0, np.float32), np.zeros(n, np.int32))
+    base = tc.SystemConfig(
+        num_objects=n, world=WorldConfig(hi=(2000., 2000., 0.)),
+        grid=GridConfig(cell_size=100., cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        sim=SimConfig(accel_change_prob=0.0),
+        alerts=AlertConfig(max_scene_alerts=256, max_alerts_per_object=4))
+    key = jax.random.key(1)
+    cfg1 = base.replace(detect=dc.replace(base.detect, hot_topup=1))
+    cfg0 = base.replace(detect=dc.replace(base.detect, hot_topup=0))
+    _, o1 = step_fused(st, key, cfg1, interpret=True)
+    _, o0 = step_fused(st, key, cfg0, interpret=True)
+    assert 0 < int(o1.alert_overflow) < int(o0.alert_overflow)

@@ -119,7 +119,10 @@ def test_packed_counter_saturates_instead_of_wrapping(monkeypatch):
     cfg = tc.SystemConfig(
         num_objects=n, world=WorldConfig(hi=(1000.0, 1000.0, 0.0)),
         grid=GridConfig(cell_size=100.0, cell_capacity=64),
-        detect=DetectionConfig(mode="fast"),
+        # hot_topup=0: observe the raw counter contract (the r5 top-up
+        # would exactly COVER the saturated hot row — the saturation
+        # still matters there too, as the qual > k hot trigger)
+        detect=DetectionConfig(mode="fast", hot_topup=0),
         alerts=AlertConfig(max_scene_alerts=64))
     _, out = step_fused(st, jax.random.key(0), cfg, interpret=True)
     # the center object alone has ~20 qualifying pairs > CNT_MAX=7:

@@ -118,6 +118,14 @@ class DetectionConfig:
     # are counted in alert_overflow. 8 covers any plausible simultaneous
     # near-collision count per object; raise for pathological densities.
     survivor_k: int = 8
+    # Hot-object exact top-up (fused fast mode, kernels/refine.py): rows
+    # whose qualifying pair count exceeds the k alert slots get their full
+    # 1-cell-stencil neighborhood re-refined exactly in XLA (bounded by the
+    # cell-list cr_start spans) and merged into the scene selection, so the
+    # fleet keeps small-k kernel cost while dense outliers stay provably
+    # complete. alert_overflow then counts only rows beyond this cap.
+    # 0 disables (pre-r5 behavior: every qualifying-past-k row is counted).
+    hot_topup: int = 32
     # Stage-2 closest-approach sign convention. The reference computes
     # t* = -dot(rel_pos, rel_vel)/|rel_vel|^2 with rel_pos = other - vehicle
     # but rel_vel = vehicle - other (collision_detection.py:252-277), which

@@ -201,6 +201,84 @@ def _alert_batch(valid, soid_sel, ref: RefinedPairs, cfg) -> AlertBatch:
     )
 
 
+def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
+    """Exact top-up for HOT rows (own rows whose qualifying pair count
+    exceeds the k kernel slots — the only source of alert_overflow in fast
+    mode). Instead of re-running the whole fleet at a bigger k (r4's
+    adopt-k paid +44 ms at 1M for a handful of rows), the up-to-H hottest
+    rows get their full 1-cell-stencil neighborhoods — the exact candidate
+    set the kernel scans, re-derived from cl.cr_start brow spans per
+    static shift — re-refined in XLA, and their exact pair keys replace
+    their (possibly truncated) slot keys in the scene selection. Rows
+    beyond H stay slot-covered and counted in alert_overflow, so the
+    certificate contract is unchanged: alert_overflow == 0 still means
+    provably complete, it just happens at small k now.
+
+    Returns (covered [m] bool, hkey [P] f32 scene rank key (-1 invalid),
+    hown [P] i32, hcand [P] i32) with P = H * n_shifts * window span.
+    The whole pair computation sits behind a lax.cond on any-hot, so
+    fleets with no hot rows pay only the top-k row scan."""
+    det = cfg.detect
+    H = det.hot_topup
+    m = qual.shape[0]
+    own = cl.own_flat
+    hot = own & (qual > k)
+    n_hot = jnp.sum(hot, dtype=jnp.int32)
+    # hottest rows first: overflow concentrates where qual is largest
+    hot_rank = jnp.where(hot, qual.astype(jnp.float32), -1.0)
+    top_q, hot_rows = jax.lax.top_k(hot_rank, H)
+    hot_valid = top_q > 0.0
+    covered = jnp.zeros((m,), bool).at[hot_rows].set(hot_valid)
+
+    shifts = cl.shifts
+    S = len(shifts)
+    W = cl.window_rows * cl.cand_lanes       # static span cap per shift
+    R_flat = cl.fields.shape[1] * cl.fields.shape[2]
+    brow_all = cl.fields[_FI["row"]].reshape(-1)
+    nbrows = cl.cr_start.shape[0] - 1
+    b_hot = jnp.clip(brow_all[hot_rows].astype(jnp.int32), 0, nbrows - 1)
+
+    def compute(_):
+        idx_s, use_s = [], []
+        for si, d in enumerate(shifts):
+            lo = jnp.clip(b_hot + d - 1, 0, nbrows)
+            hi = jnp.clip(b_hot + d + 2, 0, nbrows)
+            start = cl.cr_start[lo]
+            end = cl.cr_start[hi]
+            idx = start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+            ok = idx < end[:, None]
+            idx = jnp.clip(idx, 0, R_flat - 1)
+            cb = brow_all[idx].astype(jnp.int32)
+            rel = cb - (b_hot[:, None] + d)
+            in_rng = ok & (cb >= 0) & (rel >= -1) & (rel <= 1)
+            # clipping can make nearby shifts' spans overlap on tiny
+            # grids — each candidate brow belongs to the FIRST shift
+            # whose nominal range holds it, so no pair enters twice
+            for dp in shifts[:si]:
+                relp = cb - (b_hot[:, None] + dp)
+                in_rng &= ~((relp >= -1) & (relp <= 1))
+            idx_s.append(idx)
+            use_s.append(in_rng)
+        cand = jnp.concatenate(idx_s, axis=1)            # [H, S*W]
+        use = jnp.concatenate(use_s, axis=1) & hot_valid[:, None]
+        hown = jnp.broadcast_to(hot_rows[:, None], cand.shape).reshape(-1)
+        hcand = cand.reshape(-1)
+        ref = refine_pairs(cl, hown, hcand, cfg, mode="fast")
+        q = (use.reshape(-1) & ref.hit
+             & (ref.risk >= cfg.alerts.risk_low))
+        hkey = jnp.where(
+            q, ref.priority.astype(jnp.float32) * 2.0 + ref.risk, -1.0)
+        return hkey, hown, hcand
+
+    def empty(_):
+        P = H * S * W
+        return (jnp.full((P,), -1.0, jnp.float32),
+                jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32))
+
+    hkey, hown, hcand = jax.lax.cond(n_hot > 0, compute, empty, 0)
+    return covered, hkey, hown, hcand
+
+
 def fused_scene_fast(cl: CellList, cfg: SystemConfig,
                      interpret: bool = False) -> FusedSceneResult:
     """Fast-mode fused pipeline after the cell-list build: kernel top-k ->
@@ -221,12 +299,31 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     own = cl.own_flat
 
     occupied = keys > PACKED_OCC_MIN
-    sel = jnp.where(own[:, None] & occupied, keys, PACKED_NONE)
-    a = min(cfg.alerts.max_scene_alerts, m * k)
-    top_key, top_flat = jax.lax.top_k(sel.reshape(-1), a)
-    valid = top_key >= 0.0                       # qualifying keys only
-    own_slot = top_flat // k
-    cand_idx = idx.reshape(-1)[top_flat]
+    if cfg.detect.hot_topup > 0:
+        # hot-object exact top-up: rows with qual > k swap their truncated
+        # slot keys for exact XLA-refined neighborhood keys in the scene
+        # selection; alert_overflow then counts only rows past the hot cap
+        covered, hkey, hown, hcand = _hot_topup(cl, cfg, qual, k)
+        sel = jnp.where(own[:, None] & occupied & ~covered[:, None],
+                        decode_key(keys, cl.cand_lanes), -1.0)
+        allk = jnp.concatenate([sel.reshape(-1), hkey])
+        a = min(cfg.alerts.max_scene_alerts, allk.shape[0])
+        top_key, top_i = jax.lax.top_k(allk, a)
+        valid = top_key >= 0.0                   # qualifying keys only
+        is_slot = top_i < m * k
+        si = jnp.clip(top_i, 0, m * k - 1)
+        hj = jnp.clip(top_i - m * k, 0, hkey.shape[0] - 1)
+        own_slot = jnp.where(is_slot, si // k, hown[hj])
+        cand_idx = jnp.where(is_slot, idx.reshape(-1)[si], hcand[hj])
+        oflow_rows = own & ~covered
+    else:
+        sel = jnp.where(own[:, None] & occupied, keys, PACKED_NONE)
+        a = min(cfg.alerts.max_scene_alerts, m * k)
+        top_key, top_flat = jax.lax.top_k(sel.reshape(-1), a)
+        valid = top_key >= 0.0                   # qualifying keys only
+        own_slot = top_flat // k
+        cand_idx = idx.reshape(-1)[top_flat]
+        oflow_rows = own
     ref = refine_pairs(cl, own_slot, cand_idx, cfg, mode="fast")
     valid &= ref.hit & (ref.risk >= cfg.alerts.risk_low)
     alerts = _alert_batch(valid, soid[own_slot], ref, cfg)
@@ -238,7 +335,8 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
         num_risks=jnp.sum(jnp.where(own, emitted, 0), dtype=jnp.int32),
         max_risk=jnp.max(slot_risk),
         alert_overflow=jnp.sum(
-            jnp.where(own, jnp.maximum(qual - k, 0), 0), dtype=jnp.int32),
+            jnp.where(oflow_rows, jnp.maximum(qual - k, 0), 0),
+            dtype=jnp.int32),
     )
 
 
