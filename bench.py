@@ -306,7 +306,7 @@ def main():
     # fetch batching": 222 -> ~37 -> ~31 ms/call at this config).
     from tpu_collide.api import Scene
 
-    def scene_serving(pipelined: bool, n=30):
+    def scene_serving(pipelined: bool, n=60):
         sc = Scene(cfg_p, state=generate_fleet(jax.random.key(12), cfg_p))
         (sc.step_pipelined() if pipelined else sc.step())   # warm
         ls = []

@@ -223,8 +223,10 @@ def test_fused_alert_overflow_counted():
                           np.full(n, 2.0, np.float32),
                           np.zeros(n, np.int32))
     cfg = cfg2d(n=n, world=1000.0)
-    # r5: the default hot_topup covers this ring exactly — alert set EQUAL
-    # to XLA with aoflow 0 at k=4
+    # r5: with a hot cap covering every ring member (all 9 rows exceed
+    # k=4 here) the top-up makes the alert set EQUAL to XLA, aoflow 0
+    import dataclasses as _dc
+    cfg = cfg.replace(detect=_dc.replace(cfg.detect, hot_topup=16))
     _, ox = make_step(cfg, donate=False)(st, jax.random.key(0))
     _, oh = step_fused(st, jax.random.key(0), cfg, interpret=True)
     assert int(oh.alert_overflow) == 0

@@ -123,9 +123,12 @@ class DetectionConfig:
     # 1-cell-stencil neighborhood re-refined exactly in XLA (bounded by the
     # cell-list cr_start spans) and merged into the scene selection, so the
     # fleet keeps small-k kernel cost while dense outliers stay provably
-    # complete. alert_overflow then counts only rows beyond this cap.
+    # complete. alert_overflow then counts only rows beyond this cap (and
+    # any counted span shortfall past the 16-row hot window).
     # 0 disables (pre-r5 behavior: every qualifying-past-k row is counted).
-    hot_topup: int = 32
+    # 8 covers measured hot-row counts with headroom (1M-3D bench: ~1-3
+    # hot rows; the top-up pass costs ~linearly in this cap).
+    hot_topup: int = 8
     # Stage-2 closest-approach sign convention. The reference computes
     # t* = -dot(rel_pos, rel_vel)/|rel_vel|^2 with rel_pos = other - vehicle
     # but rel_vel = vehicle - other (collision_detection.py:252-277), which

@@ -232,7 +232,12 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
 
     shifts = cl.shifts
     S = len(shifts)
-    W = cl.window_rows * cl.cand_lanes       # static span cap per shift
+    # static span cap per shift: the auto-bander targets ~LANE elements
+    # per brow, so a single object's 3-brow span is ~3 candidate rows —
+    # 16 rows give 5x density-skew headroom at a fraction of the
+    # TILE-union window cap; spans past the cap are COUNTED (short, the
+    # usual honesty contract) so the certificate never lies
+    W = min(cl.window_rows, 16) * cl.cand_lanes
     R_flat = cl.fields.shape[1] * cl.fields.shape[2]
     brow_all = cl.fields[_FI["row"]].reshape(-1)
     nbrows = cl.cr_start.shape[0] - 1
@@ -240,11 +245,16 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
 
     def compute(_):
         idx_s, use_s = [], []
+        short = jnp.int32(0)
         for si, d in enumerate(shifts):
             lo = jnp.clip(b_hot + d - 1, 0, nbrows)
             hi = jnp.clip(b_hot + d + 2, 0, nbrows)
             start = cl.cr_start[lo]
             end = cl.cr_start[hi]
+            short = short + jnp.sum(
+                jnp.where(hot_valid,
+                          jnp.maximum(end - start - W, 0), 0),
+                dtype=jnp.int32)
             idx = start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
             ok = idx < end[:, None]
             idx = jnp.clip(idx, 0, R_flat - 1)
@@ -266,17 +276,25 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
         ref = refine_pairs(cl, hown, hcand, cfg, mode="fast")
         q = (use.reshape(-1) & ref.hit
              & (ref.risk >= cfg.alerts.risk_low))
+        # hot keys enter the scene selection in the SAME packed encoding
+        # as the slot keys (column part 0) — no decode pass over the
+        # [m, k] slot array, and ranking stays bit-compatible with the
+        # kernel's (quantized key, column) order
+        kq = KEY_Q * (LANE / cl.cand_lanes)
         hkey = jnp.where(
-            q, ref.priority.astype(jnp.float32) * 2.0 + ref.risk, -1.0)
-        return hkey, hown, hcand
+            q, jnp.round((ref.priority.astype(jnp.float32) * 2.0
+                          + ref.risk) * kq) * cl.cand_lanes,
+            PACKED_NONE)
+        return hkey, hown, hcand, short
 
     def empty(_):
         P = H * S * W
-        return (jnp.full((P,), -1.0, jnp.float32),
-                jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32))
+        return (jnp.full((P,), PACKED_NONE, jnp.float32),
+                jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32),
+                jnp.int32(0))
 
-    hkey, hown, hcand = jax.lax.cond(n_hot > 0, compute, empty, 0)
-    return covered, hkey, hown, hcand
+    hkey, hown, hcand, short = jax.lax.cond(n_hot > 0, compute, empty, 0)
+    return covered, hkey, hown, hcand, short
 
 
 def fused_scene_fast(cl: CellList, cfg: SystemConfig,
@@ -303,18 +321,37 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
         # hot-object exact top-up: rows with qual > k swap their truncated
         # slot keys for exact XLA-refined neighborhood keys in the scene
         # selection; alert_overflow then counts only rows past the hot cap
-        covered, hkey, hown, hcand = _hot_topup(cl, cfg, qual, k)
+        covered, hkey, hown, hcand, short = _hot_topup(cl, cfg, qual, k)
         sel = jnp.where(own[:, None] & occupied & ~covered[:, None],
-                        decode_key(keys, cl.cand_lanes), -1.0)
-        allk = jnp.concatenate([sel.reshape(-1), hkey])
-        a = min(cfg.alerts.max_scene_alerts, allk.shape[0])
-        top_key, top_i = jax.lax.top_k(allk, a)
+                        keys, PACKED_NONE)
+        a = min(cfg.alerts.max_scene_alerts, m * k + hkey.shape[0])
+        if a < m:
+            # two-stage EXACT scene top-A: stage 1 takes the top-A rows by
+            # their best slot key (exact: a row holding a true top-A slot
+            # has row-max >= that slot, so if it missed the row cut there
+            # would be A rows whose maxima — each itself a slot — beat
+            # that slot, contradiction); stage 2 ranks only those rows'
+            # A*k slots. Shrinks the top_k input ~k x (the refine tail
+            # was ~11 ms at 1M, ~150 ms at 10M on the flat m*k form).
+            row_best = jnp.max(sel, axis=1)
+            _, rows_a = jax.lax.top_k(row_best, a)
+            slot_keys = sel[rows_a].reshape(-1)            # [a*k]
+            allk = jnp.concatenate([slot_keys, hkey])
+            top_key, top_i = jax.lax.top_k(allk, a)
+            is_slot = top_i < a * k
+            si = jnp.clip(top_i, 0, a * k - 1)
+            flat_slot = rows_a[si // k] * k + si % k
+        else:
+            allk = jnp.concatenate([sel.reshape(-1), hkey])
+            top_key, top_i = jax.lax.top_k(allk, a)
+            is_slot = top_i < m * k
+            flat_slot = jnp.clip(top_i, 0, m * k - 1)
         valid = top_key >= 0.0                   # qualifying keys only
-        is_slot = top_i < m * k
-        si = jnp.clip(top_i, 0, m * k - 1)
-        hj = jnp.clip(top_i - m * k, 0, hkey.shape[0] - 1)
-        own_slot = jnp.where(is_slot, si // k, hown[hj])
-        cand_idx = jnp.where(is_slot, idx.reshape(-1)[si], hcand[hj])
+        hj = jnp.clip(top_i - (a * k if a < m else m * k), 0,
+                      hkey.shape[0] - 1)
+        own_slot = jnp.where(is_slot, flat_slot // k, hown[hj])
+        cand_idx = jnp.where(is_slot, idx.reshape(-1)[flat_slot],
+                             hcand[hj])
         oflow_rows = own & ~covered
     else:
         sel = jnp.where(own[:, None] & occupied, keys, PACKED_NONE)
@@ -324,6 +361,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
         own_slot = top_flat // k
         cand_idx = idx.reshape(-1)[top_flat]
         oflow_rows = own
+        short = jnp.int32(0)
     ref = refine_pairs(cl, own_slot, cand_idx, cfg, mode="fast")
     valid &= ref.hit & (ref.risk >= cfg.alerts.risk_low)
     alerts = _alert_batch(valid, soid[own_slot], ref, cfg)
@@ -334,7 +372,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
         num_checked=checked,
         num_risks=jnp.sum(jnp.where(own, emitted, 0), dtype=jnp.int32),
         max_risk=jnp.max(slot_risk),
-        alert_overflow=jnp.sum(
+        alert_overflow=short + jnp.sum(
             jnp.where(oflow_rows, jnp.maximum(qual - k, 0), 0),
             dtype=jnp.int32),
     )
