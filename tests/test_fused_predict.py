@@ -278,16 +278,41 @@ def test_predict_truncation_certificate_harmless():
 
 
 def test_predict_truncation_certificate_flags_loss():
-    """When dropped hits COULD have entered the merged list, the
-    certificate must refuse (slot_oflow > 0): same fleet, merge_k wider
-    than the per-offset slots can feed — a known-lossy operating point."""
+    """When dropped hits COULD have entered the merged list and the hot
+    top-up is DISABLED, the certificate must refuse (slot_oflow > 0):
+    same fleet, merge_k wider than the per-offset slots can feed — a
+    known-lossy operating point."""
+    import dataclasses as dc
     cfg, st, hist = _converging_cluster()
+    cfg = cfg.replace(detect=dc.replace(cfg.detect, hot_topup=0))
     got = fused_predict(st, hist, cfg, horizon=10.0, step=0.5,
                         k_slots=8, merge_k=16, interpret=True)
     assert int(got[7]) > 0
     assert int(got[6]) > 0, (
         "this operating point loses pairs (verified by hand vs the "
         "canonical path) — a 0 here would be a false completeness claim")
+
+
+def test_predict_hot_topup_repairs_lossy_point():
+    """The r5 predict hot top-up: the same known-lossy operating point
+    (k_slots=8 feeding merge_k=16) comes back CERTIFIED (slot_oflow 0)
+    with the merged output exactly equal to the canonical path — flagged
+    (offset, row) truncations are re-detected exactly over widened
+    cr_start spans and re-merged (refine._predict_hot_topup)."""
+    cfg, st, hist = _converging_cluster()
+    got = fused_predict(st, hist, cfg, horizon=10.0, step=0.5,
+                        k_slots=8, merge_k=16, interpret=True)
+    assert int(got[5]) == 0
+    assert int(got[7]) > 0, "fleet produced no truncations; test is vacuous"
+    assert int(got[6]) == 0, "top-up left uncertified truncations"
+    index = build_grid(st.pos, st.alive, cfg)
+    want = predict_collisions(st, hist, index, cfg, horizon=10.0, step=0.5,
+                              merge_k=16)
+    wm = _risk_map(*want[:4])
+    gm = _risk_map(*got[:4])
+    assert wm and set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], rtol=1e-6, atol=1e-6)
 
 
 def test_predict_traces_one_kernel_for_all_offsets():

@@ -232,15 +232,18 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
 
     shifts = cl.shifts
     S = len(shifts)
-    # static span cap per shift: the auto-bander targets ~LANE elements
-    # per brow, so a single object's 3-brow span is ~3 candidate rows —
-    # 16 rows give 5x density-skew headroom at a fraction of the
-    # TILE-union window cap; spans past the cap are COUNTED (short, the
-    # usual honesty contract) so the certificate never lies
-    W = min(cl.window_rows, 16) * cl.cand_lanes
     R_flat = cl.fields.shape[1] * cl.fields.shape[2]
     brow_all = cl.fields[_FI["row"]].reshape(-1)
     nbrows = cl.cr_start.shape[0] - 1
+    # static span cap per shift: a single object's span is 3 consecutive
+    # brows. The auto-bander targets ~LANE elements per brow (≈3 rows),
+    # but SMEM table limits force fatter brows at 10M+ — scale the cap
+    # with the actual mean brow occupancy (static: both m and nbrows are
+    # trace-time constants), 4x headroom over the 3-brow mean, floor 16
+    # rows. Spans past the cap are COUNTED (short, the usual honesty
+    # contract) so the certificate never lies.
+    mean_rows = -(-3 * m // max(1, nbrows * cl.cand_lanes))
+    W = min(cl.window_rows, max(16, 4 * mean_rows)) * cl.cand_lanes
     b_hot = jnp.clip(brow_all[hot_rows].astype(jnp.int32), 0, nbrows - 1)
 
     def compute(_):
@@ -431,6 +434,205 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
         alert_overflow=(slot_overflow
                         + jnp.maximum(n_surv - cap, 0).astype(jnp.int32)),
     )
+
+
+def _predict_hot_topup(cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
+                       slot_cols, merged, slot_oflow, w_stat0, widen_max,
+                       merge_k, sub_window):
+    """Exact re-merge for predict rows whose per-offset slot truncations
+    the certificate could NOT prove harmless (the step path's hot top-up,
+    transplanted to prediction). For the hottest flagged (offset, row)
+    pairs the offset's FULL candidate list is recomputed in XLA over
+    widened cr_start brow spans (a superset of the kernel's widened
+    windows — candidate membership is decided by the radius check, so
+    supersets are exact) and its exact top-merge_k is ADDED to the row's
+    merge pool — duplicates are harmless because the merge dedups by
+    other-id keeping the max, and identical pairs carry identical values.
+    Adding entries can only RAISE a row's merge_k-th pool risk, so
+    certificates already granted stay sound. Flagged pairs beyond the
+    static recompute budget, span shortfalls, and fleets whose traced
+    displacement exceeds the static widening bound all FAIL CLOSED: their
+    excess stays in slot_oflow."""
+    import dataclasses as _dc
+    from tpu_collide.detect.predict import merge_pair_risks
+    from tpu_collide.detect.pipeline import (_pair_safe_distance,
+                                             _precise_sweep, _risk_score)
+    det = cfg.detect
+    n_off = offs.shape[0]
+    HOT_F = min(1024, n_off * m)         # flagged (offset, row) recomputes
+    H_U = min(512, m)                    # union rows re-merged
+
+    excess_u = jnp.where(uncert, excess_s, 0)               # [n_off, m]
+    total_unc = jnp.sum(excess_u, dtype=jnp.int32)
+    flat_ex = excess_u.reshape(-1).astype(jnp.float32)
+    fex, fidx = jax.lax.top_k(flat_ex, HOT_F)
+    f_valid = fex > 0.0
+    f_off = fidx // m
+    f_row = fidx % m
+    urow_ex = jnp.sum(excess_u, axis=0).astype(jnp.float32)  # [m]
+    uex, urows = jax.lax.top_k(urow_ex, H_U)
+    u_valid = uex > 0.0
+    row2slot = jnp.full((m,), -1, jnp.int32).at[urows].set(
+        jnp.where(u_valid, jnp.arange(H_U, dtype=jnp.int32), -1))
+
+    # widened candidate spans (static length, counted shortfall)
+    nbrows = cl.cr_start.shape[0] - 1
+    span_brows = 3 + 2 * w_stat0
+    mean_rows = -(-span_brows * m // max(1, nbrows * cl.cand_lanes))
+    X1 = min(cl.window_rows, max(8, 2 * mean_rows)) * cl.cand_lanes
+    X = X1 * len(cl.shifts)
+    R_flat = flat.shape[1]
+    brow_all = flat[_FI["row"]]
+    EK = min(merge_k, X)
+    C = 64                                # flagged rows per map chunk
+    n_chunk = -(-HOT_F // C)
+    pad = n_chunk * C - HOT_F
+    padc = lambda a, v: jnp.concatenate(
+        [a, jnp.full((pad,), v, a.dtype)]) if pad else a
+
+    def chunk_body(xs):
+        """Exact per-offset detection for C flagged (offset, row) pairs —
+        op-for-op the refine_offset / predict_collisions expressions,
+        with the offset a PER-ROW value. Chunked via lax.map so the
+        [C*X, NFK] candidate gather stays ~tens of MB."""
+        f_row, f_off, f_valid = xs
+        b_f = jnp.clip(brow_all[f_row].astype(jnp.int32), 0, nbrows - 1)
+        idx_s, ok_s = [], []
+        short = jnp.int32(0)
+        for d in cl.shifts:
+            lo = jnp.clip(b_f + d - 1 - w_stat0, 0, nbrows)
+            hi = jnp.clip(b_f + d + 2 + w_stat0, 0, nbrows)
+            start = cl.cr_start[lo]
+            end = cl.cr_start[hi]
+            short = short + jnp.sum(
+                jnp.where(f_valid, jnp.maximum(end - start - X1, 0), 0),
+                dtype=jnp.int32)
+            idx = start[:, None] + jnp.arange(X1, dtype=jnp.int32)[None, :]
+            ok_s.append(idx < end[:, None])
+            idx_s.append(jnp.clip(idx, 0, R_flat - 1))
+        cand = jnp.concatenate(idx_s, axis=1)               # [C, X]
+        use = jnp.concatenate(ok_s, axis=1) & f_valid[:, None]
+
+        ci = cand.reshape(-1)
+        cf = flat_t[ci]                                     # [C*X, NFK]
+        fo = flat_t[jnp.clip(f_row, 0, R_flat - 1)]         # [C, NFK]
+        bo = lambda col: jnp.broadcast_to(col[:, None], (C, X)).reshape(-1)
+        go = lambda name: bo(fo[:, _FI[name]])
+        gc = lambda name: cf[:, _FI[name]]
+        v3 = lambda f, names: jnp.stack([f(n) for n in names], axis=-1)
+        p_o = v3(go, ("x", "y", "z"))
+        p_c = v3(gc, ("x", "y", "z"))
+        v_o = v3(go, ("vx", "vy", "vz"))
+        v_c = v3(gc, ("vx", "vy", "vz"))
+        a_o = v3(go, ("ax", "ay", "az"))
+        a_c = v3(gc, ("ax", "ay", "az"))
+        c_o = bo(fo[:, -1]).astype(jnp.int32)[:, None]      # traj class
+        t_o = bo(offs[jnp.clip(f_off, 0, n_off - 1)])
+        t_ob = t_o[:, None]
+        p_cv = p_o + v_o * t_ob
+        p_acc = p_cv + 0.5 * a_o * t_ob * t_ob
+        pred = jnp.where(c_o == 0, p_o, jnp.where(c_o == 1, p_cv, p_acc))
+        o_pos = p_c + v_c * t_ob + 0.5 * a_c * t_ob * t_ob
+        alive_o = go("row") >= 0.0
+        alive_c = gc("row") >= 0.0
+        lo_o = go("oid").astype(jnp.int32)
+        lo_c = gc("oid").astype(jnp.int32)
+        if cl.wide_oid:
+            hi_o = bo(fo[:, NF]).astype(jnp.int32)
+            hi_c = cf[:, NF].astype(jnp.int32)
+            not_self = (lo_o != lo_c) | (hi_o != hi_c)
+            hi_uc = jnp.where(hi_c <= -2, -hi_c - 2, hi_c)
+            oid_c = jnp.where(lo_c >= 0, hi_uc * (1 << 24) + lo_c, -1)
+        else:
+            not_self = lo_o != lo_c
+            oid_c = jnp.where(lo_c <= -2, -lo_c - 2, lo_c)
+        ok = (alive_o & alive_c & not_self & use.reshape(-1)
+              & (jnp.linalg.norm(p_c - pred, axis=-1)
+                 <= det.search_radius))
+        safe = _pair_safe_distance(go("size"), gc("size"), det)
+        sub_det = _dc.replace(det, time_window=sub_window)
+        hit, t_hit, d_hit = _precise_sweep(o_pos - pred, v_c - v_o,
+                                           a_c - a_o, safe, sub_det)
+        hit = hit & ok
+        rel_speed = jnp.linalg.norm(v_c - v_o, axis=-1)
+        risk = _risk_score(jnp.where(hit, d_hit, 0.0),
+                           jnp.where(hit, t_hit, 0.0),
+                           rel_speed, go("heading"), gc("heading"),
+                           go("otype").astype(jnp.int32),
+                           gc("otype").astype(jnp.int32), safe, det)
+        risk = jnp.where(hit, risk, 0.0)
+        ttc = jnp.where(hit, t_hit + t_o, jnp.inf)
+        dist = jnp.where(hit, d_hit, jnp.inf)
+
+        # exact top-merge_k per flagged (offset, row): entries beyond an
+        # offset's local top-merge_k can never reach the global pool
+        rk = jnp.where(hit, risk, -1.0).reshape(C, X)
+        tk, ti = jax.lax.top_k(rk, EK)
+        gat = lambda a: jnp.take_along_axis(a.reshape(C, X), ti, 1)
+        e_other = gat(oid_c.astype(jnp.float32)).astype(jnp.int32)
+        e_hit = tk >= 0.0
+        return (e_other, e_hit, jnp.where(e_hit, tk, 0.0),
+                jnp.where(e_hit, gat(ttc), jnp.inf),
+                jnp.where(e_hit, gat(dist), jnp.inf), short)
+
+    def run_topup(_):
+        xs = tuple(padc(a, v).reshape(n_chunk, C)
+                   for a, v in ((f_row, 0), (f_off, 0)))
+        xs += (padc(f_valid, False).reshape(n_chunk, C),)
+        eo, eh, er, et, ed, shorts = jax.lax.map(chunk_body, xs)
+        unp = lambda a: a.reshape(n_chunk * C, EK)[:HOT_F]
+        return (unp(eo), unp(eh), unp(er), unp(et), unp(ed),
+                jnp.sum(shorts, dtype=jnp.int32))
+
+    def skip_topup(_):
+        z = lambda v, dt: jnp.full((HOT_F, EK), v, dt)
+        return (z(0, jnp.int32), z(False, bool), z(0.0, jnp.float32),
+                z(jnp.inf, jnp.float32), z(jnp.inf, jnp.float32),
+                jnp.int32(0))
+
+    e_other, e_hit, e_risk, e_ttc, e_dist, short = jax.lax.cond(
+        total_unc > 0, run_topup, skip_topup, 0)
+
+    # scatter extras into [H_U, n_off, EK] (one dump slot for non-union)
+    u_slot = row2slot[jnp.clip(f_row, 0, m - 1)]
+    okf = f_valid & (u_slot >= 0)
+    tgt = jnp.where(okf, u_slot * n_off + jnp.clip(f_off, 0, n_off - 1),
+                    H_U * n_off)
+    zb = lambda v, dt: jnp.full((H_U * n_off + 1, EK), v, dt)
+    x_other = zb(0, jnp.int32).at[tgt].set(e_other)[:-1]
+    x_hit = zb(False, bool).at[tgt].set(e_hit)[:-1]
+    x_risk = zb(0.0, jnp.float32).at[tgt].set(e_risk)[:-1]
+    x_ttc = zb(jnp.inf, jnp.float32).at[tgt].set(e_ttc)[:-1]
+    x_dist = zb(jnp.inf, jnp.float32).at[tgt].set(e_dist)[:-1]
+    resh = lambda a: a.reshape(H_U, n_off * EK)
+
+    # union re-merge: slot columns + exact extras. Recomputed offsets'
+    # slot columns are EXCLUDED — their exact top-EK supersedes them, and
+    # keeping both would put duplicate (pair, offset) entries in the
+    # pre-dedup pool, eating top-merge_k slots and displacing distinct
+    # pairs (caught by the fused-vs-XLA predict parity test).
+    other_s, hit_s, risk_s, ttc_s, dist_s = slot_cols
+    kk_slots = hit_s.shape[1] // n_off
+    recomp = jnp.zeros((H_U * n_off + 1,), bool).at[tgt].set(okf)[:-1]
+    keep_cols = ~jnp.repeat(recomp.reshape(H_U, n_off), kk_slots, axis=1)
+    hit_u = hit_s[urows] & keep_cols
+    catu = lambda s, x: jnp.concatenate([s[urows], resh(x)], axis=1)
+    mo, mv, mr, mt, md = merge_pair_risks(
+        catu(other_s, x_other),
+        jnp.concatenate([hit_u, resh(x_hit)], axis=1),
+        catu(risk_s, x_risk), catu(ttc_s, x_ttc), catu(dist_s, x_dist),
+        merge_k)
+    upd = lambda big, small: big.at[urows].set(
+        jnp.where(u_valid[:, None], small, big[urows]))
+    o_m, v_m, r_m, t_m, d_m = merged
+    merged = (upd(o_m, mo), upd(v_m, mv), upd(r_m, mr), upd(t_m, mt),
+              upd(d_m, md))
+
+    # certificate update — fail closed on any global soundness gap
+    covered = jnp.sum(jnp.where(okf, fex, 0.0)).astype(jnp.int32)
+    sound = (short == 0) & (widen_max <= w_stat0)
+    slot_oflow = jnp.where(sound, total_unc - covered, slot_oflow)
+    return merged, slot_oflow
 
 
 def fused_predict_rows(state, cls, cfg: SystemConfig,
@@ -673,6 +875,12 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
     # with keys >= 0).
     uncert = (excess_s > 0) & (bound_s >= kth[None, :])
     slot_oflow = jnp.sum(jnp.where(uncert, excess_s, 0), dtype=jnp.int32)
+
+    if det.hot_topup > 0:
+        merged, slot_oflow = _predict_hot_topup(
+            cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
+            (other_s, hit_s, risk_s, ttc_s, dist_s), merged, slot_oflow,
+            w_stat0, widen_max, merge_k, sub_window)
     return tuple(merged) + (soid, own_flat, cl.overflow, slot_oflow,
                             slot_trunc)
 
