@@ -437,7 +437,7 @@ def fused_scene_precise(cl: CellList, cfg: SystemConfig,
 
 
 def _predict_hot_topup(cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
-                       slot_cols, merged, slot_oflow, w_stat0, widen_max,
+                       slot_cols, merged, slot_oflow, w_stat0, widens,
                        merge_k, sub_window):
     """Exact re-merge for predict rows whose per-offset slot truncations
     the certificate could NOT prove harmless (the step path's hot top-up,
@@ -497,16 +497,20 @@ def _predict_hot_topup(cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
         [C*X, NFK] candidate gather stays ~tens of MB."""
         f_row, f_off, f_valid = xs
         b_f = jnp.clip(brow_all[f_row].astype(jnp.int32), 0, nbrows - 1)
+        # per-row TRACED widening (this offset's actual fleet-displacement
+        # bound, same formula as the kernel's window widening) — the
+        # static w_stat0 config bound over-widens spans ~4x on tame
+        # fleets, which made every dense-core span overflow the static
+        # cap and fail the whole certificate closed (r5 TPU probe)
+        wdn = widens[jnp.clip(f_off, 0, n_off - 1)]
         idx_s, ok_s = [], []
-        short = jnp.int32(0)
+        short = jnp.zeros_like(b_f)           # per-ROW shortfall
         for d in cl.shifts:
-            lo = jnp.clip(b_f + d - 1 - w_stat0, 0, nbrows)
-            hi = jnp.clip(b_f + d + 2 + w_stat0, 0, nbrows)
+            lo = jnp.clip(b_f + d - 1 - wdn, 0, nbrows)
+            hi = jnp.clip(b_f + d + 2 + wdn, 0, nbrows)
             start = cl.cr_start[lo]
             end = cl.cr_start[hi]
-            short = short + jnp.sum(
-                jnp.where(f_valid, jnp.maximum(end - start - X1, 0), 0),
-                dtype=jnp.int32)
+            short = short + jnp.maximum(end - start - X1, 0)
             idx = start[:, None] + jnp.arange(X1, dtype=jnp.int32)[None, :]
             ok_s.append(idx < end[:, None])
             idx_s.append(jnp.clip(idx, 0, R_flat - 1))
@@ -582,20 +586,25 @@ def _predict_hot_topup(cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
         eo, eh, er, et, ed, shorts = jax.lax.map(chunk_body, xs)
         unp = lambda a: a.reshape(n_chunk * C, EK)[:HOT_F]
         return (unp(eo), unp(eh), unp(er), unp(et), unp(ed),
-                jnp.sum(shorts, dtype=jnp.int32))
+                shorts.reshape(n_chunk * C)[:HOT_F])
 
     def skip_topup(_):
         z = lambda v, dt: jnp.full((HOT_F, EK), v, dt)
         return (z(0, jnp.int32), z(False, bool), z(0.0, jnp.float32),
                 z(jnp.inf, jnp.float32), z(jnp.inf, jnp.float32),
-                jnp.int32(0))
+                jnp.zeros((HOT_F,), jnp.int32))
 
     e_other, e_hit, e_risk, e_ttc, e_dist, short = jax.lax.cond(
         total_unc > 0, run_topup, skip_topup, 0)
 
-    # scatter extras into [H_U, n_off, EK] (one dump slot for non-union)
+    # scatter extras into [H_U, n_off, EK] (one dump slot for non-union).
+    # A flagged pair counts as covered only if its row is in the union
+    # set AND its span did not overflow the static cap (a shorted span's
+    # exact list is incomplete — it must neither supersede the slot
+    # columns nor certify; per-pair, so one dense-core overflow no longer
+    # fails the whole certificate closed)
     u_slot = row2slot[jnp.clip(f_row, 0, m - 1)]
-    okf = f_valid & (u_slot >= 0)
+    okf = f_valid & (u_slot >= 0) & (short == 0)
     tgt = jnp.where(okf, u_slot * n_off + jnp.clip(f_off, 0, n_off - 1),
                     H_U * n_off)
     zb = lambda v, dt: jnp.full((H_U * n_off + 1, EK), v, dt)
@@ -628,10 +637,11 @@ def _predict_hot_topup(cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
     merged = (upd(o_m, mo), upd(v_m, mv), upd(r_m, mr), upd(t_m, mt),
               upd(d_m, md))
 
-    # certificate update — fail closed on any global soundness gap
+    # certificate update: covered flagged pairs are exact now; everything
+    # else (beyond the budget, outside the union set, shorted spans)
+    # fails closed and stays counted
     covered = jnp.sum(jnp.where(okf, fex, 0.0)).astype(jnp.int32)
-    sound = (short == 0) & (widen_max <= w_stat0)
-    slot_oflow = jnp.where(sound, total_unc - covered, slot_oflow)
+    slot_oflow = total_unc - covered
     return merged, slot_oflow
 
 
@@ -880,7 +890,7 @@ def fused_predict_rows(state, cls, cfg: SystemConfig,
         merged, slot_oflow = _predict_hot_topup(
             cl, cfg, flat, flat_t, m, offs, uncert, excess_s,
             (other_s, hit_s, risk_s, ttc_s, dist_s), merged, slot_oflow,
-            w_stat0, widen_max, merge_k, sub_window)
+            w_stat0, widens.astype(jnp.int32), merge_k, sub_window)
     return tuple(merged) + (soid, own_flat, cl.overflow, slot_oflow,
                             slot_trunc)
 
