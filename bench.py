@@ -425,8 +425,11 @@ def main():
         # complete (overflow 0)
         from functools import partial as _p
         from tpu_collide.kernels.refine import fused_predict as _fp
+        # k_slots=16: the certified operating point on this fleet (r5 —
+        # with the predict hot top-up, slot_oflow reaches 0 here; k=8
+        # leaves ~12.5k flagged truncations past the recompute budget)
         fnp = jax.jit(_p(_fp, cfg=cfg100k, horizon=10.0, step=0.5,
-                         window_rows=512))
+                         window_rows=512, k_slots=16))
         out = fnp(sc.state, sc._traj)
         int(np.asarray(jnp.sum(out[1])))
         best = 1e30
