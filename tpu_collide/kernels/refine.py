@@ -77,7 +77,6 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     cell-list layout. mode='fast' uses the closed-form constant-velocity
     stage 3; mode='precise' runs the sampled constant-acceleration sweep
     (run this only on compacted survivor lists — it is a T-step loop)."""
-    det = cfg.detect
     flat = cl.fields.reshape(cl.fields.shape[0], -1)
     nmax = flat.shape[1] - 1
     oi = jnp.clip(own_idx, 0, nmax)
@@ -90,6 +89,19 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     flat_t = flat.T
     fo = flat_t[oi]                                  # [P, NFK]
     fc = flat_t[ci]
+    return refine_rows(fo, fc, cfg, mode, cl.wide_oid)
+
+
+def refine_rows(fo: jax.Array, fc: jax.Array, cfg: SystemConfig,
+                mode: str, wide_oid: bool) -> RefinedPairs:
+    """Stages 1-4 on PRE-GATHERED [P, NFK] field rows (one row per pair
+    side). Split out of refine_pairs so callers whose index sets are
+    mostly redundant can build fo/fc without [P]-row gathers: the hot
+    top-up's own side is H distinct rows broadcast over every candidate
+    and its cand side is H*S contiguous spans — the 1M profiler trace
+    (results/profile_1m_r5.json) priced the two [122880, NFK] gathers at
+    ~6 ms/step, vs ~free as a broadcast + dynamic slices."""
+    det = cfg.detect
 
     def vec3(f, names):
         return jnp.stack([f[:, _FI[n]] for n in names], axis=-1)
@@ -111,7 +123,7 @@ def refine_pairs(cl: CellList, own_idx: jax.Array, cand_idx: jax.Array,
     # (halo unmarked, wide (hi, lo) recombined)
     lo_o = fo[:, _FI["oid"]].astype(jnp.int32)
     lo_c = fc[:, _FI["oid"]].astype(jnp.int32)
-    if cl.wide_oid:
+    if wide_oid:
         hi_o = fo[:, NF].astype(jnp.int32)
         hi_c = fc[:, NF].astype(jnp.int32)
         not_self = (lo_o != lo_c) | (hi_o != hi_c)
@@ -226,7 +238,24 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
     n_hot = jnp.sum(hot, dtype=jnp.int32)
     # hottest rows first: overflow concentrates where qual is largest
     hot_rank = jnp.where(hot, qual.astype(jnp.float32), -1.0)
-    top_q, hot_rows = jax.lax.top_k(hot_rank, H)
+    if m % LANE == 0 and m >= LANE * H:
+        # two-stage scan: a full top_k over [m] cost 1.23 ms/step at 1M
+        # (trace sort.205, results/profile_1m_r5.json) to find a handful
+        # of rows. Stage 1 ranks LANE-row blocks by max (any block
+        # holding a hot row outranks every hot-free block, so with
+        # n_hot <= H every hot block survives the cut and stage 2 finds
+        # ALL hot rows — same certificate as before). With n_hot > H the
+        # covered subset can differ from the global hottest-H (still H
+        # hot rows; the uncovered remainder stays counted either way).
+        blk = hot_rank.reshape(-1, LANE)
+        bq, bi = jax.lax.top_k(jnp.max(blk, axis=1), H)
+        cand_rank = blk[bi].reshape(-1)                      # [H * LANE]
+        cand_rows = (bi[:, None] * LANE
+                     + jnp.arange(LANE, dtype=bi.dtype)[None, :]).reshape(-1)
+        top_q, sel = jax.lax.top_k(cand_rank, H)
+        hot_rows = cand_rows[sel]
+    else:
+        top_q, hot_rows = jax.lax.top_k(hot_rank, H)
     hot_valid = top_q > 0.0
     covered = jnp.zeros((m,), bool).at[hot_rows].set(hot_valid)
 
@@ -244,11 +273,25 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
     # contract) so the certificate never lies.
     mean_rows = -(-3 * m // max(1, nbrows * cl.cand_lanes))
     W = min(cl.window_rows, max(16, 4 * mean_rows)) * cl.cand_lanes
+    # dynamic_slice bound below; W == R_flat covers the WHOLE layout, so
+    # the min can never introduce a shortfall the cap hadn't already
+    W = min(W, R_flat)
     b_hot = jnp.clip(brow_all[hot_rows].astype(jnp.int32), 0, nbrows - 1)
 
     def compute(_):
-        idx_s, use_s = [], []
+        # Candidate spans are CONTIGUOUS runs of the sorted layout
+        # ([start, end) per hot row x shift), and the own side is H
+        # distinct rows broadcast — so fo/fc are built from H tiny
+        # gathers + H*S dynamic slices of the packed [R_flat, NFK]
+        # field matrix instead of two [H*S*W]-row gathers (the trace
+        # priced those at ~6 ms/step at 1M: results/profile_1m_r5.json
+        # fusion.10/fusion.11).
+        flat_t = cl.fields.reshape(cl.fields.shape[0], -1).T
+        NFK = flat_t.shape[1]
+        row_col = _FI["row"]
+        warange = jnp.arange(W, dtype=jnp.int32)
         short = jnp.int32(0)
+        starts, ends = [], []
         for si, d in enumerate(shifts):
             lo = jnp.clip(b_hot + d - 1, 0, nbrows)
             hi = jnp.clip(b_hot + d + 2, 0, nbrows)
@@ -258,25 +301,43 @@ def _hot_topup(cl: CellList, cfg: SystemConfig, qual: jax.Array, k: int):
                 jnp.where(hot_valid,
                           jnp.maximum(end - start - W, 0), 0),
                 dtype=jnp.int32)
-            idx = start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-            ok = idx < end[:, None]
-            idx = jnp.clip(idx, 0, R_flat - 1)
-            cb = brow_all[idx].astype(jnp.int32)
-            rel = cb - (b_hot[:, None] + d)
-            in_rng = ok & (cb >= 0) & (rel >= -1) & (rel <= 1)
-            # clipping can make nearby shifts' spans overlap on tiny
-            # grids — each candidate brow belongs to the FIRST shift
-            # whose nominal range holds it, so no pair enters twice
-            for dp in shifts[:si]:
-                relp = cb - (b_hot[:, None] + dp)
-                in_rng &= ~((relp >= -1) & (relp <= 1))
-            idx_s.append(idx)
-            use_s.append(in_rng)
-        cand = jnp.concatenate(idx_s, axis=1)            # [H, S*W]
-        use = jnp.concatenate(use_s, axis=1) & hot_valid[:, None]
+            starts.append(start)
+            ends.append(end)
+        fc_h, p_h, use_h = [], [], []
+        for h in range(H):
+            fc_s, p_s, use_s = [], [], []
+            for si, d in enumerate(shifts):
+                start = starts[si][h]
+                # clamped like dynamic_slice itself; positions below
+                # `start` that the clamp drags in are masked by p >= start
+                astart = jnp.clip(start, 0, R_flat - W)
+                sl = jax.lax.dynamic_slice(flat_t, (astart, 0), (W, NFK))
+                p = astart + warange
+                cb = sl[:, row_col].astype(jnp.int32)
+                rel = cb - (b_hot[h] + d)
+                in_rng = ((p >= start) & (p < ends[si][h])
+                          & (cb >= 0) & (rel >= -1) & (rel <= 1))
+                # clipping can make nearby shifts' spans overlap on tiny
+                # grids — each candidate brow belongs to the FIRST shift
+                # whose nominal range holds it, so no pair enters twice
+                for dp in shifts[:si]:
+                    relp = cb - (b_hot[h] + dp)
+                    in_rng &= ~((relp >= -1) & (relp <= 1))
+                fc_s.append(sl)
+                p_s.append(p)
+                use_s.append(in_rng)
+            fc_h.append(jnp.concatenate(fc_s, axis=0))       # [S*W, NFK]
+            p_h.append(jnp.concatenate(p_s))
+            use_h.append(jnp.concatenate(use_s))
+        fc = jnp.stack(fc_h)                             # [H, S*W, NFK]
+        cand = jnp.stack(p_h)                            # [H, S*W]
+        use = jnp.stack(use_h) & hot_valid[:, None]
         hown = jnp.broadcast_to(hot_rows[:, None], cand.shape).reshape(-1)
         hcand = cand.reshape(-1)
-        ref = refine_pairs(cl, hown, hcand, cfg, mode="fast")
+        fo_rows = flat_t[jnp.clip(hot_rows, 0, R_flat - 1)]   # [H, NFK]
+        fo = jnp.broadcast_to(fo_rows[:, None, :], fc.shape)
+        ref = refine_rows(fo.reshape(-1, NFK), fc.reshape(-1, NFK),
+                          cfg, mode="fast", wide_oid=cl.wide_oid)
         q = (use.reshape(-1) & ref.hit
              & (ref.risk >= cfg.alerts.risk_low))
         # hot keys enter the scene selection in the SAME packed encoding
