@@ -372,7 +372,10 @@ def main():
                                    gate_stage1=True),
             alerts=AlertConfig(max_scene_alerts=4096))
         a, best, out, wof, wao, cfg_used = bench_fused_scan(
-            cfg1m, steps=45, chunk=15)
+            # chunk matches the 100k row's dispatch-amortization (the
+            # BENCH_NOTES <5% rule): 25 steps/dispatch puts the ~28 ms
+            # tunnel dispatch at ~0.6% of a ~5 s chunk
+            cfg1m, steps=75, chunk=25)
         extra["fused_1m_3d_avg_ms"] = round(a, 2)
         extra["fused_1m_3d_best_ms"] = round(best, 2)
         extra["fused_1m_3d_overflow"] = wof

@@ -508,3 +508,33 @@ def test_hot_topup_beyond_cap_stays_counted():
     _, o1 = step_fused(st, key, cfg1, interpret=True)
     _, o0 = step_fused(st, key, cfg0, interpret=True)
     assert 0 < int(o1.alert_overflow) < int(o0.alert_overflow)
+
+
+def test_block_precut_row_cut_equality():
+    """The two-stage scene top-A's BLOCK pre-cut (refine.fused_scene_fast:
+    rows_a via [m/8] block maxima; active only when a*8 <= m) keeps exact
+    unordered alert-set equality with the XLA path. The standard fleets
+    are too small to arm it (a=256, m=1024), so this one runs 2048 padded
+    rows with an a=64 scene budget. The budget must NOT bind: when it
+    does, the fused path's 64 slots fill with BOTH directions of each
+    pair (~32 unordered) while XLA's hold one direction each (64) — a
+    pre-existing budget semantic verified identical before/after the
+    pre-cut landed, not an exactness property this test can pin."""
+    cfg = tc.SystemConfig(
+        num_objects=2000, world=WorldConfig(hi=(8000.0, 8000.0, 0.0)),
+        grid=GridConfig(cell_size=100.0, cell_capacity=64),
+        detect=DetectionConfig(mode="fast"),
+        alerts=AlertConfig(max_scene_alerts=64))
+    st = generate_fleet(jax.random.key(2), cfg)
+    key = jax.random.key(1)
+    _, o_x = make_step(cfg, donate=False)(st, key)
+    _, o_f = step_fused(st, key, cfg, interpret=True)
+    assert int(o_f.num_risks) == int(o_x.num_risks)
+    assert int(o_f.alert_overflow) == 0
+    af, ax = _alert_map(o_f), _alert_map(o_x)
+    assert set(af) == set(ax)
+    for k in af:
+        np.testing.assert_allclose(ax[k], af[k], rtol=1e-5, atol=1e-5)
+    n_dir = int(np.asarray(o_f.alerts.valid).sum())
+    assert n_dir < 64, "budget binds: shrink the fleet or grow the world"
+    assert len(ax) >= 8, "fleet too sparse to exercise the cut"

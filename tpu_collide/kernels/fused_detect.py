@@ -842,8 +842,16 @@ def _kernel(w_rw_ref, w_rb_a_ref, w_rb_b_ref,
 
 def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
                mode: str = "hits", pred_params=None, k_slots: int = None,
-               sub_steps: int = 0):
+               sub_steps: int = 0, idx_layout: str = "stacked"):
     """Run the kernel. N = num_tiles*TILE sorted-object slots; K slots each.
+
+    idx_layout="slots" returns idx as the kernel's raw per-slot [N] f32
+    buffers (a k-list, values exact integers) instead of the stacked
+    [N, K] i32 — the axis-1 stack is a layout interleave and the astype
+    converts all N*K entries, ~1.4 ms/step at 1M for a consumer that
+    gathers only the top-A winners (trace copy.33/reshape.1383,
+    results/profile_1m_r5.json); the fast scene path selects first and
+    converts a entries instead.
 
     Returns (keys [N, K] f32 packed, idx [N, K] i32 candidate sorted index
     (-1 = empty slot), checked [] i32 SCENE-TOTAL stage-1 pairs (the kernel
@@ -944,7 +952,11 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
       cl.cr_start, pred, *field_list, *field_list_w)
     n = T * TILE
     keys = jnp.stack([outs[j].reshape(n) for j in range(k)], axis=1)
-    idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)], axis=1)
+    if idx_layout == "slots":
+        idx = [outs[k + j].reshape(n) for j in range(k)]   # f32, unstacked
+    else:
+        idx = jnp.stack([outs[k + j].reshape(n) for j in range(k)],
+                        axis=1).astype(jnp.int32)
     if cfg.detect.count_checked:
         # per-slot partials are small exact f32 ints; sum in int32 (the
         # total times ROWS can pass 2^24, where f32 summation would round)
@@ -954,4 +966,4 @@ def fused_topk(cl: CellList, cfg: SystemConfig, interpret: bool = False,
     cnt = outs[2 * k + 1].reshape(n).astype(jnp.int32)
     emitted = cnt // int(CNT_PACK)
     qual = cnt % int(CNT_PACK)
-    return keys, idx.astype(jnp.int32), checked, emitted, qual
+    return keys, idx, checked, emitted, qual

@@ -374,11 +374,21 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
     Sharded fleets: halo mirrors carry NEGATED oids (-(id + 2),
     shard/halo.extend_with_halo mark_halo), so cl.own_flat excludes them
     from alerts/risk counts and reported oids decode back automatically."""
-    keys, idx, checked, emitted, qual = fused_topk(cl, cfg, interpret,
-                                                   mode="hits")
+    keys, idx_slots, checked, emitted, qual = fused_topk(
+        cl, cfg, interpret, mode="hits", idx_layout="slots")
     m, k = keys.shape
     soid = cl.oid_flat
     own = cl.own_flat
+
+    def slot_gather(flat):
+        # candidate index for flat slot positions (row * k + j) from the
+        # UNSTACKED per-slot buffers: k tiny [a] gathers + a one-hot
+        # select — skips interleaving + int-converting all m*k entries
+        # (~1.4 ms/step at 1M; see fused_topk idx_layout)
+        rows, j = flat // k, flat % k
+        cands = jnp.stack([s[rows] for s in idx_slots], axis=1)   # [a, k]
+        oh = j[:, None] == jnp.arange(k, dtype=j.dtype)[None, :]
+        return jnp.sum(jnp.where(oh, cands, 0.0), axis=1).astype(jnp.int32)
 
     occupied = keys > PACKED_OCC_MIN
     if cfg.detect.hot_topup > 0:
@@ -398,7 +408,24 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
             # A*k slots. Shrinks the top_k input ~k x (the refine tail
             # was ~11 ms at 1M, ~150 ms at 10M on the flat m*k form).
             row_best = jnp.max(sel, axis=1)
-            _, rows_a = jax.lax.top_k(row_best, a)
+            B = 8
+            if m % B == 0 and a * B <= m:
+                # block pre-cut for the row cut, same argument one level
+                # up: a block holding a true top-A row has block-max >=
+                # that row's best slot, so if it missed the block cut
+                # there would be A block maxima — each itself a slot
+                # from a distinct row — beating that slot. The full-[m]
+                # row top_k cost 1.26 ms/step at 1M (trace sort.206,
+                # results/profile_1m_r5.json); this reduces it to a
+                # [m/8] block top_k + an [a*8] row top_k.
+                blkb = row_best.reshape(-1, B)
+                _, bi = jax.lax.top_k(jnp.max(blkb, axis=1), a)
+                cand_rows = (bi[:, None] * B
+                             + jnp.arange(B, dtype=bi.dtype)).reshape(-1)
+                _, sel_i = jax.lax.top_k(blkb[bi].reshape(-1), a)
+                rows_a = cand_rows[sel_i]
+            else:
+                _, rows_a = jax.lax.top_k(row_best, a)
             slot_keys = sel[rows_a].reshape(-1)            # [a*k]
             allk = jnp.concatenate([slot_keys, hkey])
             top_key, top_i = jax.lax.top_k(allk, a)
@@ -414,8 +441,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
         hj = jnp.clip(top_i - (a * k if a < m else m * k), 0,
                       hkey.shape[0] - 1)
         own_slot = jnp.where(is_slot, flat_slot // k, hown[hj])
-        cand_idx = jnp.where(is_slot, idx.reshape(-1)[flat_slot],
-                             hcand[hj])
+        cand_idx = jnp.where(is_slot, slot_gather(flat_slot), hcand[hj])
         oflow_rows = own & ~covered
     else:
         sel = jnp.where(own[:, None] & occupied, keys, PACKED_NONE)
@@ -423,7 +449,7 @@ def fused_scene_fast(cl: CellList, cfg: SystemConfig,
         top_key, top_flat = jax.lax.top_k(sel.reshape(-1), a)
         valid = top_key >= 0.0                   # qualifying keys only
         own_slot = top_flat // k
-        cand_idx = idx.reshape(-1)[top_flat]
+        cand_idx = slot_gather(top_flat)
         oflow_rows = own
         short = jnp.int32(0)
     ref = refine_pairs(cl, own_slot, cand_idx, cfg, mode="fast")
